@@ -1,0 +1,292 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.Analytics
+
+/** Core reference-parity queries (SURVEY.md §2.3-§2.7) over the harness
+  * tables: scans, aggregations, windows, joins, top-k, generation.
+  *
+  * The COVID-domain mapping: `orders` plays the case fact table
+  * (o_orderdate = date_added), `nation` plays the county dimension,
+  * customers-per-nation plays county population.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Daily order counts — shared base for the time-series queries. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Analytics.dailyCounts(t(s, dir, "orders"), col("o_orderdate"))
+
+  private val dailySql =
+    "SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders GROUP BY 1"
+
+  private def cum(s: SparkSession, dir: String): DataFrame =
+    Analytics.cumSum(daily(s, dir))
+
+  private val cumSql =
+    s"""WITH daily AS ($dailySql)
+       |SELECT d, n, CAST(SUM(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |FROM daily""".stripMargin
+
+  /** orders x customer x nation with the date projected — base for the
+    * per-"county" analytics. nation (25 rows) is broadcast; the
+    * orders-customer join shuffles on the key, which is the right plan at
+    * 100 TB (customer is not broadcastable at scale).
+    */
+  private def ordersNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        to_date(col("o_orderdate")).as("d"))
+
+  private val ordersNationSql =
+    """SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS d
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ----- A3: group-by-date count (cv-stats.py:55) -----
+    "q01_daily_counts" -> Q(
+      (s, dir) => daily(s, dir).orderBy("d"),
+      Some(s"$dailySql ORDER BY d"),
+      "A3/P6 rows-per-day"),
+
+    // ----- W1: cumulative sum (cv-stats.py:54-56) -----
+    "q02_cum_daily" -> Q(
+      (s, dir) => cum(s, dir).orderBy("d"),
+      Some(s"$cumSql ORDER BY d"),
+      "W1 running total over dates"),
+
+    // ----- W3: growth rate cum_t/cum_{t-1} (cv-stats.py:59-66) -----
+    "q03_growth_rates" -> Q(
+      (s, dir) => Analytics.growthRates(cum(s, dir))
+        .select("d", "rate").orderBy("d"),
+      Some(
+        s"""WITH cum AS ($cumSql)
+           |SELECT d, cum / LAG(cum, 1) OVER (ORDER BY d) AS rate
+           |FROM cum ORDER BY d""".stripMargin),
+      "W3 pct-change+1; first row null"),
+
+    // ----- A4+W2: per-key daily cumsum (cv-county-stats.py:54-69) -----
+    "q04_cum_by_nation" -> Q(
+      (s, dir) => Analytics.cumSumByKey(
+          ordersNation(s, dir).groupBy(col("nation").as("k"), col("d"))
+            .agg(count(lit(1)).as("n")))
+        .withColumnRenamed("k", "nation")
+        .orderBy("nation", "d"),
+      Some(
+        s"""WITH base AS ($ordersNationSql),
+           |daily AS (SELECT nation, d, COUNT(*) AS n FROM base GROUP BY 1, 2)
+           |SELECT nation, d, n, CAST(SUM(n) OVER (PARTITION BY nation ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |FROM daily ORDER BY nation, d""".stripMargin),
+      "A4+W2 partitioned running total"),
+
+    // ----- A5/O4: top-k with pinned tie-break (cv-county-stats.py:72) -----
+    "q05_top5_nations" -> Q(
+      (s, dir) => Analytics.topKByCount(ordersNation(s, dir), col("nation"), 5)
+        .withColumnRenamed("k", "nation"),
+      Some(
+        s"""WITH base AS ($ordersNationSql)
+           |SELECT nation, COUNT(*) AS cnt FROM base
+           |GROUP BY 1 ORDER BY cnt DESC, nation LIMIT 5""".stripMargin),
+      "A5 top-5 keys by count, TakeOrderedAndProject"),
+
+    // ----- full CountyStats parity: top5 + per-key cumsum + J1 + P10 -----
+    "q06_top5_normalized" -> Q(
+      (s, dir) => {
+        val base = ordersNation(s, dir)
+        val top5 = Analytics.topKByCount(base, col("nation"), 5)
+          .select(col("k").as("nation"))
+        val pop = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("population"))
+        val dailyN = base.join(broadcast(top5), Seq("nation"), "left_semi")
+          .groupBy(col("nation").as("k"), col("d")).agg(count(lit(1)).as("n"))
+        Analytics.cumSumByKey(dailyN)
+          .withColumnRenamed("k", "nation")
+          .join(broadcast(pop), Seq("nation"))
+          .select(col("nation"), col("d"), col("cum"),
+            round(col("cum") / (col("population") / lit(1000.0)), 2)
+              .as("normalized_count"))
+          .orderBy("nation", "d")
+      },
+      Some(
+        s"""WITH base AS ($ordersNationSql),
+           |top5 AS (SELECT nation, COUNT(*) AS cnt FROM base GROUP BY 1 ORDER BY cnt DESC, nation LIMIT 5),
+           |pop AS (SELECT n_name AS nation, COUNT(*) AS population FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+           |daily AS (SELECT nation, d, COUNT(*) AS n FROM base WHERE nation IN (SELECT nation FROM top5) GROUP BY 1, 2),
+           |cum AS (SELECT nation, d, CAST(SUM(n) OVER (PARTITION BY nation ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM daily)
+           |SELECT c.nation, c.d, c.cum, ROUND(c.cum / (p.population / 1000.0), 2) AS normalized_count
+           |FROM cum c JOIN pop p USING (nation) ORDER BY nation, d""".stripMargin),
+      "E3 CountyStats end-to-end: A5+W2+J1+P10"),
+
+    // ----- J1: broadcast dimension join (cv-api.py:117,233-240) -----
+    "q07_dim_join" -> Q(
+      (s, dir) => t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey"),
+      Some(
+        """SELECT n_nationkey, n_name, r_name
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |ORDER BY n_nationkey""".stripMargin),
+      "J1 broadcast-hash equi join"),
+
+    // ----- J2: left-semi membership (cv.py:113-117) -----
+    "q08_semi_join" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin),
+      "J2 left-semi join"),
+
+    // ----- left-anti (implied by the incremental load, SURVEY §2.3) -----
+    "q09_anti_join" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin),
+      "anti join: customers with no orders"),
+
+    // ----- J4/P11: scalar-subquery high-watermark filter (cv.py:104-110) --
+    "q10_watermark_filter" -> Q(
+      (s, dir) => {
+        val wm = t(s, dir, "orders")
+          .agg((max(col("o_orderkey")) - 100).as("wm"))
+        t(s, dir, "lineitem").crossJoin(broadcast(wm))
+          .filter(col("l_orderkey") > col("wm"))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |WHERE l_orderkey > (SELECT MAX(o_orderkey) - 100 FROM orders)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "J4 incremental watermark: rows above global max-100"),
+
+    // ----- A1/A2: global aggregates (cv.py:93-107, cv-api.py:185) -----
+    "q11_global_agg" -> Q(
+      (s, dir) => t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        max(col("l_orderkey")).as("max_key"),
+        min(to_date(col("l_shipdate"))).as("min_ship")),
+      Some(
+        """SELECT COUNT(*) AS n_rows, MAX(l_orderkey) AS max_key,
+          |       MIN(CAST(l_shipdate AS DATE)) AS min_ship
+          |FROM lineitem""".stripMargin),
+      "A1 global max / A2 global count"),
+
+    // ----- multi-aggregate pricing summary (decimal-exact; bench headline) -
+    "q12_pricing_summary" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val d2 = DecimalType(18, 2)
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(d2) *
+            (lit(1).cast(d2) - col("l_discount").cast(d2)))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(d2)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          |  COUNT(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H-Q1-shaped partial+final hash agg, decimal-exact"),
+
+    // ----- W4: lag difference, default 0 (cv-csv.py:86-94) -----
+    "q13_lag_diff" -> Q(
+      (s, dir) => Analytics.lagDiff(daily(s, dir)).orderBy("d"),
+      Some(
+        s"""WITH daily AS ($dailySql)
+           |SELECT d, n, n - LAG(n, 1, 0) OVER (ORDER BY d) AS delta
+           |FROM daily ORDER BY d""".stripMargin),
+      "W4 new_tests = tests - lag(tests)"),
+
+    // ----- W5: tail-n re-sorted ascending (cv-stats.py:63-66) -----
+    "q14_tail7" -> Q(
+      (s, dir) => Analytics.tailN(cum(s, dir).select("d", "cum"), 7),
+      Some(
+        s"""WITH cum AS ($cumSql)
+           |SELECT d, cum FROM (SELECT d, cum FROM cum ORDER BY d DESC LIMIT 7)
+           |ORDER BY d""".stripMargin),
+      "W5 last-7 of ordered series"),
+
+    // ----- G1: growth simulation, closed form (cv-stats.py:70-83) -----
+    "q15_growth_sim" -> Q(
+      (s, dir) => {
+        val last = cum(s, dir).orderBy(desc("d")).limit(1).select("d", "cum")
+        Analytics.growthSim(last, 14, 1.5).orderBy("d")
+      },
+      Some(
+        s"""WITH cum AS ($cumSql),
+           |last AS (SELECT d, cum FROM cum ORDER BY d DESC LIMIT 1)
+           |SELECT last.d + i AS d, CAST(ROUND(cum * POWER(1.5, i)) AS BIGINT) AS "count"
+           |FROM last, (SELECT CAST(UNNEST(GENERATE_SERIES(1, 14)) AS INTEGER) AS i)
+           |ORDER BY d""".stripMargin),
+      "G1 14-day compound-growth generator, closed form"),
+
+    // ----- G2/O5: tagged actual+predicted union (cv-stats.py:95-115) -----
+    "q16_series_union" -> Q(
+      (s, dir) => {
+        val actual = cum(s, dir).select(col("d"), col("cum").as("count"))
+        val last = actual.orderBy(desc("d")).limit(1)
+          .select(col("d"), col("count").as("cum"))
+        val predicted = Analytics.growthSim(last, 14, 1.5)
+        Analytics.tagAndUnion(actual, predicted).orderBy("series", "d")
+      },
+      Some(
+        s"""WITH cum AS ($cumSql),
+           |actual AS (SELECT d, cum AS "count" FROM cum),
+           |last AS (SELECT d, "count" AS cum FROM actual ORDER BY d DESC LIMIT 1),
+           |predicted AS (
+           |  SELECT last.d + i AS d, CAST(ROUND(cum * POWER(1.5, i)) AS BIGINT) AS "count"
+           |  FROM last, (SELECT CAST(UNNEST(GENERATE_SERIES(1, 14)) AS INTEGER) AS i))
+           |SELECT d, "count", 'actual' AS series FROM actual
+           |UNION ALL
+           |SELECT d, "count", 'predicted' AS series FROM predicted
+           |ORDER BY series, d""".stripMargin),
+      "G2+O5 florida_growth parity: tagged UNION ALL"),
+
+    // ----- A6: trailing-5 mean growth rate (cv-stats.py:107) -----
+    "q17_trailing_mean" -> Q(
+      (s, dir) => Analytics.trailingMean(
+        Analytics.growthRates(cum(s, dir)).select("d", "rate"), 5),
+      Some(
+        s"""WITH cum AS ($cumSql),
+           |rates AS (SELECT d, cum / LAG(cum, 1) OVER (ORDER BY d) AS rate FROM cum)
+           |SELECT ROUND(AVG(rate), 6) AS mean_rate
+           |FROM (SELECT rate FROM rates WHERE rate IS NOT NULL ORDER BY d DESC LIMIT 5)""".stripMargin),
+      "A6 mean of trailing 5 growth rates")
+  )
+}
