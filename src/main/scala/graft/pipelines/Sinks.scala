@@ -1,0 +1,73 @@
+package graft.pipelines
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink semantics (SURVEY.md §2.1 S7-S9) on parquet paths. The reference
+  * sinks into MongoDB collections; the three write patterns it uses map to:
+  *
+  *  - S9 truncate-and-reload  -> `mode("overwrite")`
+  *  - S7 incremental append   -> high-watermark filter + `mode("append")`
+  *  - S8 keyed upsert         -> anti-join merge + atomic swap
+  *
+  * On a transactional table format (Delta/Iceberg) S8 is a MERGE and S9 a
+  * transactional replace; plain parquet needs the temp-dir swap below
+  * because Spark cannot overwrite a path it is concurrently reading.
+  */
+object Sinks {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** S9 — truncate-and-reload (cv-api.py:184-207 delete_many+insert_many). */
+  def truncateAndReload(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S7 — append only rows with `key > max(existing)` (cv.py:104-125).
+    * Returns the number of appended rows (the reference reports it in its
+    * notification email). The 1-row max aggregate broadcasts — the
+    * incoming fact side never shuffles. Sound only for monotonic keys
+    * (SURVEY §7 risk note); use [[upsertByKey]] or streaming dedup
+    * otherwise.
+    */
+  def appendIncremental(spark: SparkSession, df: DataFrame, path: String,
+                        key: String): Long = {
+    val fresh =
+      if (!exists(spark, path)) df
+      else {
+        val wm = spark.read.parquet(path).agg(max(col(key)).as("__wm"))
+        df.crossJoin(broadcast(wm))
+          .filter(col(key) > col("__wm")).drop("__wm")
+      }
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(path)
+    n
+  }
+
+  /** S8 — keyed upsert (cv.py:126-132 update_one per under-investigation
+    * case): rows in `updates` replace same-key rows, everything else is
+    * kept. Implemented as existing-anti-join ∪ updates written to a temp
+    * dir then atomically swapped, because plain parquet overwrite would
+    * delete its own input mid-read.
+    */
+  def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
+                  key: String): Unit = {
+    if (!exists(spark, path)) {
+      updates.write.mode("overwrite").parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val merged = existing
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+    val tmp = path + "__tmp_upsert"
+    merged.write.mode("overwrite").parquet(tmp)
+    val f = fs(spark, path)
+    f.delete(new Path(path), true)
+    f.rename(new Path(tmp), new Path(path))
+  }
+}
