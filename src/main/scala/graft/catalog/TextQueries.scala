@@ -1,0 +1,96 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Text-analysis coverage over `documents` (training-data pipeline tier:
+  * token stats, quality scores, language ID, fingerprints). Every
+  * expression here is a builtin — one narrow codegen'd map stage over the
+  * scan, except the fingerprint which is an explode + partial-agg min.
+  */
+object TextQueries {
+
+  // DuckDB mirror of TextAnalysis.wsTokens
+  private val toksSql =
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END"
+
+  private def hitsSql(words: Seq[String]): String =
+    s"LEN(LIST_FILTER($toksSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val all: Map[String, Q] = Map(
+
+    // ----- token counting: whitespace + BPE-ish regex classes -----
+    "q31_token_stats" -> Q(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("ws_tokens"),
+          TextAnalysis.tokenCountRe(col("text")).as("re_tokens"))
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  LEN($toksSql) AS ws_tokens,
+           |  LEN(REGEXP_EXTRACT_ALL(text, '${TextAnalysis.TokenRegex}')) AS re_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      "token counts: whitespace + BPE-ish regex"),
+
+    // ----- quality scoring: length/punct/stopword composite -----
+    "q32_quality_score" -> Q(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val punct =
+          "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text) END"
+        val allWords = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+        val stop =
+          s"CASE WHEN LEN($toksSql) = 0 THEN 0.0 ELSE CAST(${hitsSql(allWords)} AS DOUBLE) / LEN($toksSql) END"
+        s"""SELECT doc_id,
+           |  $punct AS punct_ratio,
+           |  ROUND(0.4 * LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0)
+           |      + 0.3 * (1.0 - $punct)
+           |      + 0.3 * $stop, 6) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "composite quality score (length/punct/stopwords)"),
+
+    // ----- language ID: stopword-count argmax with fixed tie order -----
+    "q33_lang_id" -> Q(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some {
+        val s_ = TextAnalysis.Stopwords
+        def h(l: String) = hitsSql(s_(l))
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("fr")} AND ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("zh")} THEN 'en'
+           |       WHEN ${h("es")} >= ${h("fr")} AND ${h("es")} >= ${h("de")} AND ${h("es")} >= ${h("zh")} THEN 'es'
+           |       WHEN ${h("fr")} >= ${h("de")} AND ${h("fr")} >= ${h("zh")} THEN 'fr'
+           |       WHEN ${h("de")} >= ${h("zh")} THEN 'de'
+           |       ELSE 'zh' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "n-gram/stopword heuristic language ID"),
+
+    // ----- document fingerprint: min-hash over 8-char shingles -----
+    "q34_fingerprint" -> Q(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingleStarts(col("text"))).as("i"),
+          col("text"))
+        .select(col("doc_id"), md5(expr("substring(text, i, 8)")).as("h"))
+        .groupBy("doc_id").agg(min(col("h")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, MIN(MD5(SUBSTRING(text, CAST(i AS INTEGER), 8))) AS fingerprint
+          |FROM (SELECT doc_id, text,
+          |        UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 7, 1))) AS i
+          |      FROM documents)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "rolling-shingle min-hash fingerprint")
+  )
+}

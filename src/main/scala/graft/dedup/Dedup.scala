@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. All built from shuffle-conscious primitives:
+  *
+  *  - exact dedup is one hash aggregate on the text key;
+  *  - MinHash/LSH turns all-pairs similarity (O(n²), impossible at 100 TB)
+  *    into an equi-join on band buckets — the only shuffle keys are
+  *    (band, bucket-hash), so co-candidates co-locate and everything else
+  *    never pairs up;
+  *  - SimHash bands 64 bits into 4×16-bit exact-match keys (any band equal
+  *    → candidate), then verifies with `bit_count(xor)` hamming distance;
+  *  - n-gram Jaccard uses an inverted shingle index join (exact, for
+  *    verification tiers / small candidate sets).
+  *
+  * Everything is expression-level (codegen'd); the per-shingle hash fan-out
+  * is the standard expand and runs as a narrow map + partial aggregate.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) id per identical text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+
+  /** Distinct character n-gram shingles, one row per (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(TextAnalysis.shingleStarts(col(textCol), n)).as("i"),
+        col(textCol))
+      .select(col(idCol), expr(s"substring($textCol, i, $n)").as("shingle"))
+      .distinct()
+
+  /** `k` affine-derived hash values from one 64-bit base hash. The base is
+    * reduced mod p=2^31-1 first so every intermediate stays far below
+    * Long.MaxValue — Spark 4 runs ANSI mode, where overflow throws.
+    */
+  private def deriveHashes(h: Column, k: Int): Column = {
+    val p = 2147483647L
+    val h0 = pmod(h, lit(p))
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      pmod(h0 * (i * 2 + 1) + i * 40503L + 2654435769L, lit(p)))
+  }
+
+  /** MinHash signatures: `numHashes` per-document minima over shingle
+    * hashes. Output: (id, sig array<long>).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleN: Int = 5): DataFrame =
+    shingles(df, idCol, textCol, shingleN)
+      .select(col(idCol),
+        posexplode(deriveHashes(xxhash64(col("shingle")), numHashes))
+          .as(Seq("pos", "hv")))
+      .groupBy(col(idCol), col("pos")).agg(min(col("hv")).as("mh"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+
+  /** LSH banding: signature rows → (band, bucket) keys → candidate pairs
+    * via equi-join. `bands` must divide the signature length. With b bands
+    * of r rows, pairs with Jaccard j collide w.p. 1-(1-j^r)^b.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val bandRows = sig.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
+          size(col("sig")) / bands))).as(Seq("band", "bslice")))
+      .select(col(idCol), col("band"), xxhash64(col("band"), col("bslice")).as("bkey"))
+    val a = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
+    val b = bandRows.select(col(idCol).as("id2"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs = fraction of equal signature
+    * positions (MinHash property). Verification tier after banding.
+    */
+  def minhashJaccard(pairs: DataFrame, sig: DataFrame, idCol: String): DataFrame =
+    pairs
+      .join(sig.select(col(idCol).as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          x => x)) / size(col("sig1"))).as("est_jaccard"))
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. The 64-way bit fan-out is a narrow expand + partial agg; at
+    * extreme scale it collapses into a DeclarativeAggregate, same result.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // static 64-way bit fan-out (Scala-side: shift amounts must be ints)
+    val bitVotes = array((0 until 64).map(j =>
+      shiftright(col("h"), j).bitwiseAND(1) * 2 - 1): _*)
+    df.select(col(idCol),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+      .select(col(idCol), posexplode(bitVotes).as(Seq("j", "c")))
+      .groupBy(col(idCol), col("j")).agg(sum(col("c")).as("s"))
+      .select(col(idCol),
+        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)"))
+          .otherwise(0L).as("v"))
+      // bit_or, not sum: summing 2^63 would overflow under ANSI mode
+      .groupBy(col(idCol)).agg(bit_or(col("v")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit band (pigeonhole: hamming
+    * ≤ 3 guarantees ≥1 equal band of 4) then exact hamming filter.
+    */
+  def simhashCandidates(sh: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val bands = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
+        .as(Seq("band", "bkey")))
+    val a = bands.select(col(idCol).as("id1"), col("simhash").as("sh1"),
+      col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("id2"), col("simhash").as("sh2"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
+    * shingle, scored |A∩B| / |A∪B|. Quadratic in bucket size — use after
+    * LSH pruning or on bounded candidate sets.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id1"), col("shingle"))
+      .join(sh.select(col(idCol).as("id2"), col("shingle")), "shingle")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("it"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("jaccard",
+        col("it") / (col("sz1") + col("sz2") - col("it")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

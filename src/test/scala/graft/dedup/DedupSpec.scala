@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longA = "the quick brown fox jumps over the lazy dog " * 5
+  private val longANear = longA.replace("lazy", "late") // small edit
+  private val longB = "completely different content about spark engines " * 5
+
+  private lazy val docs = Seq(
+    (0L, longA), (1L, longA), // exact dup pair
+    (2L, longANear), // near dup of 0/1
+    (3L, longB),
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(0L, 2L, 3L, 4L)) // 1 collapsed into 0
+  }
+
+  test("minhash signatures: identical texts get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig.values.forall(_.length == 32))
+    // near-dup shares most positions; unrelated shares few
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(overlap(sig(0L), sig(2L)) > overlap(sig(0L), sig(3L)))
+  }
+
+  test("LSH banding surfaces exact and near dup pairs") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+  }
+
+  test("minhashJaccard estimates 1.0 for identical texts") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5)
+    val est = Dedup.minhashJaccard(Dedup.lshCandidates(sig, "doc_id", 8), sig, "doc_id")
+      .filter("id1 = 0 and id2 = 1").select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical -> hamming 0; near-dup close; candidates found") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+    val cands = Dedup.simhashCandidates(
+      Dedup.simhash(docs, "doc_id", "text"), "doc_id", maxDist = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("ngramJaccard: identical pair scores 1.0, threshold filters noise") {
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text", n = 5, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m((0L, 2L)) > 0.5 && m((0L, 2L)) < 1.0)
+    assert(!m.contains((0L, 3L)))
+  }
+
+  test("dedup on real corpus finds the generated near-duplicates") {
+    val real = graft.Tables(spark, sf, "documents")
+    val sig = Dedup.minhashSignatures(real, "doc_id", "text", 32, 5)
+    val pairs = Dedup.minhashJaccard(
+      Dedup.lshCandidates(sig, "doc_id", 8), sig, "doc_id")
+      .filter("est_jaccard >= 0.5")
+    assert(pairs.count() > 0) // TESTDATA corpus contains near-dups
+  }
+}
