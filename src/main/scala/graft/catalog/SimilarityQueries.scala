@@ -13,6 +13,27 @@ import graft.similarity.Similarity
   */
 object SimilarityQueries {
 
+  /** Shared oracle for exact cosine top-10 vs vec_id 0 — both the
+    * explode-based plan (q39) and the native-Expression plan (q43) must
+    * reproduce it after ROUND(6).
+    */
+  private val cosineTopkSql =
+    """WITH q AS (
+      |  SELECT generate_subscripts(embedding, 1) AS i,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS qx
+      |  FROM embeddings WHERE vec_id = 0),
+      |e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS n2
+      |  FROM e JOIN q USING (i) GROUP BY e.vec_id),
+      |qn AS (SELECT SUM(qx * qx) AS qn2 FROM q)
+      |SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 6) AS cosine
+      |FROM dots, qn WHERE vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ----- brute-force cosine top-10 vs vec_id 0 (exact baseline) -----
@@ -35,23 +56,24 @@ object SimilarityQueries {
               .as("cosine"))
           .orderBy(desc("cosine"), col("vec_id")).limit(10)
       },
-      Some(
-        """WITH q AS (
-          |  SELECT generate_subscripts(embedding, 1) AS i,
-          |         CAST(UNNEST(embedding) AS DOUBLE) AS qx
-          |  FROM embeddings WHERE vec_id = 0),
-          |e AS (
-          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-          |         CAST(UNNEST(embedding) AS DOUBLE) AS x
-          |  FROM embeddings),
-          |dots AS (
-          |  SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS n2
-          |  FROM e JOIN q USING (i) GROUP BY e.vec_id),
-          |qn AS (SELECT SUM(qx * qx) AS qn2 FROM q)
-          |SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 6) AS cosine
-          |FROM dots, qn WHERE vec_id <> 0
-          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      Some(cosineTopkSql),
       "exact cosine top-k, double-accumulated both engines"),
+
+    // ----- same query through the native codegen'd Expression -----
+    "q43_cosine_topk_native" -> Q(
+      (s, dir) => {
+        graft.functions.Vectors.register(s)
+        val emb = Tables(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.functions.Vectors.cosineSim(
+              col("embedding"), typedlit(query)), 6).as("cosine"))
+          .orderBy(desc("cosine"), col("vec_id")).limit(10)
+      },
+      Some(cosineTopkSql),
+      "cosine top-k via the fused codegen CosineSimilarity Expression"),
 
     // ----- LSH-bucketed ANN (scale path; no SQL oracle) -----
     "q40_ann_lsh" -> Q(

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipelines.Sinks
+
+/** Structured Streaming semantics (SURVEY.md §2.8). The reference
+  * simulates a stream with cron re-runs; these are the real streaming
+  * equivalents of its four patterns:
+  *
+  *  - incremental append w/ high-watermark  -> [[dedupAppend]]
+  *  - 1-day tumbling window (midnight group) -> [[dailyCounts]]
+  *  - partial-interval exclusion             -> the watermark itself
+  *  - late-data correction (upsert)          -> [[upsertEachBatch]]
+  *
+  * plus [[runningCountsByKey]], the `mapGroupsWithState` custom-state
+  * shape (per-key cumulative counts surviving across micro-batches).
+  */
+object StreamingOps {
+
+  /** Exactly-once-per-key append: `dropDuplicates` scoped by a watermark
+    * so state is bounded (the streaming-sound version of the reference's
+    * `case_number > max(existing)` manual watermark, cv.py:104-125, which
+    * assumed monotonic keys).
+    */
+  def dedupAppend(events: DataFrame, tsCol: String, keyCol: String,
+                  lateness: String = "1 day"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicates(Seq(keyCol, tsCol))
+
+  /** Event-time 1-day tumbling counts with watermark — a day's aggregate
+    * becomes final only after the day closes plus allowed lateness
+    * (≡ the batch pipeline's `date_added < today - 1` exclusion,
+    * cv-stats.py:34-35).
+    */
+  def dailyCounts(events: DataFrame, tsCol: String,
+                  lateness: String = "1 day"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 day").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("day.start").as("d"), col("n"))
+
+  /** Late-data correction: merge each micro-batch into a keyed parquet
+    * sink (≡ the reference re-fetching "Under Investigation" rows and
+    * updating them once resolved, cv.py:112-132). Use as
+    * `stream.writeStream.foreachBatch(upsertEachBatch(path, key) _)`.
+    */
+  def upsertEachBatch(path: String, key: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    Sinks.upsertByKey(batch.sparkSession, batch.dropDuplicates(key), path, key)
+
+  final case class KeyCount(key: String, total: Long)
+
+  /** Custom state via `mapGroupsWithState`: per-key running totals that
+    * persist across micro-batches (the streaming form of the cumulative
+    * series W1/W2). ProcessingTimeTimeout keeps state bounded in real
+    * deployments; no timeout here for deterministic tests.
+    */
+  def runningCountsByKey(keyed: Dataset[(String, Long)]): Dataset[KeyCount] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState[Long, KeyCount](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          KeyCount(key, total)
+      }
+  }
+
+  /** Complete-mode snapshot aggregation (≡ truncate-and-reload every run,
+    * cv-api.py:184-207): the sink always holds the full current aggregate.
+    */
+  def snapshotCountsByKey(events: DataFrame, keyCol: String): DataFrame =
+    events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+
+  /** OutputMode helpers pinned in one place for the write sites. */
+  val AppendMode: OutputMode = OutputMode.Append()
+  val CompleteMode: OutputMode = OutputMode.Complete()
+  val UpdateMode: OutputMode = OutputMode.Update()
+}

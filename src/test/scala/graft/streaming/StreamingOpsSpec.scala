@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailyCounts: watermarked 1-day tumbling window finalizes closed days") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Timestamp]
+    val query = StreamingOps.dailyCounts(input.toDF().toDF("ts"), "ts")
+      .writeStream.format("memory").queryName("daily")
+      .outputMode("append").start()
+    // batch 1: events land, watermark still unset
+    input.addData(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+      ts("2024-01-02 09:00:00"))
+    query.processAllAvailable()
+    // batch 2 advances the watermark past Jan 2 + 1d lateness...
+    input.addData(ts("2024-01-05 00:00:00"))
+    query.processAllAvailable()
+    // ...and batch 3 emits the now-closed Jan 1 / Jan 2 windows
+    input.addData(ts("2024-01-05 01:00:00"))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("daily").orderBy("d")
+      .as[(Timestamp, Long)].collect()
+    // Jan 1 (2 rows) and Jan 2 (1 row) closed; Jan 5 still open -> withheld
+    assert(got.toSeq == Seq(
+      (ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-02 00:00:00"), 1L)))
+  }
+
+  test("dedupAppend: duplicate keys within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int)]
+    val query = StreamingOps.dedupAppend(
+        input.toDF().toDF("ts", "case_number"), "ts", "case_number")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1), (ts("2024-01-01 10:00:00"), 1),
+      (ts("2024-01-01 11:00:00"), 2))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("runningCountsByKey: mapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val query = StreamingOps.runningCountsByKey(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    input.addData(("a", 2L), ("b", 1L))
+    query.processAllAvailable()
+    input.addData(("a", 3L))
+    query.processAllAvailable()
+    query.stop()
+    // update mode: latest row per key wins
+    val last = spark.table("running").groupBy("key")
+      .agg(org.apache.spark.sql.functions.max("total").as("total"))
+      .as[(String, Long)].collect().toMap
+    assert(last == Map("a" -> 5L, "b" -> 1L))
+  }
+
+  test("upsertEachBatch merges micro-batches into a keyed sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-stream").resolve("sink").toString
+    val input = MemoryStream[(Int, String)]
+    val query = input.toDF().toDF("case_number", "travel")
+      .writeStream
+      .foreachBatch(StreamingOps.upsertEachBatch(path, "case_number") _)
+      .outputMode("update").start()
+    input.addData((1, "Under Investigation"), (2, "No"))
+    query.processAllAvailable()
+    input.addData((1, "Yes")) // late correction
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.read.parquet(path).as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "Yes"), (2, "No")))
+  }
+}
