@@ -278,6 +278,22 @@ object CoreQueries {
            |ORDER BY series, d""".stripMargin),
       "G2+O5 florida_growth parity: tagged UNION ALL"),
 
+    // ----- §2.9 typed Aggregator: compound growth (geometric mean) -----
+    "q44_geo_mean_growth" -> Q(
+      (s, dir) => {
+        graft.functions.Aggregators.register(s)
+        Analytics.growthRates(cum(s, dir))
+          .filter(col("rate").isNotNull)
+          .agg(round(graft.functions.Aggregators.geoMeanGrowth(col("rate")), 6)
+            .as("geo_mean"))
+      },
+      Some(
+        s"""WITH cum AS ($cumSql),
+           |rates AS (SELECT cum / LAG(cum, 1) OVER (ORDER BY d) AS rate FROM cum)
+           |SELECT ROUND(EXP(AVG(LN(rate))), 6) AS geo_mean
+           |FROM rates WHERE rate IS NOT NULL""".stripMargin),
+      "Aggregator[IN,BUF,OUT] via udaf: exp(avg(ln(rate)))"),
+
     // ----- A6: trailing-5 mean growth rate (cv-stats.py:107) -----
     "q17_trailing_mean" -> Q(
       (s, dir) => Analytics.trailingMean(

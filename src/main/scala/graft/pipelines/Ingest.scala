@@ -104,6 +104,28 @@ object Ingest {
         Seq("county"), "left_outer")
       .select(Schemas.caseRecord.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** S3 — covidtracking daily-stats JSON → `other_stats` (cv-api.py:141-181):
+    * FL-only filter (P12, client-side in the reference), `%Y%m%d` int date
+    * parse (P8), prev = total − increase and guarded growth ratios (P9).
+    * Input shape: one JSON object per state-day (the API's array elements).
+    */
+  def normalizeOtherStats(daily: DataFrame, state: String = "FL"): DataFrame =
+    daily
+      .filter(col("state") === state) // cv-api.py:147
+      .select(
+        CaseOps.parseDateYmd(col("date")).as("date"), // cv-api.py:156
+        col("totalTestResults").cast("int").as("tests"),
+        col("totalTestResultsIncrease").cast("int").as("new_tests"),
+        col("death").cast("int").as("deaths"),
+        col("deathIncrease").cast("int").as("new_deaths"),
+        CaseOps.guardedRatio(col("death"),
+          col("death") - col("deathIncrease")).as("deaths_growth"), // cv-api.py:153,161
+        col("hospitalized").cast("int").as("hospitalized"),
+        col("hospitalizedIncrease").cast("int").as("new_hospitalized"),
+        CaseOps.guardedRatio(col("hospitalized"),
+          col("hospitalized") - col("hospitalizedIncrease"))
+          .as("hospitalized_growth")) // cv-api.py:154,164
+
   /** S4 variant — daily stats CSV with the lag-derived `new_tests`
     * (cv-csv.py:80-94; the carried `prev_tests` loop variable is a window
     * lag, W4).

@@ -66,6 +66,25 @@ class IngestSpec extends SparkSpec {
     assert(got.toSeq == Seq(100, 50, 110))
   }
 
+  test("S3: covidtracking daily stats -> other_stats (cv-api.py:141-181)") {
+    import spark.implicits._
+    val daily = Seq(
+      ("FL", 20200326, 1000, 200, 50, 10, 300, 30),
+      ("FL", 20200325, 800, 150, 40, 40, 270, 270), // prev deaths/hosp = 0
+      ("NY", 20200326, 9999, 999, 99, 9, 999, 99) // filtered out
+    ).toDF("state", "date", "totalTestResults", "totalTestResultsIncrease",
+      "death", "deathIncrease", "hospitalized", "hospitalizedIncrease")
+    val got = Ingest.normalizeOtherStats(daily).orderBy("date")
+    assert(got.count() == 2)
+    val r26 = got.filter("tests = 1000").head()
+    assert(r26.getAs[Date]("date") == Date.valueOf("2020-03-26"))
+    assert(r26.getAs[Double]("deaths_growth") == 50.0 / 40.0)
+    assert(r26.getAs[Double]("hospitalized_growth") == 300.0 / 270.0)
+    val r25 = got.filter("tests = 800").head()
+    assert(r25.getAs[Double]("deaths_growth") == 0.0) // prev 0 -> guarded
+    assert(r25.getAs[Double]("hospitalized_growth") == 0.0)
+  }
+
   test("S2: JSON pages union + API field mapping (cv-api.py:103-121)") {
     val page1 =
       """{"features":[{"attributes":{"ObjectId":1,"County":"Alachua",
