@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives for hot keys at cluster scale.
+  *
+  * First line of defense is AQE (`spark.sql.adaptive.skewJoin.enabled`,
+  * on by default here), which splits skewed shuffle partitions at runtime.
+  * These helpers cover the cases AQE can't fix: a single aggregation key
+  * receiving a large fraction of all rows, and a shuffle join against a
+  * dimension where one fact key dominates.
+  *
+  * Both are pure plan rewrites with identical results to their naive
+  * forms (pinned by SkewSpec).
+  */
+object Skew {
+
+  private def salt(buckets: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+
+  /** Two-phase salted count: `groupBy(key, salt)` partial counts (spreads
+    * one hot key over `buckets` reducers) then `groupBy(key)` of the
+    * partials (tiny — one row per key per bucket). Works for any
+    * decomposable aggregate; count is the common case.
+    */
+  def saltedCount(df: DataFrame, key: Column, buckets: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), salt(buckets).as("__salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("cnt"))
+
+  /** Salted equi-join for a skewed fact side: the dimension is replicated
+    * `buckets` times (explode over the salt range — dimension must be
+    * small-ish; it was broadcastable-adjacent anyway), the fact side gets
+    * a uniform salt, and the join key becomes (key, salt) — so one hot
+    * key's rows spread over `buckets` tasks instead of one straggler.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(buckets))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

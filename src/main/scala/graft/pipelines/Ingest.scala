@@ -74,6 +74,16 @@ object Ingest {
     normalizeApiCases(raw, counties)
   }
 
+  /** S2 at scale — same semantics as [[fromJsonPages]] but through the
+    * `jsonpages` DataSource V2 connector (graft.sources): one partition
+    * per spooled page file, column pruning ≡ `outFields`, source-side
+    * filters ≡ `where`. The P14 Case_ filter inside [[normalizeApiCases]]
+    * pushes down into the reader.
+    */
+  def fromJsonPagesDir(spark: SparkSession, dir: String,
+                       counties: DataFrame): DataFrame =
+    normalizeApiCases(spark.read.format("jsonpages").load(dir), counties)
+
   /** cv-api.py:103-121 field mapping for ArcGIS attribute rows. The
     * server-side `where: "Case_ not like 'NA%'"` (cv-api.py:77) is applied
     * here as an engine filter (P14); `Case1` carries the epoch-ms case
