@@ -97,19 +97,21 @@ object Dedup {
     * extreme scale it collapses into a DeclarativeAggregate, same result.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // static 64-way bit fan-out (Scala-side: shift amounts must be ints)
-    val bitVotes = array((0 until 64).map(j =>
-      shiftright(col("h"), j).bitwiseAND(1) * 2 - 1): _*)
+    // 64 per-bit vote sums as parallel aggregate columns over the token
+    // rows — one hash-agg pass, no 64x row fan-out. Each aggregate input
+    // is a cheap scalar off the single hashed column (never index a shared
+    // transform() array here: project collapse would re-evaluate it per
+    // aggregate — the O(k^2) trap documented in minhashSignatures).
+    val votes = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    val fingerprint = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
     df.select(col(idCol),
         explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
       .select(col(idCol), xxhash64(col("t")).as("h"))
-      .select(col(idCol), posexplode(bitVotes).as(Seq("j", "c")))
-      .groupBy(col(idCol), col("j")).agg(sum(col("c")).as("s"))
-      .select(col(idCol),
-        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)"))
-          .otherwise(0L).as("v"))
-      // bit_or, not sum: summing 2^63 would overflow under ANSI mode
-      .groupBy(col(idCol)).agg(bit_or(col("v")).as("simhash"))
+      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fingerprint.as("simhash"))
   }
 
   /** SimHash near-dup candidates: equal 16-bit band (pigeonhole: hamming

@@ -99,12 +99,15 @@ object Vectors {
 
 /** `SparkSessionExtensions` injector for cluster deployments:
   * `spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * `cosine_sim` available in every session without driver code.
+  * `cosine_sim` + the graft optimizer rules available in every session
+  * without driver code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine)
+  }
 }
