@@ -27,6 +27,16 @@ object Sinks {
   def truncateAndReload(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Layout-aware reload: hive-partitioned by `partitionCol` so date/key
+    * predicates prune whole directories at read time (`PartitionFilters`
+    * in the scan) — the difference between touching one day and scanning
+    * 100 TB. Partition columns should be low-cardinality (days, regions);
+    * at extreme scale pair with bucketing on the join key.
+    */
+  def reloadPartitioned(df: DataFrame, path: String,
+                        partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** S7 — append only rows with `key > max(existing)` (cv.py:104-125).
     * Returns the number of appended rows (the reference reports it in its
     * notification email). The 1-row max aggregate broadcasts — the

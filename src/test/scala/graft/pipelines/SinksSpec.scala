@@ -39,6 +39,17 @@ class SinksSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "Yes"), (2, "No"), (3, "No")))
   }
 
+  test("reloadPartitioned: date predicate prunes partitions at the scan") {
+    val path = tmp()
+    val df = Seq(("2020-03-01", 1), ("2020-03-02", 2), ("2020-03-03", 3))
+      .toDF("d", "v")
+    Sinks.reloadPartitioned(df, path, "d")
+    val read = spark.read.parquet(path).filter("d = '2020-03-02'")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(d"))
+    assert(read.select("v").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("S8 upsertByKey on a fresh path just writes") {
     val path = tmp()
     Sinks.upsertByKey(spark, Seq((1, "Yes")).toDF("case_number", "travel"),
