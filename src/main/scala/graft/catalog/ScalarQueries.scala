@@ -122,6 +122,67 @@ object ScalarQueries {
           |WHERE p_type NOT LIKE 'ECO%' ORDER BY p_partkey""".stripMargin),
       "P14 NOT LIKE pushdown filter"),
 
+    // ----- session windows over the events stream (gap = 30 min) -----
+    // DuckDB mirror is the classic gaps-and-islands: break when the gap to
+    // the previous event is >= 30 min (Spark session semantics: a new
+    // session starts when ts >= previous session end = prev_ts + gap).
+    "q28_sessionize" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start"),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          |  FROM events WHERE user_id < 50),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM o)
+          |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin),
+      "event-time session windows (gaps-and-islands oracle)"),
+
+    // ----- rollup / grouping sets -----
+    "q29_rollup" -> Q(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |       GROUPING(l_returnflag, l_linestatus) AS gid
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      "rollup with grouping id"),
+
+    // ----- pivot (wide aggregation) -----
+    "q30_pivot" -> Q(
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .na.fill(0L, Seq("O", "F", "P"))
+        .orderBy("prio"),
+      Some(
+        """SELECT o_orderpriority AS prio,
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+          |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin),
+      "pivot to wide counts"),
+
     // ----- P6 on the events stream table (1-day tumbling window shape) ----
     "q27_events_daily" -> Q(
       (s, dir) => Tables.events(s, dir)
