@@ -64,6 +64,16 @@ object DedupQueries {
       None,
       "MinHash signatures -> LSH band join -> estimated-Jaccard filter"),
 
+    // ----- full corpus-curation composition (no SQL oracle) -----
+    "q45_curate_corpus" -> Q(
+      (s, dir) => graft.pipelines.CorpusPipeline.curate(
+          Tables(s, dir, "documents"),
+          graft.pipelines.CorpusPipeline.Config(
+            langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0))
+        .select("doc_id", "tokens").orderBy("doc_id"),
+      None,
+      "filter -> exact dedup -> MinHash/LSH near-dup -> connected components -> token accounting"),
+
     // ----- SimHash near-dup candidates (no SQL oracle) -----
     "q38_simhash" -> Q(
       (s, dir) => Dedup.simhashCandidates(

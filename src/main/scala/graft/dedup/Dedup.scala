@@ -134,6 +134,42 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Canonical cluster assignment from near-dup candidate pairs:
+    * iterative minimum-label propagation (the shuffle-join form of
+    * connected components). Each round, every id adopts the smallest label
+    * among itself and its neighbors; rounds double the propagation radius,
+    * so `maxIter` = 10 covers cluster diameters up to ~2^10 — far beyond
+    * any near-dup cluster shape. Returns (id, canonical_id).
+    *
+    * At petabyte scale each round is one self-join on bounded pair lists —
+    * no driver-side union-find, no GraphX dependency.
+    */
+  def canonicalClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
+                        maxIter: Int = 10): DataFrame = {
+    // symmetric edge list (propagate both directions)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var changedCount = 1L
+    var iter = 0
+    while (changedCount > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      changedCount = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+  }
+
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
     * shingle, scored |A∩B| / |A∪B|. Quadratic in bucket size — use after
     * LSH pruning or on bounded candidate sets.

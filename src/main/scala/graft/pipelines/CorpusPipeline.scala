@@ -1,0 +1,63 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end training-corpus curation: the composition a 100 TB data
+  * pipeline actually runs, built entirely from the graft operator tiers.
+  *
+  *   1. cheap expression-level filters (language allowlist, quality
+  *      threshold) — narrow map over the scan, no shuffle;
+  *   2. exact dedup (hash aggregate);
+  *   3. near-dup dedup: MinHash → LSH bands → estimated-Jaccard verify →
+  *      connected components → keep each cluster's canonical doc;
+  *   4. annotate surviving docs with token counts for budget accounting.
+  *
+  * Stage order is the cost order: each tier only pays for rows the
+  * cheaper tiers kept.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3,
+      minhashBits: Int = 32,
+      shingleN: Int = 5,
+      lshBands: Int = 8,
+      minEstJaccard: Double = 0.5)
+
+  /** Returns the curated corpus: one row per surviving document with
+    * `tokens` added. Survivor = canonical (minimum doc_id) member of its
+    * near-dup cluster.
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // tier 1: expression-only filters
+    val filtered = docs
+      .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
+      .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+
+    // tier 2: exact dedup (keep min doc_id per identical text)
+    val exactKept = filtered.join(
+      Dedup.exact(filtered, "doc_id", "text").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // tier 3: near-dup clusters -> canonical survivor per cluster
+    val sig = Dedup.minhashSignatures(exactKept, "doc_id", "text",
+      cfg.minhashBits, cfg.shingleN)
+    val nearPairs = Dedup.minhashJaccard(
+        Dedup.lshCandidates(sig, "doc_id", cfg.lshBands), sig, "doc_id")
+      .filter(col("est_jaccard") >= cfg.minEstJaccard)
+    val clusters = Dedup.canonicalClusters(
+      exactKept.select("doc_id"), nearPairs, "doc_id")
+    val survivors = exactKept.join(
+      clusters.filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // tier 4: token accounting
+    survivors.withColumn("tokens", TextAnalysis.tokenCountRe(col("text")))
+  }
+}
