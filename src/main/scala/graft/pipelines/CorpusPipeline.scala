@@ -39,17 +39,24 @@ object CorpusPipeline {
       .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
       .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
 
-    // tier 2: exact dedup (keep min doc_id per identical text)
+    // tier 2: exact dedup (keep min doc_id per identical text).
+    // localCheckpoint: every later tier (signatures, bands, verify, CC
+    // iterations, final semi-join) consumes this frame — without
+    // materialization each downstream action would re-run tiers 1-2.
     val exactKept = filtered.join(
       Dedup.exact(filtered, "doc_id", "text").select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     // tier 3: near-dup clusters -> canonical survivor per cluster
+    // (signatures feed both the band join and the verify join; pairs feed
+    // the iterative CC — materialize each once)
     val sig = Dedup.minhashSignatures(exactKept, "doc_id", "text",
-      cfg.minhashBits, cfg.shingleN)
+      cfg.minhashBits, cfg.shingleN).localCheckpoint()
     val nearPairs = Dedup.minhashJaccard(
         Dedup.lshCandidates(sig, "doc_id", cfg.lshBands), sig, "doc_id")
       .filter(col("est_jaccard") >= cfg.minEstJaccard)
+      .localCheckpoint()
     val clusters = Dedup.canonicalClusters(
       exactKept.select("doc_id"), nearPairs, "doc_id")
     val survivors = exactKept.join(
