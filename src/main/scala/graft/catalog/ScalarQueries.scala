@@ -183,6 +183,60 @@ object ScalarQueries {
           |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin),
       "pivot to wide counts"),
 
+    // ----- set operations (beyond-reference completeness) -----
+    "q46_setops" -> Q(
+      (s, dir) => {
+        val custs = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+        val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+        custs.intersect(buyers).withColumn("op", lit("both"))
+          .unionByName(custs.except(buyers).withColumn("op", lit("customer_only")))
+          .orderBy("op", "k")
+      },
+      Some(
+        """SELECT k, op FROM (
+          |  SELECT c_custkey AS k, 'both' AS op FROM customer
+          |  INTERSECT SELECT o_custkey, 'both' FROM orders
+          |  UNION ALL
+          |  SELECT * FROM (
+          |    SELECT c_custkey AS k, 'customer_only' AS op FROM customer
+          |    EXCEPT SELECT o_custkey, 'customer_only' FROM orders))
+          |ORDER BY op, k""".stripMargin),
+      "INTERSECT / EXCEPT set semantics"),
+
+    // ----- distinct aggregation -----
+    "q47_distinct_agg" -> Q(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  COUNT(DISTINCT l_orderkey) AS n_orders,
+          |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "multi-column distinct aggregation"),
+
+    // ----- the SQL surface: same engine through spark.sql -----
+    "q48_sql_surface" -> Q(
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+        Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+        s.sql(
+          """SELECT c_mktsegment, COUNT(*) AS n,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+            |WHERE o_orderstatus <> 'P'
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus <> 'P'
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "spark.sql text interface over the same engine"),
+
     // ----- P6 on the events stream table (1-day tumbling window shape) ----
     "q27_events_daily" -> Q(
       (s, dir) => Tables.events(s, dir)
