@@ -280,6 +280,27 @@ object CoreQueries {
            |ORDER BY series, d""".stripMargin),
       "G2+O5 florida_growth parity: tagged UNION ALL"),
 
+    // ----- as-of join (densify + broadcast equi-join rewrite) -----
+    "q49_asof_join" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("sd"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // n joins the tie-break to pin row order
+        Analytics.asOfDaily(li, col("sd"), daily(s, dir))
+          .select("l_orderkey", "l_linenumber", "n")
+          .orderBy("l_orderkey", "l_linenumber", "n")
+      },
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |li AS (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd
+           |       FROM lineitem WHERE l_orderkey < 2000)
+           |SELECT l_orderkey, l_linenumber, n
+           |FROM li ASOF LEFT JOIN daily ON li.sd >= daily.d
+           |ORDER BY l_orderkey, l_linenumber, n""".stripMargin),
+      "as-of join vs DuckDB native ASOF; Spark side = densify+broadcast"),
+
     // ----- §2.9 typed Aggregator: compound growth (geometric mean) -----
     "q44_geo_mean_growth" -> Q(
       (s, dir) => {

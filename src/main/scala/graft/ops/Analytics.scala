@@ -106,6 +106,39 @@ object Analytics {
         date_add(col("d"), col("i")).as("d"),
         round(col("cum") * pow(lit(gf), col("i"))).cast("long").as("count"))
 
+  /** As-of join against a daily series: each left row picks the most
+    * recent `series` value with date <= its own date.
+    *
+    * Spark has no native as-of join; the naive forms don't scale (a global
+    * union+window can't partition; a `>=` range join over a broadcast
+    * nested loop is O(rows x days)). At daily granularity the exact
+    * rewrite is: densify the series to every calendar day (forward-fill
+    * via an ignore-nulls last_value window — over the tiny date axis
+    * only), then broadcast equi-join on the date. The fact side never
+    * shuffles; the series stays #days rows.
+    *
+    * `series` must be (dateCol: date, valueCol); rows on dates before the
+    * series starts get null.
+    */
+  def asOfDaily(left: DataFrame, leftDate: Column,
+                series: DataFrame, dateCol: String = "d",
+                valueCol: String = "n"): DataFrame = {
+    // calendar spans to the LEFT side's max date too: as-of semantics
+    // carry the last series value forward indefinitely
+    val bounds = series.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hiS"))
+      .crossJoin(left.agg(max(leftDate).as("hiL")))
+      .select(col("lo"), greatest(col("hiS"), col("hiL")).as("hi"))
+    val calendar = bounds.select(
+      explode(sequence(col("lo"), col("hi"))).as(dateCol))
+    val w = Window.orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val densified = calendar
+      .join(series, Seq(dateCol), "left_outer")
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+    left.join(broadcast(densified), leftDate === col(dateCol), "left_outer")
+      .drop(dateCol)
+  }
+
   /** G2/O5 — tag two series and concatenate (reference: cv-stats.py:95-115;
     * bag semantics — UNION ALL, no dedup).
     */

@@ -84,6 +84,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq("actual", "predicted"))
   }
 
+  test("asOfDaily: most recent series value at or before each row's date") {
+    val series = Seq((d("2020-03-02"), 10L), (d("2020-03-05"), 20L)).toDF("d", "n")
+    val left = Seq(
+      (1, d("2020-03-01")), // before series start -> null
+      (2, d("2020-03-02")), // exact hit -> 10
+      (3, d("2020-03-04")), // gap -> carries 10
+      (4, d("2020-03-05")), // exact hit -> 20
+      (5, d("2020-03-09"))  // after series end -> carries 20
+    ).toDF("id", "dt")
+    val got = Analytics.asOfDaily(left, col("dt"), series).orderBy("id")
+      .select("n").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(None, Some(10L), Some(10L), Some(20L), Some(20L)))
+  }
+
   test("A3 dailyCounts groups by midnight-truncated date") {
     val df = Seq("2020-03-01 10:30:00", "2020-03-01 23:59:59", "2020-03-02 00:00:00")
       .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
