@@ -237,6 +237,51 @@ object ScalarQueries {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       "spark.sql text interface over the same engine"),
 
+    // ----- exact percentiles (linear interpolation both engines) -----
+    "q50_percentiles" -> Q(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50,
+          |  ROUND(QUANTILE_CONT(l_quantity, 0.95), 6) AS p95,
+          |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS price_p25
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "exact percentiles with linear interpolation"),
+
+    // ----- ranking windows: top-3 orders per nation by price -----
+    "q51_rank_topn" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val joined = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("o_orderkey"),
+            col("o_totalprice"))
+        val w = Window.partitionBy("nation")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        joined
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("nation", "rk", "o_orderkey", "o_totalprice")
+          .orderBy("nation", "rk")
+      },
+      Some(
+        """SELECT nation, rk, o_orderkey, o_totalprice FROM (
+          |  SELECT n_name AS nation, o_orderkey, o_totalprice,
+          |         ROW_NUMBER() OVER (PARTITION BY n_name
+          |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |              JOIN nation ON c_nationkey = n_nationkey)
+          |WHERE rk <= 3 ORDER BY nation, rk""".stripMargin),
+      "per-group top-n via ranking window"),
+
     // ----- P6 on the events stream table (1-day tumbling window shape) ----
     "q27_events_daily" -> Q(
       (s, dir) => Tables.events(s, dir)
