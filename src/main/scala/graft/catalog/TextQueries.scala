@@ -19,7 +19,54 @@ object TextQueries {
   private def hitsSql(words: Seq[String]): String =
     s"LEN(LIST_FILTER($toksSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  // DuckDB mirror of Sampling.hashBucket (md5-derived uniform [0,1))
+  private def bucketSql(id: String, salt: String) =
+    s"CAST(CAST('0x' || SUBSTRING(MD5(CAST($id AS VARCHAR) || '$salt'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+
   val all: Map[String, Q] = Map(
+
+    // ----- deterministic train/val/test split (reproducible at 100 TB) ---
+    "q52_hash_split" -> Q(
+      (s, dir) => graft.ops.Sampling.assignSplit(
+          Tables(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .select("doc_id", "split").orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  CASE WHEN b < 0.8 THEN 'train'
+           |       WHEN b < 0.9 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, ${bucketSql("doc_id", "v1")} AS b FROM documents)
+           |ORDER BY doc_id""".stripMargin),
+      "hash-keyed split assignment, stable under appends/partitioning"),
+
+    // ----- deterministic stratified sampling by language -----
+    "q53_stratified_sample" -> Q(
+      (s, dir) => graft.ops.Sampling.stratifiedSample(
+          Tables(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "es" -> 0.25), salt = "v1")
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, ${bucketSql("doc_id", "v1")} AS b FROM documents)
+           |WHERE b < (CASE WHEN lang = 'en' THEN 0.5
+           |                WHEN lang = 'es' THEN 0.25 ELSE 0.0 END)
+           |ORDER BY doc_id""".stripMargin),
+      "per-stratum hash-fraction sampling"),
+
+    // ----- KMV sketch: deterministic distributed uniform sample -----
+    "q54_kmv_sample" -> Q(
+      (s, dir) => {
+        graft.functions.Sketches.register(s)
+        Tables(s, dir, "documents")
+          .groupBy("lang")
+          .agg(array_join(
+            graft.functions.Sketches.kmvSample(col("doc_id"), 5)
+              .cast("array<string>"), ",").as("sample_ids"))
+          .orderBy("lang")
+      },
+      None,
+      "TypedImperativeAggregate k-minimum-values sample per group"),
 
     // ----- token counting: whitespace + BPE-ish regex classes -----
     "q31_token_stats" -> Q(

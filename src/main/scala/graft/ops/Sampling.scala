@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training pipelines.
+  *
+  * Everything keys off [[hashBucket]] — an md5-derived uniform value in
+  * [0,1) computed from the row's id — NOT `rand()`/`randomSplit`, which
+  * change with partitioning, retries, and cluster size. Hash-keyed
+  * assignment is reproducible forever, survives re-runs over 100 TB, and
+  * is stable under incremental appends (a doc's split never changes when
+  * new data arrives) — the property eval-set hygiene actually needs.
+  */
+object Sampling {
+
+  /** Uniform [0,1) from the first 8 md5 hex chars of (id, salt). */
+  def hashBucket(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Assign each row a split label by cumulative weight ranges, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val b = hashBucket(col(idCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(b < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff its hash bucket is
+    * below its stratum's fraction (strata absent from the map are dropped).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = ""): DataFrame = {
+    val b = hashBucket(col(idCol), salt)
+    val frac = fractions.foldRight(lit(0.0): Column) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(rest)
+    }
+    df.filter(b < frac)
+  }
+}

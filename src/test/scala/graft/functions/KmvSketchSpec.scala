@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+import graft.SparkSpec
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmv_sample returns the k ids with globally smallest hashes") {
+    Sketches.register(spark)
+    val ids = (0L until 500L).toDF("id")
+    val got = ids.agg(Sketches.kmvSample(col("id"), 10)).as[Seq[Long]].head()
+    val expected = (0L until 500L)
+      .sortBy(XXH64.hashLong(_, 42)).take(10)
+    assert(got == expected)
+  }
+
+  test("deterministic under any partitioning (unlike reservoir sampling)") {
+    Sketches.register(spark)
+    val base = (0L until 500L).toDF("id")
+    val a = base.repartition(1).agg(Sketches.kmvSample(col("id"), 25)).as[Seq[Long]].head()
+    val b = base.repartition(13).agg(Sketches.kmvSample(col("id"), 25)).as[Seq[Long]].head()
+    assert(a == b)
+  }
+
+  test("per-group sampling via groupBy; size = min(k, group size)") {
+    Sketches.register(spark)
+    val df = Seq.tabulate(100)(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val got = df.groupBy("g").agg(Sketches.kmvSample(col("id"), 5).as("s"))
+      .select("g", "s").as[(String, Seq[Long])].collect().toMap
+    assert(got.values.forall(_.length == 5))
+    val tiny = Seq(("x", 1L), ("x", 2L)).toDF("g", "id")
+      .groupBy("g").agg(Sketches.kmvSample(col("id"), 5).as("s"))
+      .as[(String, Seq[Long])].head()
+    assert(tiny._2.toSet == Set(1L, 2L))
+  }
+
+  test("usable from SQL") {
+    Sketches.register(spark)
+    (0L until 100L).toDF("id").createOrReplaceTempView("v_ids")
+    val got = spark.sql("SELECT kmv_sample(id, 3) FROM v_ids")
+      .as[Seq[Long]].head()
+    assert(got.length == 3)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables(spark, sf, "documents")
+
+  test("assignSplit: total partition, deterministic, ~weight-proportional") {
+    val split = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // deterministic: identical on re-run and under different partitioning
+    val again = Sampling.assignSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("assignSplit is stable under incremental appends") {
+    val first = Sampling.assignSplit(docs.filter("doc_id < 100"), "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val later = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .filter("doc_id < 100")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first == later) // old docs never switch splits
+  }
+
+  test("stratifiedSample keeps ~fraction per stratum, drops unknown strata") {
+    val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "es" -> 0.0))
+    val langs = sampled.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"))
+    assert(sampled.count() == docs.filter("lang = 'en'").count())
+  }
+
+  test("different salts give different assignments") {
+    val a = Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), "s1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), "s2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a != b)
+  }
+}
