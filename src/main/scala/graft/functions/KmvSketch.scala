@@ -99,17 +99,78 @@ case class KmvSketch(
     copy(child = newChildren.head)
 }
 
+/** Distinct-count estimate from the same KMV buffer: with k minimum
+  * normalized hashes, E[distinct] ≈ (k-1) / max_kth_normalized_hash.
+  * Exact when fewer than k distinct values were seen. Deterministic
+  * (unlike HLL implementations it can be cross-checked bit-for-bit).
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeMap[Long, Long]] {
+
+  private val impl = KmvSketch(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = impl.checkInputDataTypes()
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): mutable.TreeMap[Long, Long] =
+    impl.createAggregationBuffer()
+  override def update(buf: mutable.TreeMap[Long, Long], input: InternalRow): mutable.TreeMap[Long, Long] =
+    impl.update(buf, input)
+  override def merge(buf: mutable.TreeMap[Long, Long], other: mutable.TreeMap[Long, Long]): mutable.TreeMap[Long, Long] =
+    impl.merge(buf, other)
+  override def serialize(buf: mutable.TreeMap[Long, Long]): Array[Byte] =
+    impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[Long, Long] =
+    impl.deserialize(bytes)
+
+  override def eval(buf: mutable.TreeMap[Long, Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else {
+      // normalize the kth-smallest hash into (0,1): shift signed min-value
+      // origin so the full unsigned hash range maps to [0,1)
+      val kth = (buf.lastKey.toDouble - Long.MinValue.toDouble) /
+        (Long.MaxValue.toDouble - Long.MinValue.toDouble)
+      (k - 1) / kth
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object Sketches {
   private val name = "kmv_sample"
+  private val distinctName = "kmv_distinct"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => KmvSketch(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      distinctName,
+      exprs => KmvDistinct(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+  }
 
   /** `kmvSample(col, k)`: deterministic k-element uniform sample. */
   def kmvSample(c: Column, k: Int): Column =
     call_function(name, c, org.apache.spark.sql.functions.lit(k))
+
+  /** `kmvDistinct(col, k)`: deterministic distinct-count estimate. */
+  def kmvDistinct(c: Column, k: Int): Column =
+    call_function(distinctName, c, org.apache.spark.sql.functions.lit(k))
 }

@@ -37,6 +37,20 @@ class KmvSketchSpec extends SparkSpec {
     assert(tiny._2.toSet == Set(1L, 2L))
   }
 
+  test("kmv_distinct: exact below k, within 25% above k") {
+    Sketches.register(spark)
+    val small = (0L until 50L).toDF("id")
+      .agg(Sketches.kmvDistinct(col("id"), 64)).as[Double].head()
+    assert(small == 50.0) // exact below k
+    val big = (0L until 10000L).toDF("id")
+      .agg(Sketches.kmvDistinct(col("id"), 256)).as[Double].head()
+    assert(math.abs(big - 10000) / 10000.0 < 0.25)
+    // deterministic across partitionings
+    val a = (0L until 10000L).toDF("id").repartition(3)
+      .agg(Sketches.kmvDistinct(col("id"), 256)).as[Double].head()
+    assert(a == big)
+  }
+
   test("usable from SQL") {
     Sketches.register(spark)
     (0L until 100L).toDF("id").createOrReplaceTempView("v_ids")
