@@ -282,6 +282,23 @@ object ScalarQueries {
           |WHERE rk <= 3 ORDER BY nation, rk""".stripMargin),
       "per-group top-n via ranking window"),
 
+    // ----- semi-structured JSON column extraction (events.props) -----
+    "q55_json_extract" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |  SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+          |  COUNT(*) AS n,
+          |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      "JSON path extraction over a semi-structured column"),
+
     // ----- P6 on the events stream table (1-day tumbling window shape) ----
     "q27_events_daily" -> Q(
       (s, dir) => Tables.events(s, dir)
