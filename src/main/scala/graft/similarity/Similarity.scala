@@ -29,12 +29,19 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** Exact top-k most-similar to a literal query vector. */
+  /** Exact top-k most-similar to a literal query vector. Scores through
+    * the fused codegen CosineSimilarity Expression (33x the composable
+    * [[cosine]] on all-pairs scans — see graft.functions); agreement
+    * between the two is pinned by CosineSimilaritySpec.
+    */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Float], k: Int): DataFrame =
+                     query: Seq[Float], k: Int): DataFrame = {
+    graft.functions.Vectors.register(emb.sparkSession)
     emb.select(col(idCol),
-        round(cosine(col(vecCol), typedlit(query)), 6).as("cosine"))
+        round(graft.functions.Vectors.cosineSim(col(vecCol), typedlit(query)), 6)
+          .as("cosine"))
       .orderBy(desc("cosine"), col(idCol)).limit(k)
+  }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, component):
     * xxhash64-derived uniform in [-1, 1].
