@@ -16,10 +16,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up pass: JIT + codegen-cache + parquet-footer warm, so
     // the timed numbers reflect steady-state plan cost (what a long-running
-    // cluster sees), not first-query JVM warm-up.
+    // cluster sees), not first-query JVM warm-up. Its duration is reported
+    // separately as warmup_sec for transparency.
+    val w0 = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val warmup = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -28,7 +31,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
