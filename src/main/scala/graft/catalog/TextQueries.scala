@@ -123,6 +123,21 @@ object TextQueries {
       },
       "n-gram/stopword heuristic language ID"),
 
+    // ----- corpus text normalization (pre-dedup canonical form) -----
+    "q56_normalize_text" -> Q(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("norm_hash"),
+          length(TextAnalysis.normalizeText(col("text"))).as("norm_len"))
+        .orderBy("doc_id"),
+      Some {
+        val norm =
+          s"TRIM(REGEXP_REPLACE(LOWER(TRANSLATE(text, '${TextAnalysis.AccentFrom}', '${TextAnalysis.AccentTo}')), '\\s+', ' ', 'g'))"
+        s"""SELECT doc_id, MD5($norm) AS norm_hash, LENGTH($norm) AS norm_len
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "lowercase + accent fold + whitespace collapse"),
+
     // ----- document fingerprint: min-hash over 8-char shingles -----
     "q34_fingerprint" -> Q(
       (s, dir) => Tables(s, dir, "documents")

@@ -81,6 +81,21 @@ object TextAnalysis {
     }
   }
 
+  /** Accent-fold map used by [[normalizeText]] (the common Latin-1/2
+    * diacritics; a production pipeline would use full NFKD + mark
+    * stripping in a codec stage).
+    */
+  val AccentFrom = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+  val AccentTo = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+  /** Corpus text normalization: lowercase, fold accents, collapse
+    * whitespace runs, trim — the canonical pre-dedup cleanup pass (exact
+    * dedup on raw text misses case/spacing variants).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      lower(translate(c, AccentFrom, AccentTo)), "\\s+", " "))
+
   /** Document fingerprint: minimum MD5 over all 8-char shingles (the
     * winnowing/rolling-hash family collapsed to its min-hash special case —
     * robust to small edits, pure expressions). For texts shorter than the

@@ -45,6 +45,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "fr", "de", "en"))
   }
 
+  test("normalizeText: lowercase, accent fold, whitespace collapse, trim") {
+    val got = Seq("  Café   NAÏVE\tresume ", "ÑOÑO").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("cafe naive resume", "nono"))
+  }
+
   test("shingle fingerprint is stable and edit-robust at the tail") {
     val df = Seq(("a" * 20) + "hello world" + ("b" * 20)).toDF("text")
     val fp = df.select(col("text"), explode(TextAnalysis.shingleStarts(col("text"))).as("i"))
