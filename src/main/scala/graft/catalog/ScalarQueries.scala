@@ -291,11 +291,15 @@ object ScalarQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
           max(col("k")).as("max_k"))
         .orderBy("event_type"),
+      // json_extract_string (->>) matches Spark's get_json_object unquoting;
+      // SUM(INTEGER) is HUGEINT in DuckDB — cast to BIGINT to match Spark's
+      // LongType sum exactly (HUGEINT surfaces as float64 in the compare).
       Some(
         """SELECT event_type,
-          |  SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+          |       AS BIGINT) AS sum_k,
           |  COUNT(*) AS n,
-          |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+          |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       "JSON path extraction over a semi-structured column"),
 
