@@ -64,8 +64,31 @@ object Similarity {
                   nPlanes: Int = 12, seed: Long = 42L): DataFrame =
     emb.withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes, seed))
 
+  /** All bucket ids within `probe` bit flips of `center` over `nPlanes`
+    * sign bits: Σ_{d≤probe} C(nPlanes, d) values, enumerated driver-side.
+    * This is the multiprobe set — tiny (37 ids at nPlanes=8, probe=2), so
+    * it ships as an `IN` list the scan can prune on, never as a per-row
+    * hamming computation over the whole index.
+    */
+  def probeBuckets(center: Long, nPlanes: Int, probe: Int): Seq[Long] = {
+    require(nPlanes > 0 && nPlanes <= 62, s"nPlanes out of range: $nPlanes")
+    def go(pos: Int, flipsLeft: Int, cur: Long): Seq[Long] =
+      if (pos == nPlanes) Seq(cur)
+      else if (flipsLeft == 0) Seq(cur) // no more flips: remaining bits fixed
+      else go(pos + 1, flipsLeft, cur) ++
+        go(pos + 1, flipsLeft - 1, cur ^ (1L << pos))
+    go(0, probe, center)
+  }
+
   /** ANN top-k: score only vectors whose bucket is within `probe` bit
     * flips of the query's bucket (multiprobe recall knob).
+    *
+    * The probe-radius bucket ids are enumerated driver-side
+    * ([[probeBuckets]]) and applied as `bucket IN (...)` — an equality
+    * filter Catalyst pushes into the scan, NOT a full-index
+    * `bit_count(xor)` pass. Against a [[buildIndex]]-persisted corpus the
+    * same filter becomes `PartitionFilters`: only the ≤ C(nPlanes,≤probe)
+    * probed directories are read (pinned by SimilaritySpec).
     */
   def annTopK(bucketed: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, nPlanes: Int = 12,
@@ -74,9 +97,29 @@ object Similarity {
     val qBucket = spark.range(1)
       .select(hyperplaneBucket(typedlit(query), nPlanes, seed).as("b"))
       .head().getLong(0)
+    val ids = probeBuckets(qBucket, nPlanes, probe)
     bruteForceTopK(
-      bucketed.filter(
-        bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probe),
+      bucketed.filter(col("bucket").isin(ids: _*)),
       idCol, vecCol, query, k)
   }
+
+  /** Persist the bucketed corpus hive-partitioned by `bucket` — the
+    * scale-path index layout. Probing then prunes whole partition
+    * directories instead of scanning the index.
+    */
+  def buildIndex(emb: DataFrame, vecCol: String, path: String,
+                 nPlanes: Int = 12, seed: Long = 42L): Unit =
+    graft.pipelines.Sinks.reloadPartitioned(
+      withBuckets(emb, vecCol, nPlanes, seed), path, "bucket")
+
+  /** ANN top-k over a [[buildIndex]]-persisted index: the multiprobe
+    * `IN` list hits the hive partition layout as `PartitionFilters`,
+    * so only probed bucket directories are listed and read.
+    */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, vecCol: String, query: Seq[Float],
+                     k: Int, nPlanes: Int = 12, seed: Long = 42L,
+                     probe: Int = 1): DataFrame =
+    annTopK(spark.read.parquet(path), idCol, vecCol, query, k,
+      nPlanes, seed, probe)
 }

@@ -52,4 +52,37 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall@10 = $recall")
     assert(recall >= 0.4) // LSH with multiprobe on 500 vectors
   }
+
+  test("probeBuckets enumerates exactly the ≤probe-flip neighborhood") {
+    val ids = Similarity.probeBuckets(0b1010L, nPlanes = 8, probe = 2)
+    assert(ids.size == 1 + 8 + 28) // Σ C(8, ≤2)
+    assert(ids.distinct.size == ids.size)
+    assert(ids.forall(b => java.lang.Long.bitCount(b ^ 0b1010L) <= 2))
+    assert(ids.contains(0b1010L))
+  }
+
+  test("indexed ANN probe prunes partitions instead of scanning the index") {
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val q = emb.filter("vec_id = 0").select("embedding").head().getSeq[Float](0)
+    val corpus = emb.filter("vec_id <> 0")
+    val path = java.nio.file.Files
+      .createTempDirectory("annidx").toString + "/idx"
+    Similarity.buildIndex(corpus, "embedding", path, nPlanes = 8)
+
+    val indexed = Similarity.annTopKIndexed(spark, path, "vec_id",
+      "embedding", q, k = 10, nPlanes = 8, probe = 2)
+    val plan = indexed.queryExecution.executedPlan.toString
+    // the multiprobe IN list must reach the scan as partition pruning,
+    // and the per-row hamming full-scan form must be gone
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("bucket")),
+      s"no bucket partition pruning in plan:\n$plan")
+    assert(!plan.contains("bit_count"), "probe still scans via bit_count")
+
+    val unindexed = Similarity.annTopK(
+      Similarity.withBuckets(corpus, "embedding", nPlanes = 8),
+      "vec_id", "embedding", q, k = 10, nPlanes = 8, probe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed.as[(Long, Double)].collect().toSeq == unindexed)
+  }
 }
