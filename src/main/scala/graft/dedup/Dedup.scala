@@ -23,6 +23,46 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Drop rows belonging to buckets larger than `maxBucket` before a
+    * bucket self-join. A single degenerate bucket (boilerplate docs,
+    * stop-shingles) makes the join genuinely quadratic in that bucket —
+    * pair count C(sz,2) — and no AQE skew-split can fix a quadratic pair
+    * count, so the only scale-safe move is to cap.
+    *
+    * Hot buckets are found with one map-side-combined count aggregate; the
+    * (tiny) hot set is collected to log the dropped mass, then applied as
+    * a broadcast anti-join. Members of a dropped bucket still pair up in
+    * every other band/bucket they share — with b bands, near-dups have
+    * b chances to collide — and the exact-dedup tier catches the
+    * pathological all-identical case that saturates buckets in the first
+    * place.
+    */
+  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int,
+                         what: String): DataFrame = {
+    val hot = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+    val hotRows = hot.collect()
+    if (hotRows.isEmpty) rows
+    else {
+      val mass = hotRows.map(_.getAs[Long]("__bsz")).sum
+      log.warn(s"$what: dropping ${hotRows.length} hot bucket(s) " +
+        s"covering $mass rows (bucket cap $maxBucket)")
+      // rebuild the collected hot set locally so the anti-join broadcasts
+      // a literal relation instead of recomputing the count aggregate
+      val spark = rows.sparkSession
+      val keySchema = org.apache.spark.sql.types.StructType(
+        hot.schema.fields.filter(f => keys.contains(f.name)))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(hotRows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(keys.map(k => r.getAs[Any](k)))): _*),
+        keySchema)
+      rows.join(broadcast(local), keys, "left_anti")
+    }
+  }
+
   /** Exact dedup: canonical (minimum) id per identical text. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(col(textCol))
@@ -76,13 +116,21 @@ object Dedup {
   /** LSH banding: signature rows → (band, bucket) keys → candidate pairs
     * via equi-join. `bands` must divide the signature length. With b bands
     * of r rows, pairs with Jaccard j collide w.p. 1-(1-j^r)^b.
+    *
+    * Buckets larger than `maxBucket` are dropped before the self-join
+    * ([[capBuckets]]): one boilerplate-saturated bucket would otherwise
+    * contribute C(sz,2) pairs and dominate the whole job at scale.
     */
-  def lshCandidates(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val bandRows = sig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
-          size(col("sig")) / bands))).as(Seq("band", "bslice")))
-      .select(col(idCol), col("band"), xxhash64(col("band"), col("bslice")).as("bkey"))
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
+                    maxBucket: Int = 500): DataFrame = {
+    val bandRows = capBuckets(
+      sig.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
+            size(col("sig")) / bands))).as(Seq("band", "bslice")))
+        .select(col(idCol), col("band"),
+          xxhash64(col("band"), col("bslice")).as("bkey")),
+      Seq("band", "bkey"), maxBucket, "lshCandidates")
     val a = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
     val b = bandRows.select(col(idCol).as("id2"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -125,12 +173,16 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal 16-bit band (pigeonhole: hamming
     * ≤ 3 guarantees ≥1 equal band of 4) then exact hamming filter.
+    * Buckets above `maxBucket` are dropped pre-join ([[capBuckets]]).
     */
-  def simhashCandidates(sh: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    val bands = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
-        .as(Seq("band", "bkey")))
+  def simhashCandidates(sh: DataFrame, idCol: String, maxDist: Int = 3,
+                        maxBucket: Int = 500): DataFrame = {
+    val bands = capBuckets(
+      sh.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
+          .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), maxBucket, "simhashCandidates")
     val a = bands.select(col(idCol).as("id1"), col("simhash").as("sh1"),
       col("band"), col("bkey"))
     val b = bands.select(col(idCol).as("id2"), col("simhash").as("sh2"),
@@ -146,9 +198,13 @@ object Dedup {
   /** Canonical cluster assignment from near-dup candidate pairs:
     * iterative minimum-label propagation (the shuffle-join form of
     * connected components). Each round, every id adopts the smallest label
-    * among itself and its neighbors; rounds double the propagation radius,
-    * so `maxIter` = 10 covers cluster diameters up to ~2^10 — far beyond
-    * any near-dup cluster shape. Returns (id, canonical_id).
+    * among itself and its neighbors, so the minimum label advances ONE hop
+    * per round: `maxIter` rounds converge for cluster diameters up to
+    * `maxIter`. Near-dup clusters are shallow (dense quasi-cliques), so
+    * the default 10 is generous; a chain-shaped graph deeper than that
+    * exits early with a WARN and a partially-propagated labeling
+    * (raise `maxIter`, or switch to pointer-jumping, for such graphs).
+    * Returns (id, canonical_id).
     *
     * At petabyte scale each round is one self-join on bounded pair lists —
     * no driver-side union-find, no GraphX dependency.
@@ -176,19 +232,31 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (changedCount > 0)
+      log.warn(s"canonicalClusters: labels still changing after $maxIter " +
+        s"rounds ($changedCount updates last round) — cluster diameter " +
+        "exceeds maxIter; labeling is partially propagated")
     labels.select(col("id").as(idCol), col("label").as("canonical_id"))
   }
 
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
-    * shingle, scored |A∩B| / |A∪B|. Quadratic in bucket size — use after
-    * LSH pruning or on bounded candidate sets.
+    * shingle, scored |A∩B| / |A∪B|. Quadratic in posting-list size — use
+    * after LSH pruning or on bounded candidate sets.
+    *
+    * Stop-shingles with posting lists longer than `maxPosting` are dropped
+    * from the inverted index ([[capBuckets]]) — they are the quadratic
+    * blow-up and carry almost no discriminative signal. Per-doc sizes keep
+    * the full shingle set, so reported jaccard is then a lower bound for
+    * pairs whose overlap included a dropped stop-shingle.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 5, minJaccard: Double = 0.2): DataFrame = {
+                   n: Int = 5, minJaccard: Double = 0.2,
+                   maxPosting: Int = 500): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col(idCol).as("id1"), col("shingle"))
-      .join(sh.select(col(idCol).as("id2"), col("shingle")), "shingle")
+    val idx = capBuckets(sh, Seq("shingle"), maxPosting, "ngramJaccard")
+    val inter = idx.select(col(idCol).as("id1"), col("shingle"))
+      .join(idx.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("it"))
     inter

@@ -68,6 +68,43 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((0L, 3L)))
   }
 
+  test("hot-bucket cap: 1k identical docs complete without quadratic pairs") {
+    // 1000 identical docs saturate every band bucket (sz 1000 > cap 500);
+    // uncapped this is ~C(1000,2) x bands pair rows. The cap drops those
+    // buckets (exact-dedup tier owns the identical case) while a small
+    // distinct near-dup pair in its own buckets is still surfaced.
+    // the small surviving bucket is an exact-dup pair: J=1 collides in
+    // every band, so its survival is deterministic, not probabilistic
+    val flood = (0L until 1000L).map(i => (i, longA)) ++
+      Seq((1000L, longB), (1001L, longB))
+    val df = flood.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", 32, 5)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)))
+    assert(!pairs.exists(p => p._1 < 1000L && p._2 < 1000L))
+
+    val shPairs = Dedup.simhashCandidates(
+      Dedup.simhash(df, "doc_id", "text"), "doc_id")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(shPairs.contains((1000L, 1001L)))
+    assert(!shPairs.exists(p => p._1 < 1000L && p._2 < 1000L))
+
+    val nj = Dedup.ngramJaccard(df, "doc_id", "text", n = 5,
+      minJaccard = 0.2).as[(Long, Long, Double)].collect()
+    assert(nj.exists(t => t._1 == 1000L && t._2 == 1001L))
+    assert(!nj.exists(t => t._1 < 1000L && t._2 < 1000L))
+  }
+
+  test("hot-bucket cap is inert when no bucket exceeds the threshold") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5)
+    val capped = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = 500)
+      .as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.lshCandidates(sig, "doc_id", 8,
+      maxBucket = Int.MaxValue).as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("dedup on real corpus finds the generated near-duplicates") {
     val real = graft.Tables(spark, sf, "documents")
     val sig = Dedup.minhashSignatures(real, "doc_id", "text", 32, 5)
