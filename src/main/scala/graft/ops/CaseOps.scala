@@ -41,6 +41,12 @@ object CaseOps {
 
   /** P6 — epoch-millis to midnight-truncated date (reference:
     * cv-api.py:115 `fromtimestamp(ms/1000).replace(hour=0, ...)`).
+    *
+    * Divergence note: the reference's `fromtimestamp` truncates in the
+    * PROCESS-LOCAL zone, so its output shifts with the host's TZ. Here
+    * truncation happens in `spark.sql.session.timeZone` — deterministic
+    * cluster-wide and pinned to UTC in this project's sessions. Dates
+    * within ±TZ-offset of midnight differ from a non-UTC reference host.
     */
   def epochMsToDate(c: Column): Column = to_date(timestamp_millis(c))
 

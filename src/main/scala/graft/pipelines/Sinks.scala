@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   *  - S9 truncate-and-reload  -> `mode("overwrite")`
   *  - S7 incremental append   -> high-watermark filter + `mode("append")`
-  *  - S8 keyed upsert         -> anti-join merge + atomic swap
+  *  - S8 keyed upsert         -> anti-join merge + temp-dir swap
   *
   * On a transactional table format (Delta/Iceberg) S8 is a MERGE and S9 a
   * transactional replace; plain parquet needs the temp-dir swap below
@@ -61,8 +61,14 @@ object Sinks {
   /** S8 — keyed upsert (cv.py:126-132 update_one per under-investigation
     * case): rows in `updates` replace same-key rows, everything else is
     * kept. Implemented as existing-anti-join ∪ updates written to a temp
-    * dir then atomically swapped, because plain parquet overwrite would
-    * delete its own input mid-read.
+    * dir then swapped in, because plain parquet overwrite would delete its
+    * own input mid-read.
+    *
+    * The delete+rename swap is NOT atomic: a reader arriving between the
+    * two calls sees a missing path, and a crash there loses the live copy
+    * (the merged data survives in `__tmp_upsert`). Single-writer batch
+    * jobs (the reference's model) are safe; concurrent readers need a
+    * transactional table format where this whole method is `MERGE INTO`.
     */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
                   key: String): Unit = {

@@ -22,17 +22,28 @@ object Ivf {
 
   final case class IvfIndex(model: KMeansModel, indexed: DataFrame)
 
-  private def toMlVec = udf((a: Seq[Float]) =>
-    MlVectors.dense(a.map(_.toDouble).toArray))
+  /** Codegen'd array<float> → ml.Vector (no Scala UDF in the hot path). */
+  private def toMlVec(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.array_to_vector(c)
 
-  /** Fit the coarse quantizer and assign every vector to its cell. */
+  /** Fit the coarse quantizer and assign every vector to its cell.
+    *
+    * The KMeans fit runs on a bounded sample (`fitSampleRows` rows
+    * expected, seeded Bernoulli — one pass, no count-then-sample): at
+    * 100 TB the quantizer needs thousands of points, not the corpus.
+    * Assignment then maps the FULL corpus through the fitted model.
+    */
   def build(emb: DataFrame, vecCol: String, nLists: Int = 16,
-            seed: Long = 42L): IvfIndex = {
+            seed: Long = 42L, fitSampleRows: Long = 100000L): IvfIndex = {
     val withFeatures = emb.withColumn("features", toMlVec(col(vecCol)))
+    val n = emb.count()
+    val fitOn =
+      if (n <= fitSampleRows) withFeatures
+      else withFeatures.sample(fitSampleRows.toDouble / n, seed)
     val model = new KMeans()
       .setK(nLists).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell")
-      .fit(withFeatures)
+      .fit(fitOn)
     IvfIndex(model, model.transform(withFeatures).drop("features"))
   }
 

@@ -62,14 +62,22 @@ object JsonPages {
   /** Source-side filter evaluation over the parsed attribute node.
     * Supported shapes mirror what the reference pushed into ArcGIS.
     */
+  /** Exact numeric compare via BigDecimal — `longValue()` would truncate
+    * fractional page values (1.5 > 1 becomes 1 > 1) and overflow-wrap
+    * beyond Long range.
+    */
+  private def cmp(n: Number, v: Number): Int =
+    new java.math.BigDecimal(n.toString)
+      .compareTo(new java.math.BigDecimal(v.toString))
+
   def eval(f: Filter, get: String => Any): Boolean = f match {
     case EqualTo(a, v) => get(a) == v
     case GreaterThan(a, v: Number) => get(a) match {
-      case n: Number => n.longValue() > v.longValue()
+      case n: Number => cmp(n, v) > 0
       case _ => false
     }
     case LessThan(a, v: Number) => get(a) match {
-      case n: Number => n.longValue() < v.longValue()
+      case n: Number => cmp(n, v) < 0
       case _ => false
     }
     case IsNotNull(a) => get(a) != null
@@ -127,6 +135,13 @@ class JsonPagesScanBuilder(path: String) extends ScanBuilder
 
 class JsonPagesScan(path: String, required: StructType,
                     filters: Array[Filter]) extends Scan with Batch {
+  // Session hadoop conf captured at planning time (driver) and shipped to
+  // readers serialized — a fresh `new Configuration()` would drop session
+  // overrides (credentials, fs.* implementations) and break on object
+  // stores where path access is configured per-session.
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -134,31 +149,34 @@ class JsonPagesScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
       .sorted.map(PagePartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonPagesReaderFactory(required, filters)
+    new JsonPagesReaderFactory(required, filters, hadoopConf)
 }
 
 case class PagePartition(file: String) extends InputPartition
 
-class JsonPagesReaderFactory(required: StructType, filters: Array[Filter])
+class JsonPagesReaderFactory(required: StructType, filters: Array[Filter],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JsonPageReader(partition.asInstanceOf[PagePartition].file,
-      required, filters)
+      required, filters, hadoopConf)
 }
 
 /** Parses one page document and streams its matching attribute rows. */
 class JsonPageReader(file: String, required: StructType,
-                     filters: Array[Filter]) extends PartitionReader[InternalRow] {
+    filters: Array[Filter],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
 
   private val features: Iterator[JsonNode] = {
     val p = new Path(file)
-    val fs: FileSystem = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs: FileSystem = p.getFileSystem(hadoopConf.value)
     val in = fs.open(p)
     val root = try new ObjectMapper().readTree(in) finally in.close()
     val fs0 = root.get("features")
