@@ -81,6 +81,73 @@ object DedupQueries {
           "doc_id", maxDist = 3)
         .orderBy("id1", "id2"),
       None,
-      "64-bit SimHash, banded candidates, hamming<=3")
+      "64-bit SimHash, banded candidates, hamming<=3"),
+
+    // ----- LSH band join + estimated-Jaccard verify on a FIXED fixture --
+    // q37's post-hash stages (band slice -> bucket equi-join -> distinct
+    // pairs -> positionwise signature agreement) under a full DuckDB
+    // oracle: the signature fixture is pure modular arithmetic, so band
+    // equality is expressible as paired mod predicates — only xxhash64
+    // itself stays outside the oracle's reach.
+    "q57_lsh_bands_fixture" -> Q(
+      (s, dir) => {
+        val sig = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            array((0 until 8).map(i =>
+              pmod(col("doc_id"), lit((i + 2).toLong))): _*).as("sig"))
+        Dedup.minhashJaccard(
+            Dedup.lshCandidates(sig, "doc_id", bands = 4), sig, "doc_id")
+          .orderBy("id1", "id2")
+      },
+      Some(
+        """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+          |pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+          |  WHERE (a.doc_id%2 = b.doc_id%2 AND a.doc_id%3 = b.doc_id%3)
+          |     OR (a.doc_id%4 = b.doc_id%4 AND a.doc_id%5 = b.doc_id%5)
+          |     OR (a.doc_id%6 = b.doc_id%6 AND a.doc_id%7 = b.doc_id%7)
+          |     OR (a.doc_id%8 = b.doc_id%8 AND a.doc_id%9 = b.doc_id%9))
+          |SELECT id1, id2,
+          |  ((CASE WHEN id1%2=id2%2 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%3=id2%3 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%4=id2%4 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%5=id2%5 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%6=id2%6 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%7=id2%7 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%8=id2%8 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN id1%9=id2%9 THEN 1 ELSE 0 END)) / 8.0
+          |    AS est_jaccard
+          |FROM pairs ORDER BY id1, id2""".stripMargin),
+      "LSH band join + minhashJaccard verify stages under a real oracle"),
+
+    // ----- SimHash banding + hamming verify on a FIXED fixture -----
+    // q38's post-hash stages (16-bit band split -> bucket equi-join ->
+    // distinct -> bit_count(xor) hamming) DuckDB-oracled: band b of the
+    // fixture fingerprint is doc_id mod 8/16/32/64, so band equality
+    // collapses to mod-8 equality (mod 16/32/64 equality each imply it).
+    "q58_simhash_bands_fixture" -> Q(
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            (pmod(col("doc_id"), lit(8L)) +
+             pmod(col("doc_id"), lit(16L)) * 65536L +
+             pmod(col("doc_id"), lit(32L)) * 4294967296L +
+             pmod(col("doc_id"), lit(64L)) * 281474976710656L).as("simhash"))
+        Dedup.simhashCandidates(sh, "doc_id", maxDist = 64)
+          .orderBy("id1", "id2")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         (doc_id%8) + (doc_id%16)*65536 + (doc_id%32)*4294967296
+          |         + (doc_id%64)*281474976710656 AS sh
+          |  FROM documents WHERE doc_id < 200)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+          |FROM s a JOIN s b
+          |  ON a.doc_id < b.doc_id AND a.doc_id%8 = b.doc_id%8
+          |ORDER BY id1, id2""".stripMargin),
+      "SimHash banding + hamming verify stages under a real oracle")
   )
 }

@@ -87,4 +87,30 @@ class StreamingOpsSpec extends SparkSpec {
     val got = spark.read.parquet(path).as[(Int, String)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1, "Yes"), (2, "No")))
   }
+
+  test("RunSummaryNotifier emits one run summary on query termination (S10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val summaries = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = RunSummaryNotifier.attach(spark)(summaries.add(_))
+    try {
+      val input = MemoryStream[Int]
+      val query = input.toDF().toDF("case_number")
+        .writeStream.format("memory").queryName("notify_me")
+        .outputMode("append").start()
+      input.addData(1, 2, 3)
+      query.processAllAvailable()
+      input.addData(4)
+      query.processAllAvailable()
+      query.stop()
+      query.awaitTermination()
+      // listener events are async; wait for the terminated event to land
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (summaries.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(summaries.size == 1, s"got: $summaries")
+      val s = summaries.get(0)
+      assert(s.contains("notify_me") && s.contains("4 new rows") &&
+        s.contains("completed"), s)
+    } finally spark.streams.removeListener(listener)
+  }
 }
