@@ -31,7 +31,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    // spark time over ONLY the oracle-checked queries, so the duckdb
+    // yardstick below compares the same query set (the rows-only queries
+    // have no duckdb counterpart to time)
+    val oracleTotal = results.collect {
+      case (k, v) if SparkEntry.oracleSql.contains(k) => v }.sum
+    // DuckDB yardstick: time the same oracle SQLs single-node so the
+    // "within 2x of a tuned single-node engine" gate is a number, not a
+    // guess. Best-effort — duckdb lives driver-side (python3) only, so a
+    // cluster without it just reports null.
+    val duckTotal: String = try {
+      val script = new java.io.File("tools/duckbench.py")
+      if (!script.isFile) "null"
+      else {
+        val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        om.writeValue(tmp.toFile,
+          new java.util.TreeMap[String, String](
+            scala.jdk.CollectionConverters.MapHasAsJava(
+              SparkEntry.oracleSql).asJava))
+        val out = scala.sys.process.Process(
+          Seq("python3", script.getPath, tmp.toString, sfDir)).!!.trim
+        java.nio.file.Files.deleteIfExists(tmp)
+        om.readTree(out).get("total").asDouble(-1.0).toString
+      }
+    } catch { case _: Throwable => "null" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"spark_total_sec":$total,"spark_oracle_total_sec":$oracleTotal,"duckdb_total_sec":$duckTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

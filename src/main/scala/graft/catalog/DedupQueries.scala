@@ -53,9 +53,12 @@ object DedupQueries {
     // ----- MinHash + LSH banding (scale path; no SQL oracle) -----
     "q37_minhash_lsh" -> Q(
       (s, dir) => {
+        // materialized once (CorpusPipeline pattern): consumed by the
+        // hot-bucket detection agg, both band-join sides, and the verify
+        // joins — recomputing shingle hashing per consumer would dominate
         val sig = Dedup.minhashSignatures(
           Tables(s, dir, "documents"), "doc_id", "text",
-          numHashes = 32, shingleN = 5)
+          numHashes = 32, shingleN = 5).localCheckpoint()
         Dedup.minhashJaccard(Dedup.lshCandidates(sig, "doc_id", bands = 8),
             sig, "doc_id")
           .filter(col("est_jaccard") >= 0.5)
@@ -77,7 +80,9 @@ object DedupQueries {
     // ----- SimHash near-dup candidates (no SQL oracle) -----
     "q38_simhash" -> Q(
       (s, dir) => Dedup.simhashCandidates(
-          Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text"),
+          // materialized once: feeds the hot-bucket agg + both join sides
+          Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+            .localCheckpoint(),
           "doc_id", maxDist = 3)
         .orderBy("id1", "id2"),
       None,
