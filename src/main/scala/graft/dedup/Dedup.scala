@@ -214,7 +214,16 @@ object Dedup {
     // symmetric edge list (propagate both directions)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // Iterate ONLY over ids that touch an edge: an isolated doc keeps its
+    // own label forever, so dragging the whole corpus through every round's
+    // joins is pure waste — at 100 TB the near-dup subgraph is a small
+    // fraction of the corpus, and the full id set re-enters once, at the
+    // end, via a single outer join. Restricting the seed to `ids` members
+    // (left_semi) keeps the original semantics for edges that reference
+    // unknown ids: they contribute nothing, exactly as before.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
     var changedCount = 1L
     var iter = 0
     while (changedCount > 0 && iter < maxIter) {
@@ -236,7 +245,11 @@ object Dedup {
       log.warn(s"canonicalClusters: labels still changing after $maxIter " +
         s"rounds ($changedCount updates last round) — cluster diameter " +
         "exceeds maxIter; labeling is partially propagated")
-    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    // fold the (untouched) rest of the corpus back in: canonical = self
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("canonical_id"))
   }
 
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
