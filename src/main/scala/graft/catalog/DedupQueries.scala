@@ -153,6 +153,25 @@ object DedupQueries {
           |FROM s a JOIN s b
           |  ON a.doc_id < b.doc_id AND a.doc_id%8 = b.doc_id%8
           |ORDER BY id1, id2""".stripMargin),
-      "SimHash banding + hamming verify stages under a real oracle")
+      "SimHash banding + hamming verify stages under a real oracle"),
+
+    // ----- connected components on a FIXED chain fixture -----
+    // q45's clustering stage under a closed-form oracle: consecutive-id
+    // chains inside groups of 5 make every component's minimum label
+    // doc_id - doc_id%5, so the iterative min-label propagation (4 rounds
+    // to cover the chain diameter) is checked value-for-value in SQL.
+    "q59_cc_fixture" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select("doc_id")
+        val pairs = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        graft.dedup.Dedup.canonicalClusters(docs, pairs, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, doc_id - doc_id%5 AS canonical_id
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      "iterative min-label connected components vs closed-form oracle")
   )
 }
