@@ -232,13 +232,15 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // carry the pre-round label through the checkpoint so convergence
+      // detection is a filter over the materialized frame, not another
+      // join against the previous labels
       val updated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint() // truncate the growing iterative lineage
-      changedCount = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changedCount = updated.filter(col("label") =!= col("__old")).count()
+      labels = updated.select("id", "label")
       iter += 1
     }
     if (changedCount > 0)
