@@ -172,6 +172,26 @@ object DedupQueries {
       Some(
         """SELECT doc_id, doc_id - doc_id%5 AS canonical_id
           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
-      "iterative min-label connected components vs closed-form oracle")
+      "iterative min-label connected components vs closed-form oracle"),
+
+    // ----- connected components, diameter >> maxIter (pointer jumping) --
+    // Chains of 50 consecutive ids (diameter 49): one-hop propagation
+    // would need 49 rounds, far beyond the default maxIter=10 — the
+    // pointer-jump step (label := label(label), covering 2^r - 1 hops
+    // after r rounds) converges in 6 rounds + 1 detection round. Same
+    // closed-form oracle shape as q59, with maxIter left at the default.
+    "q61_cc_deep_fixture" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select("doc_id")
+        val pairs = docs.filter(pmod(col("doc_id"), lit(50L)) < 49)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        graft.dedup.Dedup.canonicalClusters(docs, pairs, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, doc_id - doc_id%50 AS canonical_id
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      "pointer-jumping CC converges on diameter-49 chains with maxIter=10")
   )
 }

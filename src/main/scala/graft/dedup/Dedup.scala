@@ -32,34 +32,30 @@ object Dedup {
     * count, so the only scale-safe move is to cap.
     *
     * Hot buckets are found with one map-side-combined count aggregate; the
-    * (tiny) hot set is collected to log the dropped mass, then applied as
-    * a broadcast anti-join. Members of a dropped bucket still pair up in
-    * every other band/bucket they share — with b bands, near-dups have
-    * b chances to collide — and the exact-dedup tier catches the
-    * pathological all-identical case that saturates buckets in the first
-    * place.
+    * hot frame is localCheckpointed (so the anti-join below reuses the
+    * materialized result instead of recomputing the aggregate) and applied
+    * as a broadcast anti-join — nothing row-shaped ever reaches the
+    * driver, so even an adversarial corpus with millions of
+    * just-over-cap buckets stays executor-side. The dropped mass is
+    * logged from one scalar aggregate over the checkpointed frame.
+    * Members of a dropped bucket still pair up in every other band/bucket
+    * they share — with b bands, near-dups have b chances to collide — and
+    * the exact-dedup tier catches the pathological all-identical case
+    * that saturates buckets in the first place.
     */
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int,
                          what: String): DataFrame = {
     val hot = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
-    val hotRows = hot.collect()
-    if (hotRows.isEmpty) rows
+      .localCheckpoint()
+    val stats = hot.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("__bsz")), lit(0L)).as("mass")).head()
+    if (stats.getAs[Long]("nb") == 0L) rows
     else {
-      val mass = hotRows.map(_.getAs[Long]("__bsz")).sum
-      log.warn(s"$what: dropping ${hotRows.length} hot bucket(s) " +
-        s"covering $mass rows (bucket cap $maxBucket)")
-      // rebuild the collected hot set locally so the anti-join broadcasts
-      // a literal relation instead of recomputing the count aggregate
-      val spark = rows.sparkSession
-      val keySchema = org.apache.spark.sql.types.StructType(
-        hot.schema.fields.filter(f => keys.contains(f.name)))
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(hotRows.map(r =>
-          org.apache.spark.sql.Row.fromSeq(keys.map(k => r.getAs[Any](k)))): _*),
-        keySchema)
-      rows.join(broadcast(local), keys, "left_anti")
+      log.warn(s"$what: dropping ${stats.getAs[Long]("nb")} hot bucket(s) " +
+        s"covering ${stats.getAs[Long]("mass")} rows (bucket cap $maxBucket)")
+      rows.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
     }
   }
 
@@ -196,18 +192,24 @@ object Dedup {
   }
 
   /** Canonical cluster assignment from near-dup candidate pairs:
-    * iterative minimum-label propagation (the shuffle-join form of
-    * connected components). Each round, every id adopts the smallest label
-    * among itself and its neighbors, so the minimum label advances ONE hop
-    * per round: `maxIter` rounds converge for cluster diameters up to
-    * `maxIter`. Near-dup clusters are shallow (dense quasi-cliques), so
-    * the default 10 is generous; a chain-shaped graph deeper than that
-    * exits early with a WARN and a partially-propagated labeling
-    * (raise `maxIter`, or switch to pointer-jumping, for such graphs).
+    * iterative minimum-label propagation with pointer jumping (the
+    * shuffle-join form of connected components). Each round does two
+    * steps: (1) every id adopts the smallest label among itself and its
+    * neighbors (one hop), then (2) every id shortcuts to its label's
+    * label (pointer jump). The jump roughly doubles the distance the
+    * minimum label covers per round, so `maxIter` rounds converge for
+    * cluster diameters up to ~2^maxIter instead of maxIter — the default
+    * 10 covers any realistic near-dup graph (diameter ≲ 1000), and a
+    * deeper graph still exits with a WARN and partial labels.
     * Returns (id, canonical_id).
     *
-    * At petabyte scale each round is one self-join on bounded pair lists —
-    * no driver-side union-find, no GraphX dependency.
+    * The jump join is sound because labels are closed over the id set:
+    * every label value is the id of some labeled node (initially self;
+    * afterwards the min over values that were themselves labels), so
+    * label-of-label always resolves.
+    *
+    * At petabyte scale each round is two self-joins on bounded pair
+    * lists — no driver-side union-find, no GraphX dependency.
     */
   def canonicalClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                         maxIter: Int = 10): DataFrame = {
@@ -232,12 +234,24 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      // carry the pre-round label through the checkpoint so convergence
+      // one-hop propagation, carrying the pre-round label so convergence
       // detection is a filter over the materialized frame, not another
       // join against the previous labels
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+      val hopped = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: label := label(label), resolved against the
+      // PRE-ROUND (already checkpointed) map so the hop subtree above
+      // executes once — if labels cover distance d going in, the hop
+      // reaches d+1 and the jump through the old map adds another d,
+      // giving d_{r+1} = 2d_r + 1 (= 2^r - 1 after r rounds). The left
+      // join misses only for ids absent from the old map's key side,
+      // where jumping is a no-op (coalesce).
+      val updated = hopped
+        .join(labels.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left_outer")
+        .select(col("id"), col("__old"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint() // truncate the growing iterative lineage
       changedCount = updated.filter(col("label") =!= col("__old")).count()
       labels = updated.select("id", "label")
@@ -246,7 +260,7 @@ object Dedup {
     if (changedCount > 0)
       log.warn(s"canonicalClusters: labels still changing after $maxIter " +
         s"rounds ($changedCount updates last round) — cluster diameter " +
-        "exceeds maxIter; labeling is partially propagated")
+        s"exceeds ~2^$maxIter; labeling is partially propagated")
     // fold the (untouched) rest of the corpus back in: canonical = self
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")

@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("canonicalClusters converges on diameter >> maxIter via pointer jumping") {
+    // one chain of 200 consecutive ids: diameter 199. One-hop propagation
+    // would need 199 rounds; pointer jumping covers 2^r - 1 hops after r
+    // rounds, so the default maxIter=10 (>= log2(200) + 1 detection
+    // round) must fully converge to the single minimum label 0.
+    val ids = (0L until 200L).toDF("doc_id")
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.canonicalClusters(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("canonicalClusters leaves isolated ids self-labeled") {
+    val ids = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((3L, 4L)).toDF("id1", "id2")
+    val got = Dedup.canonicalClusters(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got(4L) == 3L && got(3L) == 3L)
+    assert((0L until 10L).filter(i => i != 4L).forall(i => got(i) == i))
+  }
+
   test("dedup on real corpus finds the generated near-duplicates") {
     val real = graft.Tables(spark, sf, "documents")
     val sig = Dedup.minhashSignatures(real, "doc_id", "text", 32, 5)
