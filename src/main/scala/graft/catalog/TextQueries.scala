@@ -68,6 +68,45 @@ object TextQueries {
       None,
       "TypedImperativeAggregate k-minimum-values sample per group"),
 
+    // ----- KMV sketch machinery on a FIXED permutation fixture -----
+    // q54's sketch semantics (insert -> bottom-k truncate -> partial/final
+    // merge -> hash-ordered eval) under a full DuckDB oracle: the ranking
+    // hash is the affine permutation (doc_id*997) mod 1013 — injective for
+    // doc_id < 200 since gcd(997,1013)=1 — so "k smallest hashes" is a
+    // closed-form bottom-k in SQL. kmv_distinct is pinned on its exact
+    // branch (fewer than k distinct inputs -> buffer size, no estimation).
+    "q60_kmv_fixture" -> Q(
+      (s, dir) => {
+        graft.functions.Sketches.register(s)
+        Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .groupBy("lang")
+          .agg(
+            array_join(
+              graft.functions.Sketches.kmvSampleBy(
+                pmod(col("doc_id") * 997, lit(1013L)), col("doc_id"), 5)
+                .cast("array<string>"), ",").as("sample_ids"),
+            graft.functions.Sketches.kmvDistinct(
+              pmod(col("doc_id"), lit(3L)), 5).as("n_distinct"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT lang, doc_id, (doc_id*997)%1013 AS h
+          |  FROM documents WHERE doc_id < 200),
+          |samp AS (
+          |  SELECT lang, STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY h)
+          |    AS sample_ids
+          |  FROM (SELECT lang, doc_id, h,
+          |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+          |        FROM d)
+          |  WHERE rn <= 5 GROUP BY lang),
+          |dist AS (
+          |  SELECT lang, CAST(COUNT(DISTINCT doc_id%3) AS DOUBLE) AS n_distinct
+          |  FROM d GROUP BY lang)
+          |SELECT lang, sample_ids, n_distinct
+          |FROM samp JOIN dist USING (lang) ORDER BY lang""".stripMargin),
+      "KMV bottom-k/merge/eval semantics vs closed-form permutation oracle"),
+
     // ----- token counting: whitespace + BPE-ish regex classes -----
     "q31_token_stats" -> Q(
       (s, dir) => Tables(s, dir, "documents")

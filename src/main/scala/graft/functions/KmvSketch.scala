@@ -12,7 +12,6 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.sql.catalyst.expressions.XXH64
 
 /** KMV (k-minimum-values) sketch as a `TypedImperativeAggregate` — the
   * buffer-based custom-aggregation tier (SURVEY §2.9's third surface,
@@ -27,20 +26,30 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   *
   * Buffers are tiny (k pairs of longs) and merge by union+truncate, so
   * Catalyst plans partial+final aggregation with map-side combine.
+  *
+  * The ranking hash is an explicit child expression: the default
+  * registration (`kmv_sample`) passes `xxhash64(value)` (seed 42, the
+  * exact hash the sketch applied internally before this was
+  * parameterized), while `kmv_sample_by(hash, value, k)` lets a caller —
+  * or a correctness fixture (q60) — supply a closed-form permutation so
+  * the bottom-k/merge/eval semantics are checkable in plain SQL.
   */
 case class KmvSketch(
-    child: Expression,
+    hash: Expression,
+    value: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.TreeMap[Long, Long]] {
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(hash, value)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (hash.dataType == LongType && value.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"kmv_sample requires a bigint column, got ${child.dataType.simpleString}")
+      s"kmv_sample requires bigint hash/value columns, got " +
+        s"${hash.dataType.simpleString}/${value.dataType.simpleString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -56,10 +65,11 @@ case class KmvSketch(
 
   override def update(buf: mutable.TreeMap[Long, Long],
                       input: InternalRow): mutable.TreeMap[Long, Long] = {
-    val v = child.eval(input)
+    val v = value.eval(input)
     if (v != null) {
-      val id = v.asInstanceOf[Long]
-      insert(buf, XXH64.hashLong(id, 42), id)
+      val h = hash.eval(input)
+      if (h != null)
+        insert(buf, h.asInstanceOf[Long], v.asInstanceOf[Long])
     }
     buf
   }
@@ -96,7 +106,7 @@ case class KmvSketch(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(hash = newChildren(0), value = newChildren(1))
 }
 
 /** Distinct-count estimate from the same KMV buffer: with k minimum
@@ -111,7 +121,7 @@ case class KmvDistinct(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.TreeMap[Long, Long]] {
 
-  private val impl = KmvSketch(child, k)
+  private val impl = KmvSketch(Sketches.defaultHash(child), child, k)
 
   override def children: Seq[Expression] = Seq(child)
   override def checkInputDataTypes(): TypeCheckResult = impl.checkInputDataTypes()
@@ -151,13 +161,27 @@ case class KmvDistinct(
 
 object Sketches {
   private val name = "kmv_sample"
+  private val byName = "kmv_sample_by"
   private val distinctName = "kmv_distinct"
+
+  /** The sketch's default ranking hash: `xxhash64(value)` with Spark's
+    * default seed 42 — for a bigint input this is exactly
+    * `XXH64.hashLong(v, 42)`, the hash the sketch used before the hash
+    * became a parameter.
+    */
+  private[functions] def defaultHash(value: Expression): Expression =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(value))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      exprs => KmvSketch(exprs(0),
+      exprs => KmvSketch(defaultHash(exprs(0)), exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      byName,
+      exprs => KmvSketch(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       distinctName,
@@ -169,6 +193,12 @@ object Sketches {
   /** `kmvSample(col, k)`: deterministic k-element uniform sample. */
   def kmvSample(c: Column, k: Int): Column =
     call_function(name, c, org.apache.spark.sql.functions.lit(k))
+
+  /** `kmvSampleBy(hash, value, k)`: bottom-k values ranked by a
+    * caller-supplied hash column (fixture/oracle hook; see q60).
+    */
+  def kmvSampleBy(h: Column, v: Column, k: Int): Column =
+    call_function(byName, h, v, org.apache.spark.sql.functions.lit(k))
 
   /** `kmvDistinct(col, k)`: deterministic distinct-count estimate. */
   def kmvDistinct(c: Column, k: Int): Column =

@@ -51,6 +51,16 @@ class KmvSketchSpec extends SparkSpec {
     assert(a == big)
   }
 
+  test("kmv_sample_by ranks by the supplied hash, multi-partition") {
+    Sketches.register(spark)
+    // affine permutation mod a prime: bottom-k is closed-form
+    val got = (0L until 500L).toDF("id").repartition(7)
+      .agg(Sketches.kmvSampleBy(pmod(col("id") * 997, lit(1013L)), col("id"), 8))
+      .as[Seq[Long]].head()
+    val expected = (0L until 500L).sortBy(i => (i * 997) % 1013).take(8)
+    assert(got == expected)
+  }
+
   test("usable from SQL") {
     Sketches.register(spark)
     (0L until 100L).toDF("id").createOrReplaceTempView("v_ids")
