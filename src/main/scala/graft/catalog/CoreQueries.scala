@@ -105,9 +105,15 @@ object CoreQueries {
       (s, dir) => {
         // One pass over the fact join: the (nation, day) aggregate feeds
         // both the top-5 ranking (re-aggregated — 25x#days rows, free)
-        // and the cumsum, so orders⋈customer runs once, not twice.
+        // and the cumsum. localCheckpoint materializes it once, so the
+        // orders⋈customer shuffle physically runs once instead of being
+        // re-planned under each consumer (the CorpusPipeline pattern —
+        // worth it here because the reuse crosses a limit(5) barrier that
+        // defeats exchange reuse). Deliberately NOT repartition-by-nation:
+        // 25 keys would serialize the cumsum at scale.
         val daily = ordersNation(s, dir)
           .groupBy(col("nation").as("k"), col("d")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val top5 = daily.groupBy(col("k")).agg(sum(col("n")).as("cnt"))
           .orderBy(desc("cnt"), asc("k")).limit(5).select(col("k"))
         val pop = t(s, dir, "customer")

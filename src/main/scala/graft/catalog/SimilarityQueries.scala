@@ -87,6 +87,49 @@ object SimilarityQueries {
           "vec_id", "embedding", query, k = 10, nPlanes = 8, probe = 2)
       },
       None,
-      "sign-random-projection LSH, multiprobe bucket pruning")
+      "sign-random-projection LSH, multiprobe bucket pruning"),
+
+    // ----- indexed ANN end-to-end: build + probe a persisted index -----
+    // Exercises the full scale path in one entry: bucket the corpus,
+    // persist hive-partitioned by bucket (buildIndex), then probe via the
+    // multiprobe IN list so only probed bucket DIRECTORIES are read
+    // (PartitionFilters — pinned by SimilaritySpec). Rows-only like q40
+    // (xxhash64-derived planes aren't SQL-expressible); the timing
+    // honestly includes the (re)build, which is the indexing job a real
+    // pipeline pays once per corpus snapshot.
+    "q62_ann_indexed" -> Q(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_ann_index_${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIndex(emb.filter(col("vec_id") =!= 0), "embedding",
+          path, nPlanes = 8)
+        Similarity.annTopKIndexed(s, path, "vec_id", "embedding", query,
+          k = 10, nPlanes = 8, probe = 2)
+      },
+      None,
+      "build hive-partitioned LSH index, probe via partition pruning"),
+
+    // ----- IVF ANN with ALL cells probed: exact, so fully oracled -----
+    // The learned KMeans quantizer itself isn't SQL-expressible, but with
+    // nProbe == nLists every cell is probed, so the result must equal the
+    // exact brute-force top-k REGARDLESS of what the quantizer learned —
+    // the assignment/probe/score plumbing runs end-to-end under the same
+    // DuckDB oracle as q39/q43. Partial-probe recall is pinned by IvfSpec.
+    "q63_ivf_full_probe" -> Q(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val index = graft.similarity.Ivf.build(
+          emb.filter(col("vec_id") =!= 0), "embedding", nLists = 8)
+        graft.similarity.Ivf.topK(index, "vec_id", "embedding", query,
+          k = 10, nProbe = 8)
+      },
+      Some(cosineTopkSql),
+      "IVF build + probe-all-cells == exact top-k, DuckDB-oracled")
   )
 }

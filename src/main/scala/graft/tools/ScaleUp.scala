@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build a larger-scale copy of a testdata dir by replicating the three
+  * volume tables (`lineitem`, `documents`, `embeddings`) `factor` times
+  * with shifted keys, copying the small dimension tables unchanged. Used
+  * to produce the bench's `sf1` point (see graft.Bench):
+  *   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 data/sf1 10"
+  *
+  * Replica semantics are chosen so the headline queries stay MEANINGFUL
+  * at the larger scale rather than degenerate:
+  *  - `documents.text` gets a per-replica suffix, so replicas are
+  *    near-duplicates (high Jaccard) instead of exact duplicates — the
+  *    exact-dedup tier would otherwise collapse the corpus back to the
+  *    source size and the near-dup tiers would measure nothing. The
+  *    resulting 10-doc near-dup clusters are exactly the workload the
+  *    MinHash/LSH/CC path exists for;
+  *  - keys shift by `replica * (max_key + 1)`, keeping them unique and
+  *    key-distribution-shaped rather than colliding.
+  *
+  * The replicated tables are written as parquet DIRECTORIES named
+  * `<table>.parquet` (Spark reads those transparently;
+  * tools/duckbench.py globs into them).
+  */
+object ScaleUp {
+
+  private def replicated(spark: SparkSession, df: DataFrame, factor: Int)
+      : DataFrame =
+    df.crossJoin(broadcast(
+      spark.range(factor).select(col("id").as("__rep"))))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("data/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+
+    def write(df: DataFrame, table: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$table.parquet")
+
+    // lineitem: shift the order key space per replica
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liShift = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    write(replicated(spark, li, factor)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * liShift)
+      .drop("__rep"), "lineitem")
+
+    // documents: shift doc_id; suffix text on replicas > 0 (near-dups)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+    write(replicated(spark, docs, factor)
+      .withColumn("doc_id", col("doc_id") + col("__rep") * docShift)
+      .withColumn("text", when(col("__rep") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" r"), col("__rep"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__rep"), "documents")
+
+    // embeddings: shift vec_id, keep vectors (top-k over 10x candidates)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embShift = emb.agg(max("vec_id")).head().getLong(0) + 1
+    write(replicated(spark, emb, factor)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * embShift)
+      .drop("__rep"), "embeddings")
+
+    // small tables: byte-for-byte copies
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$dst/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[scaleup] wrote $dst at ${factor}x $src")
+    spark.stop()
+  }
+}
