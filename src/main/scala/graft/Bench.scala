@@ -92,7 +92,7 @@ object Bench {
     java.nio.file.Files.deleteIfExists(tmp)
     val tree = om.readTree(out)
     val per = mutable.Buffer.empty[(String, Double)]
-    tree.get("queries").fields().forEachRemaining { e =>
+    tree.get("queries").properties().forEach { e =>
       per += e.getKey -> e.getValue.asDouble(-1.0) }
     Some((tree.get("total").asDouble(-1.0), per.toSeq))
   } catch { case e: Throwable =>

@@ -55,7 +55,8 @@ object Ivf {
       .map { case (c, i) => (MlVectors.sqdist(c, q), i) }
       .sortBy(_._1).take(nProbe).map(_._2)
     Similarity.bruteForceTopK(
-      index.indexed.filter(col("cell").isin(probeCells.map(x => x: Any): _*)),
+      index.indexed.filter(col("cell")
+        .isin(probeCells.toIndexedSeq.map(x => x: Any): _*)),
       idCol, vecCol, query, k)
   }
 }
