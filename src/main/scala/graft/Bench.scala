@@ -135,8 +135,12 @@ object Bench {
       case (k, v) if SparkEntry.oracleSql.contains(k) => v }.sum
     val duckMain = duck(sfDir, names, reps)
 
-    // optional larger-scale point on the headline queries
+    // Optional larger-scale point on the headline queries. Queries here
+    // run tens of seconds, so their relative run-to-run noise is small —
+    // one timed rep after the warm-up (override: SPARK_GRAFT_SF1_REPS)
+    // keeps the whole bench bounded.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "data/sf1")
+    val sf1Reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "1").toInt
     val sf1Block: String =
       if (!new java.io.File(sf1Dir).isDirectory) "null"
       else {
@@ -144,8 +148,8 @@ object Bench {
           try SparkEntry.queries(n)(spark, sf1Dir).count()
           catch { case _: Throwable => () }
         }
-        val (m1, e1) = timeQueries(spark, sf1Dir, headline, reps)
-        val d1 = duck(sf1Dir, headline, reps)
+        val (m1, e1) = timeQueries(spark, sf1Dir, headline, sf1Reps)
+        val d1 = duck(sf1Dir, headline, sf1Reps)
         jobj(Seq(
           "dir" -> jstr(sf1Dir),
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
