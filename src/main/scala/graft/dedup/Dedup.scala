@@ -88,10 +88,12 @@ object Dedup {
     // it as aggregate inputs. (Not an array + getItem(i): project collapse
     // would re-evaluate the whole transform() array inside every min(),
     // turning O(k) per row into O(k^2) — measured 5x slower end-to-end.)
-    // Shingles are hashed BEFORE the per-doc distinct, so the dedup
-    // shuffle moves (id, long) pairs instead of strings — the signature
-    // only ever consumes the hash, and same-hash shingles collapse to the
-    // same minhash contribution anyway.
+    // No per-doc distinct: min over a multiset equals min over its
+    // distinct set, so repeated shingles can't change any signature
+    // position — and dropping the distinct drops an entire full-volume
+    // shuffle of the (id, hash) shingle rows. The only remaining shuffle
+    // is the partial-aggregate exchange: one row per (id, partition),
+    // with map-side combine doing all the min-ing.
     val p = 2147483647L
     val mins = (0 until numHashes).map { i =>
       min(pmod(col("h0") * (i * 2 + 1) + i * 40503L + 2654435769L, lit(p)))
@@ -103,7 +105,6 @@ object Dedup {
       .select(col(idCol),
         pmod(xxhash64(expr(s"substring($textCol, i, $shingleN)")), lit(p))
           .as("h0"))
-      .distinct()
       .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
