@@ -192,6 +192,68 @@ object DedupQueries {
       Some(
         """SELECT doc_id, doc_id - doc_id%50 AS canonical_id
           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
-      "pointer-jumping CC converges on diameter-49 chains with maxIter=10")
+      "pointer-jumping CC converges on diameter-49 chains with maxIter=10"),
+
+    // ----- embedding-cosine near-dup, real sign-LSH path -----
+    // The synthetic corpus has no true vector near-dups (max pairwise
+    // cosine ≈ 0.46), so the corpus unions with shifted-id COPIES of
+    // itself: copy pairs have cosine 1.0 and — because the LSH bucket is
+    // a deterministic function of the vector — always share every band,
+    // so the result is the closed-form copy-pair set and the whole
+    // xxhash-planes path runs under a real oracle.
+    "q64_embedding_neardup" -> Q(
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 300).select("vec_id", "embedding")
+        val all = base.unionByName(base.select(
+          (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDups(
+            graft.similarity.Similarity.withBuckets(all, "embedding",
+              nPlanes = 32),
+            "vec_id", "embedding", minCosine = 0.95, nPlanes = 32, bands = 4)
+          .orderBy("id1", "id2")
+      },
+      Some(
+        """SELECT vec_id AS id1, vec_id + 10000 AS id2,
+          |       CAST(1.0 AS DOUBLE) AS cosine
+          |FROM embeddings WHERE vec_id < 300 ORDER BY id1""".stripMargin),
+      "sign-LSH banded candidates + codegen cosine verify, copy-pair oracle"),
+
+    // ----- embedding near-dup verify arithmetic on a FIXED bucketing ----
+    // Same union-with-copies corpus, but bucketed by the closed form
+    // vec_id % 4 (one band), so the candidate set is SQL-expressible and
+    // the threshold drops to 0.42 to pull REAL non-copy pairs through
+    // the cosine verify — the dot/norm arithmetic is checked
+    // value-for-value between engines, not just on the trivial 1.0s.
+    // (0.42 sits in a ≥0.0017-wide gap of the cosine distribution, so
+    // last-ulp summation differences cannot flip membership.)
+    "q65_embedding_neardup_fixture" -> Q(
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 300).select("vec_id", "embedding")
+        val all = base.unionByName(base.select(
+          (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDups(
+            all.withColumn("bucket", pmod(col("vec_id"), lit(4L))),
+            "vec_id", "embedding", minCosine = 0.42, nPlanes = 2, bands = 1)
+          .orderBy("id1", "id2")
+      },
+      Some(
+        """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+          |u AS (SELECT vec_id, embedding FROM b
+          |      UNION ALL SELECT vec_id + 10000, embedding FROM b),
+          |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          |             CAST(UNNEST(embedding) AS DOUBLE) AS x FROM u),
+          |n AS (SELECT vec_id, SQRT(SUM(x*x)) AS nrm FROM e GROUP BY 1),
+          |dots AS (
+          |  SELECT a.vec_id AS id1, b2.vec_id AS id2, SUM(a.x*b2.x) AS dot
+          |  FROM e a JOIN e b2 ON a.i = b2.i AND a.vec_id < b2.vec_id
+          |                    AND a.vec_id%4 = b2.vec_id%4
+          |  GROUP BY 1, 2)
+          |SELECT id1, id2, ROUND(dot/(n1.nrm*n2.nrm), 6) AS cosine
+          |FROM dots JOIN n n1 ON id1 = n1.vec_id JOIN n n2 ON id2 = n2.vec_id
+          |WHERE dot/(n1.nrm*n2.nrm) >= 0.42
+          |ORDER BY id1, id2""".stripMargin),
+      "band join + cosine verify stages value-for-value vs DuckDB")
   )
 }

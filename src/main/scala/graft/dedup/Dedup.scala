@@ -269,6 +269,52 @@ object Dedup {
         coalesce(col("label"), col(idCol)).as("canonical_id"))
   }
 
+  /** Embedding-cosine near-duplicates: the vector-space member of the
+    * dedup tier (exact / MinHash / SimHash / n-gram / embedding).
+    *
+    * Input must carry a `bucket` long column — normally
+    * `Similarity.withBuckets` (sign-random-projection LSH over the
+    * vector), or a closed-form key in fixtures. The bucket's `nPlanes`
+    * bits split into `bands` exact-match band keys (pigeonhole, same
+    * shape as [[simhashCandidates]]); pairs sharing any band become
+    * candidates, then the fused codegen cosine verifies against
+    * `minCosine`. Identical vectors always share every band (the bucket
+    * is a deterministic function of the vector), so true duplicates are
+    * found with probability 1; near-dups with cosine c agree per plane
+    * w.p. 1 - arccos(c)/π.
+    *
+    * At 100 TB: candidates come from a bucketed equi-join (never
+    * all-pairs), hot buckets are capped, and only the (id1, id2)
+    * candidate pairs — not vectors — flow through the distinct; vectors
+    * join back for the verify stage only.
+    */
+  def embeddingNearDups(bucketed: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double = 0.9, nPlanes: Int = 32,
+                        bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val w = nPlanes / bands
+    val mask = (1L << w) - 1
+    val bandRows = capBuckets(
+      bucketed.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("bucket"), b * w).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), maxBucket, "embeddingNearDups")
+    val cands = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
+      .join(bandRows.select(col(idCol).as("id2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    graft.functions.Vectors.register(bucketed.sparkSession)
+    cands
+      .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")
+      .join(bucketed.select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+      .select(col("id1"), col("id2"),
+        graft.functions.Vectors.cosineSim(col("__v1"), col("__v2")).as("__c"))
+      .filter(col("__c") >= minCosine)
+      .select(col("id1"), col("id2"), round(col("__c"), 6).as("cosine"))
+  }
+
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
     * shingle, scored |A∩B| / |A∪B|. Quadratic in posting-list size — use
     * after LSH pruning or on bounded candidate sets.

@@ -126,6 +126,20 @@ class DedupSpec extends SparkSpec {
     assert((0L until 10L).filter(i => i != 4L).forall(i => got(i) == i))
   }
 
+  test("embeddingNearDups finds near-identical vectors, rejects unrelated") {
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat + 0.01f)), // near-dup of 0
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 5f else -5f)), // unrelated
+      (3L, Array.tabulate(16)(i => (16 - i).toFloat)) // reversed: unrelated
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(
+        graft.similarity.Similarity.withBuckets(vecs, "embedding", nPlanes = 16),
+        "vec_id", "embedding", minCosine = 0.99, nPlanes = 16, bands = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
   test("dedup on real corpus finds the generated near-duplicates") {
     val real = graft.Tables(spark, sf, "documents")
     val sig = Dedup.minhashSignatures(real, "doc_id", "text", 32, 5)
