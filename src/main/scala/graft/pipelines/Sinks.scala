@@ -32,10 +32,20 @@ object Sinks {
     * in the scan) — the difference between touching one day and scanning
     * 100 TB. Partition columns should be low-cardinality (days, regions);
     * at extreme scale pair with bucketing on the join key.
+    *
+    * Rows are shuffled onto the partition key before the write: without
+    * that, EVERY input task opens a file in every partition directory it
+    * sees rows for — tasks x partitions tiny files, the classic
+    * small-files explosion once the input has real parallelism. With it,
+    * each partition value lands wholly in one task, so each directory
+    * gets one file. (At toy scale this adds a small shuffle — the
+    * q62 index build pays ~0.7s for it — but at cluster scale the
+    * unshuffled form is millions of tiny files.)
     */
   def reloadPartitioned(df: DataFrame, path: String,
                         partitionCol: String): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   /** S7 — append only rows with `key > max(existing)` (cv.py:104-125).
     * Returns the number of appended rows (the reference reports it in its
