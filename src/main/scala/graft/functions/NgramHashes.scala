@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass character n-gram hashing (static helper so both interpreted
+  * eval and generated code call the same JIT-compiled loop).
+  *
+  * The composable formulation — `explode(sequence(...))` +
+  * `xxhash64(substring(text, i, n))` — re-seeks the UTF-8 char boundary
+  * from the START of the string for every position (substring is
+  * O(position) on UTF-8 bytes), making the whole stage O(len²) per
+  * document, and allocates one UTF8String per shingle. This walks the
+  * char-boundary offsets once and hashes each n-char byte span in place:
+  * O(len), zero per-shingle allocation.
+  *
+  * Hash values are IDENTICAL to `pmod(xxhash64(substring(text, i, n)),
+  * mod)`: xxhash64 on a string hashes exactly the substring's UTF-8 byte
+  * span with seed 42, which is what [[hashAll]] hashes in place.
+  */
+object NgramHasher {
+  /** All n-gram hashes of `s` (one per char position; a single hash of
+    * the whole string when it is shorter than `n`), each reduced into
+    * `[0, mod)`. Mirrors `shingleStarts`: `max(numChars - n + 1, 1)`
+    * shingles.
+    */
+  def hashAll(s: UTF8String, n: Int, mod: Long): Array[Long] = {
+    val bytes = s.getBytes // one copy per row, not per shingle
+    val numBytes = bytes.length
+    // char-start byte offsets (+ sentinel end)
+    var chars = 0
+    var i = 0
+    val offs = new Array[Int](numBytes + 1)
+    while (i < numBytes) {
+      offs(chars) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      chars += 1
+    }
+    offs(chars) = numBytes
+    val count = math.max(chars - n + 1, 1)
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      val start = offs(j)
+      val end = offs(math.min(j + n, chars))
+      val h = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      out(j) = ((h % mod) + mod) % mod
+      j += 1
+    }
+    out
+  }
+}
+
+/** `ngram_hashes(text, n, mod)` → `array<long>`: see [[NgramHasher]]. */
+case class NgramHashes(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NgramHasher.hashAll(input.asInstanceOf[UTF8String], n, mod))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.NgramHasher.hashAll($c, $n, ${mod}L));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Texts {
+  private val name = "ngram_hashes"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => NgramHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()),
+      "built-in")
+
+  /** Column API over the registered function. */
+  def ngramHashes(text: Column, n: Int, mod: Long): Column =
+    call_function(name, text, lit(n), lit(mod))
+}
