@@ -84,7 +84,7 @@ case class NgramHashes(child: Expression, n: Int, mod: Long)
          |""".stripMargin
     })
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
