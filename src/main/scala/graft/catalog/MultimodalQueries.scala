@@ -18,7 +18,8 @@ object MultimodalQueries {
     "q41_multimodal_bytes" -> Q(
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"),
-          octet_length(col("text").cast("binary")).as("n_bytes"),
+          // long, matching DuckDB OCTET_LENGTH's BIGINT (WARN-free)
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
           md5(col("text")).as("checksum"))
         .orderBy("doc_id"),
       Some(

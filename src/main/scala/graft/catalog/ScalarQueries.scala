@@ -267,7 +267,7 @@ object ScalarQueries {
         val w = Window.partitionBy("nation")
           .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         joined
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("long")) // BIGINT in DuckDB
           .filter(col("rk") <= 3)
           .select("nation", "rk", "o_orderkey", "o_totalprice")
           .orderBy("nation", "rk")

@@ -111,8 +111,9 @@ object TextQueries {
     "q31_token_stats" -> Q(
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.tokenCountWs(col("text")).as("ws_tokens"),
-          TextAnalysis.tokenCountRe(col("text")).as("re_tokens"))
+          // long, matching DuckDB LEN's BIGINT (paritycheck WARN-free)
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.tokenCountRe(col("text")).cast("long").as("re_tokens"))
         .orderBy("doc_id"),
       Some(
         s"""SELECT doc_id,
@@ -167,7 +168,9 @@ object TextQueries {
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"),
           md5(TextAnalysis.normalizeText(col("text"))).as("norm_hash"),
-          length(TextAnalysis.normalizeText(col("text"))).as("norm_len"))
+          // long, matching DuckDB LENGTH's BIGINT (paritycheck WARN-free)
+          length(TextAnalysis.normalizeText(col("text"))).cast("long")
+            .as("norm_len"))
         .orderBy("doc_id"),
       Some {
         val norm =
