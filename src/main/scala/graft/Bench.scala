@@ -43,8 +43,12 @@ object Bench {
   }
 
   private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt) // all control chars
+      case c => c.toString
+    } + "\""
 
   private def jobj(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -134,6 +138,17 @@ object Bench {
     val oracleTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k) => v }.sum
     val duckMain = duck(sfDir, names, reps)
+    // The iterative-fixture queries (multi-round connected-components
+    // jobs) have CONSTANT-TIME closed-form oracles — comparing an
+    // iterative engine run against a closed-form answer measures fixture
+    // design, not plan quality — so the one-shot ratio excludes them
+    // (from BOTH sides) and is reported next to the full ratio.
+    val iterativeFixtures = Set("q59_cc_fixture", "q61_cc_deep_fixture")
+    val oneshotTotal = ok.collect {
+      case (k, v) if SparkEntry.oracleSql.contains(k)
+        && !iterativeFixtures(k) => v }.sum
+    val duckOneshot = duckMain.map(_._2.collect {
+      case (k, v) if v >= 0 && !iterativeFixtures(k) => v }.sum)
 
     // Optional larger-scale point on the headline queries. Queries here
     // run tens of seconds, so their relative run-to-run noise is small —
@@ -155,6 +170,11 @@ object Bench {
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
           "errors" -> jobj(e1.map { case (k, v) => k -> jstr(v) }),
           "spark_total_sec" -> jnum(m1.filter(_._2 >= 0).map(_._2).sum),
+          // like-for-like with duckdb_total_sec: spark time over ONLY the
+          // headline queries that have an oracle (mirrors the main block)
+          "spark_oracle_total_sec" -> jnum(m1.filter(kv =>
+            kv._2 >= 0 && SparkEntry.oracleSql.contains(kv._1))
+            .map(_._2).sum),
           "duckdb_total_sec" -> d1.map(d => jnum(d._1)).getOrElse("null"),
           "duckdb_queries" -> d1.map(d =>
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")))
@@ -170,6 +190,8 @@ object Bench {
       "warmup_sec" -> jnum(warmup),
       "spark_total_sec" -> jnum(total),
       "spark_oracle_total_sec" -> jnum(oracleTotal),
+      "spark_oracle_oneshot_sec" -> jnum(oneshotTotal),
+      "duckdb_oneshot_total_sec" -> duckOneshot.map(jnum).getOrElse("null"),
       "duckdb_total_sec" -> duckMain.map(d => jnum(d._1)).getOrElse("null"),
       "duckdb_queries" -> duckMain.map(d =>
         jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null"),
