@@ -34,15 +34,25 @@ object Dedup {
     * Hot buckets are found with one map-side-combined count aggregate; the
     * hot frame is localCheckpointed (so the anti-join below reuses the
     * materialized result instead of recomputing the aggregate) and applied
-    * as a broadcast anti-join — nothing row-shaped ever reaches the
-    * driver, so even an adversarial corpus with millions of
-    * just-over-cap buckets stays executor-side. The dropped mass is
-    * logged from one scalar aggregate over the checkpointed frame.
+    * as an anti-join on the KEYS only. A broadcast anti-join still ships
+    * the hot keys through the driver to build the broadcast table, so the
+    * broadcast hint is applied only while the hot-bucket COUNT (already
+    * in hand from the stats aggregate) is under a size guard; an
+    * adversarial corpus with millions of just-over-cap buckets falls back
+    * to a plain shuffled anti-join instead of blowing the driver or the
+    * broadcast size limit. The dropped mass is logged from one scalar
+    * aggregate over the checkpointed frame.
     * Members of a dropped bucket still pair up in every other band/bucket
     * they share — with b bands, near-dups have b chances to collide — and
     * the exact-dedup tier catches the pathological all-identical case
     * that saturates buckets in the first place.
     */
+  /** Above this many hot buckets the key set is too big to sensibly pass
+    * through the driver as a broadcast table (~4M keys ≈ tens of MB);
+    * the anti-join then runs as a plain shuffled join.
+    */
+  private val MaxBroadcastHotBuckets = 4L * 1000 * 1000
+
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int,
                          what: String): DataFrame = {
     val hot = rows.groupBy(keys.map(col): _*)
@@ -55,7 +65,12 @@ object Dedup {
     else {
       log.warn(s"$what: dropping ${stats.getAs[Long]("nb")} hot bucket(s) " +
         s"covering ${stats.getAs[Long]("mass")} rows (bucket cap $maxBucket)")
-      rows.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+      val hotKeys = hot.select(keys.map(col): _*)
+      rows.join(
+        if (stats.getAs[Long]("nb") <= MaxBroadcastHotBuckets)
+          broadcast(hotKeys)
+        else hotKeys,
+        keys, "left_anti")
     }
   }
 
