@@ -3,10 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Build a larger-scale copy of a testdata dir by replicating the three
-  * volume tables (`lineitem`, `documents`, `embeddings`) `factor` times
-  * with shifted keys, copying the small dimension tables unchanged. Used
-  * to produce the bench's `sf1` point (see graft.Bench):
+/** Build a larger-scale copy of a testdata dir by replicating the volume
+  * tables (`lineitem`, `orders`, `documents`, `embeddings`) `factor`
+  * times with shifted keys, copying the small dimension tables unchanged.
+  * Used to produce the bench's `sf1` point (see graft.Bench):
   *   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 data/sf1 10"
   *
   * Replica semantics are chosen so the headline queries stay MEANINGFUL
@@ -49,12 +49,23 @@ object ScaleUp {
     def write(df: DataFrame, table: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$table.parquet")
 
-    // lineitem: shift the order key space per replica
+    // lineitem + orders: ONE shared shift (covering both key spaces) per
+    // replica keeps the l_orderkey -> o_orderkey FK valid across
+    // replicas — an sf1 lineitem⋈orders join sees the full replicated
+    // volume, not just replica 0. o_custkey is left unshifted on purpose:
+    // customer isn't replicated, so replica orders reuse the same
+    // customers (the FK to customer also stays valid).
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val liShift = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val okShift = math.max(
+      li.agg(max("l_orderkey")).head().getLong(0),
+      ord.agg(max("o_orderkey")).head().getLong(0)) + 1
     write(replicated(spark, li, factor)
-      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * liShift)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * okShift)
       .drop("__rep"), "lineitem")
+    write(replicated(spark, ord, factor)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * okShift)
+      .drop("__rep"), "orders")
 
     // documents: shift doc_id; suffix text on replicas > 0 (near-dups)
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -75,7 +86,7 @@ object ScaleUp {
 
     // small tables: byte-for-byte copies
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events")) {
+        "events")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$dst/$t.parquet"),
