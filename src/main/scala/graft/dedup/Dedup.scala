@@ -74,11 +74,21 @@ object Dedup {
     }
   }
 
-  /** Exact dedup: canonical (minimum) id per identical text. */
+  /** Exact dedup: canonical (minimum) id per identical text.
+    *
+    * Groups on the 128-bit md5 of the text, not the text itself: the
+    * aggregation exchange then shuffles 16-byte hashes + ids instead of
+    * full document bodies — at corpus scale the difference between
+    * shuffling gigabytes and shuffling the whole corpus. (Standard
+    * exact-dedup practice: a 128-bit collision over any realistic corpus
+    * is vanishingly unlikely, and the same hash is already the emitted
+    * `text_hash` identity.)
+    */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .select(col(idCol), col("text_hash"))
 
   /** Distinct character n-gram shingles, one row per (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
