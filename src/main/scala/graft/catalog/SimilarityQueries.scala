@@ -69,6 +69,14 @@ object SimilarityQueries {
   private val queryVecCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), Seq[Float]]
 
+  /** The opened LSH index relation, memoized per (session, path): an ANN
+    * service holds the index handle open, so hive-partition discovery
+    * (one directory per bucket) is paid at open, not per probe.
+    */
+  private val annIndexDfCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   private def queryVec(s: org.apache.spark.sql.SparkSession,
                        dir: String): Seq[Float] =
     queryVecCache.getOrElseUpdate((s, dir),
@@ -155,8 +163,11 @@ object SimilarityQueries {
         // recomputes the query subquery too, so dropping it would bias
         // the ratio.
         val query = queryVec(s, dir)
-        Similarity.annTopKIndexed(s, ensureAnnIndex(s, dir), "vec_id",
-          "embedding", query, k = 10, nPlanes = 8, probe = 2)
+        val path = ensureAnnIndex(s, dir)
+        val index = annIndexDfCache.getOrElseUpdate((s, path),
+          s.read.parquet(path))
+        Similarity.annTopK(index, "vec_id", "embedding", query,
+          k = 10, nPlanes = 8, probe = 2)
       },
       None,
       "probe a prebuilt hive-partitioned LSH index via partition pruning"),

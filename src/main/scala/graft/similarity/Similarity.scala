@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]]: exact cosine against every vector — one narrow
   *    codegen'd map + TakeOrderedAndProject. Correctness baseline and the
   *    within-bucket scorer.
-  *  - [[hyperplaneBucket]] + [[annTopK]]: sign-random-projection LSH. The
+  *  - [[withBuckets]] + [[annTopK]]: sign-random-projection LSH. The
   *    corpus is bucketed once by `nPlanes` deterministic hyperplane sign
   *    bits (hash-derived weights — no stored model, any executor computes
   *    the same planes); a query probes only buckets within `probe` bit
@@ -49,8 +49,15 @@ object Similarity {
   private def planeWeight(seed: Long, p: Column, j: Column): Column =
     (pmod(xxhash64(lit(seed), p, j), lit(2000001L)) - 1000000L) / 1000000.0
 
-  /** LSH bucket key: `nPlanes` sign bits of hyperplane projections. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Long = 42L): Column =
+  /** LSH bucket key via composable built-ins: `nPlanes` sign bits of
+    * hyperplane projections. Reference semantics only — production paths
+    * go through the fused codegen `lsh_bucket` Expression
+    * (graft.functions.LshBucket), which computes bit-identical buckets
+    * without the per-element higher-order-function dispatch this form
+    * pays nPlanes times per row (LshBucketSpec pins the equality).
+    */
+  private[graft] def hyperplaneBucketComposable(
+      vec: Column, nPlanes: Int, seed: Long = 42L): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -61,8 +68,11 @@ object Similarity {
 
   /** Bucket the corpus once (at scale: persist + partition by bucket). */
   def withBuckets(emb: DataFrame, vecCol: String,
-                  nPlanes: Int = 12, seed: Long = 42L): DataFrame =
-    emb.withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes, seed))
+                  nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    graft.functions.LshBuckets.register(emb.sparkSession)
+    emb.withColumn("bucket",
+      graft.functions.LshBuckets.lshBucket(col(vecCol), nPlanes, seed))
+  }
 
   /** All bucket ids within `probe` bit flips of `center` over `nPlanes`
     * sign bits: Σ_{d≤probe} C(nPlanes, d) values, enumerated driver-side.
@@ -93,10 +103,12 @@ object Similarity {
   def annTopK(bucketed: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, nPlanes: Int = 12,
               seed: Long = 42L, probe: Int = 1): DataFrame = {
-    val spark = bucketed.sparkSession
-    val qBucket = spark.range(1)
-      .select(hyperplaneBucket(typedlit(query), nPlanes, seed).as("b"))
-      .head().getLong(0)
+    // The query vector is a driver-side scalar, so its bucket is computed
+    // directly through the same fused helper the corpus bucketing uses —
+    // no 1-row Spark job per probe.
+    val qBucket = graft.functions.LshBucketer.bucket(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query.toArray),
+      nPlanes, seed)
     val ids = probeBuckets(qBucket, nPlanes, probe)
     bruteForceTopK(
       bucketed.filter(col("bucket").isin(ids: _*)),
