@@ -31,10 +31,10 @@ object Dedup {
     * pair count C(sz,2) — and no AQE skew-split can fix a quadratic pair
     * count, so the only scale-safe move is to cap.
     *
-    * Hot buckets are found with one map-side-combined count aggregate; the
-    * hot frame is localCheckpointed (so the anti-join below reuses the
-    * materialized result instead of recomputing the aggregate) and applied
-    * as an anti-join on the KEYS only. A broadcast anti-join still ships
+    * Hot buckets are found with one map-side-combined count aggregate; if
+    * any exist, the hot frame is localCheckpointed (so the anti-join below
+    * reuses the materialized result instead of recomputing the aggregate)
+    * and applied as an anti-join on the KEYS only. A broadcast anti-join still ships
     * the hot keys through the driver to build the broadcast table, so the
     * broadcast hint is applied only while the hot-bucket COUNT (already
     * in hand from the stats aggregate) is under a size guard; an
@@ -58,14 +58,18 @@ object Dedup {
     val hot = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
-      .localCheckpoint()
+    // Stats first, checkpoint after: the common case is NO hot bucket,
+    // where checkpointing would materialize an empty frame with an eager
+    // job for nothing. When hot buckets exist, the checkpoint (which
+    // re-runs the aggregate once) lets the anti-join reuse the
+    // materialized keys instead of recomputing the full aggregate.
     val stats = hot.agg(count(lit(1)).as("nb"),
       coalesce(sum(col("__bsz")), lit(0L)).as("mass")).head()
     if (stats.getAs[Long]("nb") == 0L) rows
     else {
       log.warn(s"$what: dropping ${stats.getAs[Long]("nb")} hot bucket(s) " +
         s"covering ${stats.getAs[Long]("mass")} rows (bucket cap $maxBucket)")
-      val hotKeys = hot.select(keys.map(col): _*)
+      val hotKeys = hot.localCheckpoint().select(keys.map(col): _*)
       rows.join(
         if (stats.getAs[Long]("nb") <= MaxBroadcastHotBuckets)
           broadcast(hotKeys)
