@@ -74,11 +74,14 @@ object Sinks {
     * dir then swapped in, because plain parquet overwrite would delete its
     * own input mid-read.
     *
-    * The delete+rename swap is NOT atomic: a reader arriving between the
-    * two calls sees a missing path, and a crash there loses the live copy
-    * (the merged data survives in `__tmp_upsert`). Single-writer batch
-    * jobs (the reference's model) are safe; concurrent readers need a
-    * transactional table format where this whole method is `MERGE INTO`.
+    * The swap is two atomic renames (live → backup, merged → live), so a
+    * crash at ANY point loses no data: every row is always in at least
+    * one of live/backup/tmp, and recovery is renaming the backup (or
+    * tmp) back into place. What this still is NOT is an atomic swap for
+    * CONCURRENT READERS — one arriving between the renames sees a
+    * missing path. Single-writer batch jobs (the reference's model) are
+    * safe; concurrent readers need a transactional table format where
+    * this whole method is `MERGE INTO`.
     */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
                   key: String): Unit = {
@@ -93,7 +96,10 @@ object Sinks {
     val tmp = path + "__tmp_upsert"
     merged.write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
-    f.delete(new Path(path), true)
-    f.rename(new Path(tmp), new Path(path))
+    val old = new Path(path + "__old_upsert")
+    f.delete(old, true) // clear any stale backup
+    f.rename(new Path(path), old) // live -> backup (atomic)
+    f.rename(new Path(tmp), new Path(path)) // merged -> live (atomic)
+    f.delete(old, true) // success: drop backup
   }
 }
