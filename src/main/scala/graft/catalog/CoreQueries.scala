@@ -52,6 +52,29 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |            JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
+  /** lineitem + orders rewritten as co-bucketed tables on the order key
+    * (one-time layout job per dataset, memoized like the ANN/IVF index
+    * builds — see Sinks.reloadBucketed). Joins between the two then plan
+    * with ZERO exchange: the fact-to-fact join no broadcast can help is
+    * served by bucket co-location, which is the point of the layout at
+    * 100 TB. Returns the (lineitem, orders) table names.
+    */
+  private val bucketedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate((s, dir), {
+      val hex = Integer.toHexString(dir.hashCode)
+      val (li, ord) = (s"graft_li_bkt_$hex", s"graft_ord_bkt_$hex")
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_bucketed_$hex").getPath
+      graft.pipelines.Sinks.reloadBucketed(
+        t(s, dir, "lineitem"), li, s"$root/$li", "l_orderkey", 8)
+      graft.pipelines.Sinks.reloadBucketed(
+        t(s, dir, "orders"), ord, s"$root/$ord", "o_orderkey", 8)
+      (li, ord)
+    })
+
   val all: Map[String, Q] = Map(
 
     // ----- A3: group-by-date count (cv-stats.py:55) -----
@@ -231,6 +254,31 @@ object CoreQueries {
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "TPC-H-Q1-shaped partial+final hash agg, decimal-exact"),
+
+    // ----- co-bucketed fact-to-fact join: ZERO-exchange at read time ----
+    // lineitem joins orders on the order key — the join no broadcast can
+    // help at scale — through the bucketed layout (ensureBucketed), so
+    // the only exchange in the plan is the 5-row priority aggregate's.
+    // The merge hint pins the sort-merge path (a broadcast pick at toy
+    // scale would bypass the layout being demonstrated); the
+    // zero-exchange join plan itself is asserted by BucketedJoinSpec.
+    "q67_bucketed_join" -> Q(
+      (s, dir) => {
+        val (li, ord) = ensureBucketed(s, dir)
+        val d2 = DecimalType(18, 2)
+        s.table(li).hint("merge")
+          .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "co-bucketed sort-merge join, no shuffle on either fact side"),
 
     // ----- W4: lag difference, default 0 (cv-csv.py:86-94) -----
     "q13_lag_diff" -> Q(

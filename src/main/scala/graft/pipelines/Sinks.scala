@@ -47,6 +47,31 @@ object Sinks {
     df.repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Bucketed + sorted table layout: rows are hash-partitioned by `key`
+    * into a fixed bucket count AT WRITE TIME, so an equi-join between two
+    * co-bucketed tables (same key, same bucket count) needs NO exchange
+    * at read time — each bucket joins only its twin. At 100 TB this
+    * converts every recurring fact-to-fact join on the key (the kind no
+    * broadcast can help) from a full-corpus shuffle into a co-located
+    * merge; pair with [[reloadPartitioned]]'s date partitioning for
+    * prune-then-join pipelines. BucketedJoinSpec pins the zero-exchange
+    * plan.
+    *
+    * The input is repartitioned onto the bucket hash first (Spark's
+    * bucketBy uses the same Murmur3 hash partitioning), so each write
+    * task holds exactly one bucket and each bucket gets ONE file —
+    * without it every task writes a file per bucket it sees (tasks x
+    * buckets small files), and multi-file buckets also forfeit the
+    * sorted-scan optimization.
+    */
+  def reloadBucketed(df: DataFrame, table: String, path: String,
+                     key: String, nBuckets: Int): Unit =
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** S7 — append only rows with `key > max(existing)` (cv.py:104-125).
     * Returns the number of appended rows (the reference reports it in its
     * notification email). The 1-row max aggregate broadcasts — the
