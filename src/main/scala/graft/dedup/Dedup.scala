@@ -94,13 +94,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("text_hash"))
 
-  /** Distinct character n-gram shingles, one row per (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** 61-bit shingle-hash space for the exact-Jaccard tier: large enough
+    * that hash-distinct == string-distinct in practice (collision odds
+    * within one posting-capped corpus are ~#shingles²/2^62), small enough
+    * to stay a positive long.
+    */
+  private val ShingleHashMod = (1L << 61) - 1
+
+  /** Distinct character n-gram shingles, one row per (id, shingle),
+    * represented by their 61-bit one-pass hash (graft.functions
+    * .NgramHasher): the substring-per-position form both re-seeks UTF-8
+    * boundaries from the string start (O(len²) per document) and would
+    * shuffle shingle STRINGS through the distinct — the hash form is
+    * O(len) compute with an 8-byte shuffle key.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.Texts.register(df.sparkSession)
     df.select(col(idCol),
-        explode(TextAnalysis.shingleStarts(col(textCol), n)).as("i"),
-        col(textCol))
-      .select(col(idCol), expr(s"substring($textCol, i, $n)").as("shingle"))
+        explode(graft.functions.Texts.ngramHashes(col(textCol), n, ShingleHashMod))
+          .as("shingle"))
       .distinct()
+  }
 
   /** MinHash signatures: `numHashes` per-document minima over shingle
     * hashes. Output: (id, sig array<long>).
