@@ -24,6 +24,37 @@ object DedupQueries {
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
       "exact hash-groupBy dedup"),
 
+    // ----- incremental exact dedup: day-2 batch vs persisted store -----
+    // Two batches in one entry so the stateful operator stays
+    // rep-idempotent: the even-id half seeds a fresh per-call store, the
+    // odd-id half dedups against it; the result is the odd-id docs whose
+    // text is corpus-new, min-id within the batch. The store table/dir
+    // are dropped before returning (survivors are already materialized).
+    "q68_dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val table = s"graft_incdedup_${java.util.UUID.randomUUID()
+          .toString.replace("-", "")}"
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), table).getPath
+        Dedup.exactIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", table, path)
+        val survivors = Dedup.exactIncremental(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", table, path)
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        survivors.orderBy("doc_id")
+      },
+      Some(
+        """SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_hash
+          |FROM documents
+          |WHERE doc_id % 2 = 1
+          |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+          |GROUP BY text ORDER BY doc_id""".stripMargin),
+      "batch-vs-persisted-store exact dedup; store side never reshuffles"),
+
     // ----- n-gram Jaccard near-dup, bounded candidate set -----
     "q36_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccard(

@@ -94,6 +94,43 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("text_hash"))
 
+  /** Incremental exact dedup against a persisted corpus hash store — the
+    * daily-batch shape of corpus curation. Survivors are batch rows whose
+    * text hash appears neither in the store nor earlier (minimum id) in
+    * the batch; their hashes are appended so the next batch sees them.
+    *
+    * The store holds ONE 16-byte hash + canonical id per corpus document
+    * and lives as a table bucketed on the hash
+    * (graft.pipelines.Sinks.reloadBucketed), so the anti-join reads the
+    * corpus side co-located and shuffles ONLY the incoming batch: per-day
+    * cost scales with the batch, never with the accumulated corpus, which
+    * is what makes exact dedup sustainable at 100 TB.
+    */
+  def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       storeTable: String, storePath: String,
+                       nBuckets: Int = 8): DataFrame = {
+    val s = batch.sparkSession
+    val inBatch = batch
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .groupBy("text_hash").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("text_hash"))
+    val storeExists = s.catalog.tableExists(storeTable)
+    val fresh =
+      if (!storeExists) inBatch
+      else inBatch.join(s.table(storeTable).hint("merge"),
+        Seq("text_hash"), "left_anti")
+    // materialized once: both returned to the caller and appended below
+    val out = fresh.localCheckpoint()
+    if (!storeExists)
+      graft.pipelines.Sinks.reloadBucketed(
+        out, storeTable, storePath, "text_hash", nBuckets)
+    else
+      out.write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "text_hash").sortBy("text_hash")
+        .option("path", storePath).saveAsTable(storeTable)
+    out
+  }
+
   /** 61-bit shingle-hash space for the exact-Jaccard tier: large enough
     * that hash-distinct == string-distinct in practice (collision odds
     * within one posting-capped corpus are ~#shingles²/2^62), small enough

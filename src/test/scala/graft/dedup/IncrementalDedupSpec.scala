@@ -1,0 +1,54 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup.exactIncremental semantics: survivors are new-to-the-corpus,
+  * min-id within the batch; the store accumulates one hash per surviving
+  * document; the anti-join shuffles only the batch side (the store side
+  * is read through its bucketing).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): (String, String) = {
+    val table = s"spec_incdedup_${System.nanoTime()}"
+    (table, java.nio.file.Files
+      .createTempDirectory("graft_incdedup_spec").toString + "/" + table)
+  }
+
+  test("second batch survives only corpus-new, batch-min-id texts") {
+    val (table, path) = freshStore()
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    val s1 = Dedup.exactIncremental(b1, "doc_id", "text", table, path)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(1L, 2L)) // in-batch dup of alpha dropped
+
+    val b2 = Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.exactIncremental(b2, "doc_id", "text", table, path)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(11L)) // beta known from batch 1; gamma min-id
+
+    // store accumulated exactly the three surviving hashes
+    assert(spark.table(table).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("anti-join shuffles only the batch side") {
+    val (table, path) = freshStore()
+    Dedup.exactIncremental(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      "doc_id", "text", table, path)
+    val batch = Seq((3L, "a"), (4L, "c")).toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val anti = batch.join(spark.table(table).hint("merge"),
+      Seq("text_hash"), "left_anti")
+    anti.count()
+    val plan = anti.queryExecution.executedPlan.toString
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"store side should not shuffle:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
