@@ -55,6 +55,52 @@ object DedupQueries {
           |GROUP BY text ORDER BY doc_id""".stripMargin),
       "batch-vs-persisted-store exact dedup; store side never reshuffles"),
 
+    // ----- incremental near-dup novelty filter vs signature store -----
+    // q57's modular-arithmetic signatures make the incremental band-join
+    // + verify machinery closed-form: sig(id) = [id%2..id%9] (bands of
+    // 2), so two signatures agree fully iff the ids are congruent mod
+    // lcm(2..9)=2520 — i.e. only exact copies within id < 200. The store
+    // seeds the even ids; the batch is the odd ids plus COPIES of even
+    // ids 0..49 carrying the original's signature under a shifted id. At
+    // threshold 0.99 the copies (est exactly 1.0) are gated out and
+    // every odd id survives — so the output catches both a broken
+    // candidate path (copies would leak through) and over-matching (odd
+    // ids would vanish). Store tables are per-call and dropped before
+    // returning (survivors are already materialized).
+    "q69_minhash_incremental" -> Q(
+      (s, dir) => {
+        def sigOf(idc: org.apache.spark.sql.Column) =
+          array((0 until 8).map(i => pmod(idc, lit((i + 2).toLong))): _*)
+        val ids = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"))
+        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val table = s"graft_incmh_$uid"
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), table).getPath
+        Dedup.minhashIncremental(
+          ids.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(col("doc_id"), sigOf(col("doc_id")).as("sig")),
+          "doc_id", table, path, bands = 4, minEstJaccard = 0.99)
+        val batch = ids.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), sigOf(col("doc_id")).as("sig"))
+          .unionByName(ids
+            .filter(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") < 50)
+            .select((col("doc_id") + 1000).as("doc_id"),
+              sigOf(col("doc_id")).as("sig")))
+        val survivors = Dedup.minhashIncremental(batch, "doc_id",
+          table, path, bands = 4, minEstJaccard = 0.99)
+        s.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        survivors.select("doc_id").orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id FROM documents
+          |WHERE doc_id < 200 AND doc_id % 2 = 1
+          |ORDER BY doc_id""".stripMargin),
+      "batch-vs-signature-store novelty gate; store side never reshuffles"),
+
     // ----- n-gram Jaccard near-dup, bounded candidate set -----
     "q36_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccard(

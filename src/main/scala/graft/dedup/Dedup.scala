@@ -125,9 +125,70 @@ object Dedup {
       graft.pipelines.Sinks.reloadBucketed(
         out, storeTable, storePath, "text_hash", nBuckets)
     else
-      out.write.mode("append").format("parquet")
-        .bucketBy(nBuckets, "text_hash").sortBy("text_hash")
-        .option("path", storePath).saveAsTable(storeTable)
+      graft.pipelines.Sinks.appendBucketedBy(
+        out, storeTable, storePath, Seq("text_hash"), nBuckets)
+    out
+  }
+
+  /** Incremental near-dup novelty filter against a persisted MinHash
+    * signature store — "which of today's documents are new vs the
+    * corpus", answered without rescanning the corpus. Batch rows whose
+    * signature has NO stored near-neighbor (band collision with
+    * `est_jaccard >= minEstJaccard`) survive; their signatures and band
+    * rows are appended so tomorrow's batch sees them. In-batch dedup is
+    * the batch-local tiers' job ([[exact]]/[[lshCandidates]]/
+    * [[canonicalClusters]]) — this op only gates against the corpus.
+    *
+    * Store layout: a band table bucketed on (band, bkey) — candidate
+    * generation reads the corpus side co-located and shuffles only the
+    * batch's band rows — and a signature table bucketed on the id for
+    * the verify join. Per-day cost scales with the batch and its
+    * candidate fan-out, never with the accumulated corpus.
+    */
+  def minhashIncremental(batchSig: DataFrame, idCol: String,
+                         storeTable: String, storePath: String,
+                         bands: Int, minEstJaccard: Double,
+                         maxBucket: Int = 500, nBuckets: Int = 8): DataFrame = {
+    val s = batchSig.sparkSession
+    val bandsT = s"${storeTable}_bands"
+    val sigsT = s"${storeTable}_sigs"
+    val batchBands = capBuckets(bandRowsOf(batchSig, idCol, bands),
+      Seq("band", "bkey"), maxBucket, "minhashIncremental")
+    val storeExists = s.catalog.tableExists(bandsT)
+    val novel =
+      if (!storeExists) batchSig
+      else {
+        val pairs = batchBands
+          .select(col(idCol).as("id1"), col("band"), col("bkey"))
+          .join(s.table(bandsT).hint("merge")
+            .select(col(idCol).as("id2"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .select("id1", "id2").distinct()
+        val dupIds = pairs
+          .join(batchSig.select(col(idCol).as("id1"), col("sig").as("sig1")),
+            "id1")
+          .join(s.table(sigsT).hint("merge")
+            .select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
+          .filter(
+            size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+              x => x)) / size(col("sig1")) >= minEstJaccard)
+          .select(col("id1").as(idCol)).distinct()
+        batchSig.join(dupIds, Seq(idCol), "left_anti")
+      }
+    // materialized once: returned to the caller and appended below
+    val out = novel.localCheckpoint()
+    val outBands = bandRowsOf(out, idCol, bands)
+    if (!storeExists) {
+      graft.pipelines.Sinks.reloadBucketedBy(
+        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
+      graft.pipelines.Sinks.reloadBucketedBy(
+        out, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
+    } else {
+      graft.pipelines.Sinks.appendBucketedBy(
+        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
+      graft.pipelines.Sinks.appendBucketedBy(
+        out, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
+    }
     out
   }
 
@@ -201,15 +262,20 @@ object Dedup {
     * ([[capBuckets]]): one boilerplate-saturated bucket would otherwise
     * contribute C(sz,2) pairs and dominate the whole job at scale.
     */
+  /** (id, band, bkey) rows of a signature frame: each signature splits
+    * into `bands` equal slices, keyed by the slice hash.
+    */
+  private def bandRowsOf(sig: DataFrame, idCol: String, bands: Int): DataFrame =
+    sig.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
+          size(col("sig")) / bands))).as(Seq("band", "bslice")))
+      .select(col(idCol), col("band"),
+        xxhash64(col("band"), col("bslice")).as("bkey"))
+
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
                     maxBucket: Int = 500): DataFrame = {
-    val bandRows = capBuckets(
-      sig.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
-            size(col("sig")) / bands))).as(Seq("band", "bslice")))
-        .select(col(idCol), col("band"),
-          xxhash64(col("band"), col("bslice")).as("bkey")),
+    val bandRows = capBuckets(bandRowsOf(sig, idCol, bands),
       Seq("band", "bkey"), maxBucket, "lshCandidates")
     val a = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
     val b = bandRows.select(col(idCol).as("id2"), col("band"), col("bkey"))

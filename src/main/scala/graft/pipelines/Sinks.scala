@@ -66,9 +66,28 @@ object Sinks {
     */
   def reloadBucketed(df: DataFrame, table: String, path: String,
                      key: String, nBuckets: Int): Unit =
-    df.repartition(nBuckets, col(key))
+    reloadBucketedBy(df, table, path, Seq(key), nBuckets)
+
+  /** Multi-column variant: co-locates joins on the full key tuple. */
+  def reloadBucketedBy(df: DataFrame, table: String, path: String,
+                       keys: Seq[String], nBuckets: Int): Unit =
+    df.repartition(nBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, key).sortBy(key)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Append a batch into an existing bucketed table with the same spec
+    * (each append adds one file per bucket — compact periodically with
+    * [[reloadBucketedBy]] when file counts matter).
+    */
+  def appendBucketedBy(df: DataFrame, table: String, path: String,
+                       keys: Seq[String], nBuckets: Int): Unit =
+    df.repartition(nBuckets, keys.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
 

@@ -36,6 +36,34 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("minhashIncremental gates near-dups against the store only") {
+    val (table, path) = freshStore()
+    def sig(id: Long, xs: Long*) = (id, xs.toArray)
+    // 4-long signatures, 2 bands of 2
+    val b1 = Seq(sig(1L, 1, 2, 3, 4), sig(2L, 5, 6, 7, 8))
+      .toDF("doc_id", "sig")
+    val s1 = Dedup.minhashIncremental(b1, "doc_id", table, path,
+      bands = 2, minEstJaccard = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(1L, 2L)) // empty store: everything is novel
+
+    val b2 = Seq(
+      sig(10L, 1, 2, 3, 4), // full near-dup of stored 1 -> dropped
+      sig(11L, 1, 2, 9, 9), // one band collides but est 0.5 -> survives
+      sig(12L, 8, 7, 6, 5)  // no band collision -> survives
+    ).toDF("doc_id", "sig")
+    val s2 = Dedup.minhashIncremental(b2, "doc_id", table, path,
+      bands = 2, minEstJaccard = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(11L, 12L))
+
+    // survivors' state accumulated: 4 signatures, 8 band rows
+    assert(spark.table(s"${table}_sigs").count() == 4)
+    assert(spark.table(s"${table}_bands").count() == 8)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+  }
+
   test("anti-join shuffles only the batch side") {
     val (table, path) = freshStore()
     Dedup.exactIncremental(
