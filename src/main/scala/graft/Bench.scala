@@ -138,12 +138,14 @@ object Bench {
     val oracleTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k) => v }.sum
     val duckMain = duck(sfDir, names, reps)
-    // The iterative-fixture queries (multi-round connected-components
-    // jobs) have CONSTANT-TIME closed-form oracles — comparing an
-    // iterative engine run against a closed-form answer measures fixture
-    // design, not plan quality — so the one-shot ratio excludes them
+    // Iterative or stateful fixture queries have oracles far cheaper than
+    // the machinery they exercise — q59/q61 run multi-round CC against
+    // constant-time closed forms, q68/q69 pay per-rep store BUILDS whose
+    // oracle models only the final read — so comparing them measures
+    // fixture design, not plan quality. The one-shot ratio excludes them
     // (from BOTH sides) and is reported next to the full ratio.
-    val iterativeFixtures = Set("q59_cc_fixture", "q61_cc_deep_fixture")
+    val iterativeFixtures = Set("q59_cc_fixture", "q61_cc_deep_fixture",
+      "q68_dedup_incremental", "q69_minhash_incremental")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !iterativeFixtures(k) => v }.sum
