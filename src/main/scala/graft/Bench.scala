@@ -145,7 +145,8 @@ object Bench {
     // fixture design, not plan quality. The one-shot ratio excludes them
     // (from BOTH sides) and is reported next to the full ratio.
     val iterativeFixtures = Set("q59_cc_fixture", "q61_cc_deep_fixture",
-      "q68_dedup_incremental", "q69_minhash_incremental")
+      "q68_dedup_incremental", "q69_minhash_incremental",
+      "q70_embedding_incremental")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !iterativeFixtures(k) => v }.sum

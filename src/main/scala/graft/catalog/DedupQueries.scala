@@ -101,6 +101,44 @@ object DedupQueries {
           |ORDER BY doc_id""".stripMargin),
       "batch-vs-signature-store novelty gate; store side never reshuffles"),
 
+    // ----- incremental embedding novelty gate vs vector store -----
+    // Same two-phase shape as q68/q69 in vector space, and closed-form
+    // WITHOUT synthetic signatures: the store seeds the even vec_ids, the
+    // batch is the odd ids plus exact COPIES of even ids 0..49 (shifted
+    // ids). A copy shares its original's bucket — hence every band — and
+    // verifies at cosine 1.0, so it is gated; the corpus has no true
+    // near-dups (max non-copy cosine ~0.46 << 0.95), so every odd id
+    // survives the REAL sign-LSH + codegen-cosine path. Store tables are
+    // per-call and dropped before returning.
+    "q70_embedding_incremental" -> Q(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select("vec_id", "embedding")
+        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val table = s"graft_incemb_$uid"
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), table).getPath
+        Dedup.embeddingIncremental(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", table, path, minCosine = 0.95)
+        val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .unionByName(emb
+            .filter(pmod(col("vec_id"), lit(2)) === 0 && col("vec_id") < 50)
+            .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+        val survivors = Dedup.embeddingIncremental(batch, "vec_id",
+          "embedding", table, path, minCosine = 0.95)
+        s.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        survivors.select("vec_id").orderBy("vec_id")
+      },
+      Some(
+        """SELECT vec_id FROM embeddings
+          |WHERE vec_id < 300 AND vec_id % 2 = 1
+          |ORDER BY vec_id""".stripMargin),
+      "batch-vs-vector-store novelty gate through real sign-LSH + cosine"),
+
     // ----- n-gram Jaccard near-dup, bounded candidate set -----
     "q36_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccard(

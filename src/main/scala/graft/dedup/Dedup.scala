@@ -437,17 +437,24 @@ object Dedup {
     * candidate pairs — not vectors — flow through the distinct; vectors
     * join back for the verify stage only.
     */
-  def embeddingNearDups(bucketed: DataFrame, idCol: String, vecCol: String,
-                        minCosine: Double = 0.9, nPlanes: Int = 32,
-                        bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+  /** (id, band, bkey) rows of a sign-LSH `bucket` column: `nPlanes` bits
+    * split into `bands` exact-match band keys (pigeonhole).
+    */
+  private def vectorBandRows(bucketed: DataFrame, idCol: String,
+                             nPlanes: Int, bands: Int): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
     val mask = (1L << w) - 1
-    val bandRows = capBuckets(
-      bucketed.select(col(idCol),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("bucket"), b * w).bitwiseAND(mask)): _*))
-          .as(Seq("band", "bkey"))),
+    bucketed.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("bucket"), b * w).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bkey")))
+  }
+
+  def embeddingNearDups(bucketed: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double = 0.9, nPlanes: Int = 32,
+                        bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val bandRows = capBuckets(vectorBandRows(bucketed, idCol, nPlanes, bands),
       Seq("band", "bkey"), maxBucket, "embeddingNearDups")
     val cands = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
       .join(bandRows.select(col(idCol).as("id2"), col("band"), col("bkey")),
@@ -462,6 +469,75 @@ object Dedup {
         graft.functions.Vectors.cosineSim(col("__v1"), col("__v2")).as("__c"))
       .filter(col("__c") >= minCosine)
       .select(col("id1"), col("id2"), round(col("__c"), 6).as("cosine"))
+  }
+
+  /** Incremental embedding novelty gate against a persisted vector
+    * store — the vector-space member of the incremental tier
+    * ([[exactIncremental]] / [[minhashIncremental]] /
+    * embeddingIncremental). Batch vectors with NO stored near-neighbor
+    * (sign-LSH band collision with cosine >= `minCosine`) survive; their
+    * band rows and vectors are appended for the next batch. Identical
+    * vectors always share every band (the bucket is a deterministic
+    * function of the vector), so true duplicates are gated with
+    * probability 1.
+    *
+    * Store layout mirrors [[minhashIncremental]]: bands bucketed on
+    * (band, bkey) for co-located candidate generation, vectors bucketed
+    * on the id for the fused-codegen cosine verify; only the batch side
+    * ever shuffles.
+    */
+  def embeddingIncremental(batch: DataFrame, idCol: String, vecCol: String,
+                           storeTable: String, storePath: String,
+                           minCosine: Double, nPlanes: Int = 32,
+                           bands: Int = 4, maxBucket: Int = 1000,
+                           nBuckets: Int = 8): DataFrame = {
+    val s = batch.sparkSession
+    val bandsT = s"${storeTable}_bands"
+    val vecsT = s"${storeTable}_vecs"
+    val bucketed = graft.similarity.Similarity
+      .withBuckets(batch.select(col(idCol), col(vecCol)), vecCol, nPlanes)
+    val batchBands = capBuckets(
+      vectorBandRows(bucketed, idCol, nPlanes, bands),
+      Seq("band", "bkey"), maxBucket, "embeddingIncremental")
+    val storeExists = s.catalog.tableExists(bandsT)
+    graft.functions.Vectors.register(s)
+    val novel =
+      if (!storeExists) bucketed.select(col(idCol), col(vecCol))
+      else {
+        val pairs = batchBands
+          .select(col(idCol).as("id1"), col("band"), col("bkey"))
+          .join(s.table(bandsT).hint("merge")
+            .select(col(idCol).as("id2"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .select("id1", "id2").distinct()
+        val dupIds = pairs
+          .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")),
+            "id1")
+          .join(s.table(vecsT).hint("merge")
+            .select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+          .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
+            >= minCosine)
+          .select(col("id1").as(idCol)).distinct()
+        bucketed.select(col(idCol), col(vecCol))
+          .join(dupIds, Seq(idCol), "left_anti")
+      }
+    // materialized once: returned to the caller and appended below
+    val out = novel.localCheckpoint()
+    val outBands = vectorBandRows(
+      graft.similarity.Similarity.withBuckets(out, vecCol, nPlanes),
+      idCol, nPlanes, bands)
+    if (!storeExists) {
+      graft.pipelines.Sinks.reloadBucketedBy(
+        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
+      graft.pipelines.Sinks.reloadBucketedBy(
+        out, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
+    } else {
+      graft.pipelines.Sinks.appendBucketedBy(
+        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
+      graft.pipelines.Sinks.appendBucketedBy(
+        out, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
+    }
+    out
   }
 
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1

@@ -64,6 +64,29 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
   }
 
+  test("embeddingIncremental gates vector copies, passes novel vectors") {
+    val (table, path) = freshStore()
+    val b1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val s1 = Dedup.embeddingIncremental(b1, "vec_id", "embedding",
+      table, path, minCosine = 0.95, nPlanes = 8, bands = 2)
+      .select("vec_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(1L, 2L))
+
+    val b2 = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),  // exact copy of 1 -> gated
+      (11L, Array(0.0f, 0.0f, 1.0f))) // orthogonal to both -> survives
+      .toDF("vec_id", "embedding")
+    val s2 = Dedup.embeddingIncremental(b2, "vec_id", "embedding",
+      table, path, minCosine = 0.95, nPlanes = 8, bands = 2)
+      .select("vec_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(11L))
+    assert(spark.table(s"${table}_vecs").count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+  }
+
   test("anti-join shuffles only the batch side") {
     val (table, path) = freshStore()
     Dedup.exactIncremental(
