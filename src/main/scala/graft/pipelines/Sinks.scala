@@ -79,8 +79,8 @@ object Sinks {
       .saveAsTable(table)
 
   /** Append a batch into an existing bucketed table with the same spec
-    * (each append adds one file per bucket — compact periodically with
-    * [[reloadBucketedBy]] when file counts matter).
+    * (each append adds one file per bucket — [[compactBucketed]] folds
+    * them back to one when file counts matter).
     */
   def appendBucketedBy(df: DataFrame, table: String, path: String,
                        keys: Seq[String], nBuckets: Int): Unit =
@@ -90,6 +90,21 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
+
+  /** Rewrite an append-grown bucketed table back to one file per bucket
+    * (restoring the sorted-scan optimization appends forfeit). Run on the
+    * cadence file counts dictate — daily appends, weekly compaction is
+    * the usual shape for the incremental dedup stores. The input is
+    * checkpointed first so the overwrite cannot delete its own input
+    * mid-read; like upsertByKey, a crash DURING the rewrite needs the
+    * store rebuilt (single-writer batch semantics — a transactional
+    * format makes compaction atomic).
+    */
+  def compactBucketed(spark: SparkSession, table: String, path: String,
+                      keys: Seq[String], nBuckets: Int): Unit = {
+    val staged = spark.table(table).localCheckpoint()
+    reloadBucketedBy(staged, table, path, keys, nBuckets)
+  }
 
   /** S7 — append only rows with `key > max(existing)` (cv.py:104-125).
     * Returns the number of appended rows (the reference reports it in its

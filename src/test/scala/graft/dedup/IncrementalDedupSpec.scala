@@ -33,6 +33,18 @@ class IncrementalDedupSpec extends SparkSpec {
 
     // store accumulated exactly the three surviving hashes
     assert(spark.table(table).count() == 3)
+
+    // the append wrote its own file(s) next to the seed's; compaction
+    // folds the store back to at most one file per non-empty bucket,
+    // preserving the rows (empty buckets never write files)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val beforeCompact = dataFiles()
+    assert(beforeCompact >= 2) // seed file(s) + the append's file
+    graft.pipelines.Sinks.compactBucketed(
+      spark, table, path, Seq("text_hash"), 8)
+    assert(dataFiles() <= 3) // <= one file per non-empty bucket (3 hashes)
+    assert(spark.table(table).count() == 3)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

@@ -48,6 +48,21 @@ class LshBucketSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("expression == composable HOF on 100 seeded random vectors") {
+    LshBuckets.register(spark)
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(100)(
+      Seq.fill(1 + rnd.nextInt(64))((rnd.nextFloat() - 0.5f) * rnd.nextInt(20)))
+    val mismatch = vecs.toDF("v")
+      .select(
+        LshBuckets.lshBucket(col("v"), 12, 42L).as("fused"),
+        Similarity.hyperplaneBucketComposable(col("v"), 12, 42L)
+          .as("composable"))
+      .filter(col("fused") =!= col("composable"))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("identical vectors always share a bucket; probe set contains center") {
     LshBuckets.register(spark)
     val b = emb.limit(5)
