@@ -67,4 +67,39 @@ object CorpusPipeline {
     // tier 4: token accounting
     survivors.withColumn("tokens", TextAnalysis.tokenCountRe(col("text")))
   }
+
+  /** The DAILY-BATCH form of [[curate]]: gate an incoming batch against
+    * the persisted corpus state instead of re-curating the corpus.
+    *
+    *   1. same expression-level filters (narrow map, no shuffle);
+    *   2. exact novelty gate vs the corpus hash store
+    *      (Dedup.exactIncremental — also drops in-batch exact dups);
+    *   3. near-dup novelty gate vs the corpus signature store
+    *      (Dedup.minhashIncremental);
+    *   4. token accounting on what survived.
+    *
+    * Each gate's store is bucketed so its corpus side never reshuffles:
+    * per-day cost scales with the batch, never the corpus. In-batch
+    * NEAR-dups are deliberately left to the next full [[curate]] sweep —
+    * resolving them needs the CC tier, and a daily batch is small enough
+    * that the weekly/monthly full sweep catches them.
+    */
+  def curateIncremental(batch: DataFrame, storeTable: String,
+                        storePath: String, cfg: Config = Config()): DataFrame = {
+    val filtered = batch
+      .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
+      .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+      .localCheckpoint() // consumed by both gates' joins below
+    val exactNew = filtered.join(
+      Dedup.exactIncremental(filtered, "doc_id", "text",
+        s"${storeTable}_exact", s"$storePath/exact").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val novel = Dedup.minhashIncremental(
+      Dedup.minhashSignatures(exactNew, "doc_id", "text",
+        cfg.minhashBits, cfg.shingleN),
+      "doc_id", s"${storeTable}_mh", s"$storePath/mh",
+      cfg.lshBands, cfg.minEstJaccard)
+    exactNew.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("tokens", TextAnalysis.tokenCountRe(col("text")))
+  }
 }

@@ -34,6 +34,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(tokens > 0)
   }
 
+  test("curateIncremental: day-2 batch gated against day-1 state") {
+    val table = s"spec_curinc_${System.nanoTime()}"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_curinc_spec").toString
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.3)
+    val base = "the quick brown fox jumps over the lazy dog and the cat " * 4
+    val other = "the completely different corpus of text about engines and the data " * 4
+
+    val day1 = Seq((10L, base), (11L, base), (12L, other))
+      .toDF("doc_id", "text")
+    val s1 = CorpusPipeline.curateIncremental(day1, table, path, cfg)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(10L, 12L)) // 11 is an in-batch exact dup
+
+    val day2 = Seq(
+      (20L, other),                          // exact dup of stored 12
+      (21L, base.replace("lazy", "late")),   // near dup of stored 10
+      (22L, "the fresh novel document about the weather and the sea and the sky " * 4),
+      (23L, "!!! ??? !!!")                   // fails the quality filter
+    ).toDF("doc_id", "text")
+    val s2 = CorpusPipeline.curateIncremental(day2, table, path, cfg)
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(22L))
+    assert(s2.select("tokens").as[Int].head() > 0)
+    for (t <- Seq(s"${table}_exact", s"${table}_mh_bands", s"${table}_mh_sigs"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("curate on the real corpus shrinks it and is deterministic") {
     val docs = graft.Tables(spark, sf, "documents")
     val out1 = CorpusPipeline.curate(docs, CorpusPipeline.Config(
