@@ -192,40 +192,6 @@ object DedupQueries {
       None,
       "filter -> exact dedup -> MinHash/LSH near-dup -> connected components -> token accounting"),
 
-    // ----- incremental curation composition (no SQL oracle) -----
-    // The daily-batch E2E: the even-id half of the corpus seeds the
-    // per-call stores as day 1, the odd-id half runs as day 2 through
-    // filter -> exact novelty gate -> MinHash novelty gate -> token
-    // accounting. Rows-only like q45 (real signatures aren't
-    // SQL-expressible); each gate's machinery is oracled by q68/q69.
-    "q71_curate_incremental" -> Q(
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val cfg = graft.pipelines.CorpusPipeline.Config(
-          langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0)
-        val table = s"graft_curinc_${java.util.UUID.randomUUID()
-          .toString.replace("-", "")}"
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), table).getPath
-        graft.pipelines.CorpusPipeline.curateIncremental(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), table, path, cfg)
-        val survivors = graft.pipelines.CorpusPipeline.curateIncremental(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1), table, path, cfg)
-          .select("doc_id", "tokens").orderBy("doc_id")
-          // the gates materialize eagerly, but `survivors` itself is a
-          // lazy semi-join over checkpoints — force it before the stores
-          // are dropped below
-          .localCheckpoint()
-        for (t <- Seq(s"${table}_exact", s"${table}_mh_bands",
-            s"${table}_mh_sigs"))
-          s.sql(s"DROP TABLE IF EXISTS $t")
-        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(path), true)
-        survivors
-      },
-      None,
-      "daily-batch incremental curation: filter -> exact gate -> MinHash gate"),
-
     // ----- SimHash near-dup candidates (no SQL oracle) -----
     "q38_simhash" -> Q(
       (s, dir) => Dedup.simhashCandidates(
