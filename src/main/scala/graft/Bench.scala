@@ -146,7 +146,7 @@ object Bench {
     // (from BOTH sides) and is reported next to the full ratio.
     val iterativeFixtures = Set("q59_cc_fixture", "q61_cc_deep_fixture",
       "q68_dedup_incremental", "q69_minhash_incremental",
-      "q70_embedding_incremental")
+      "q70_embedding_incremental", "q72_simhash_incremental")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !iterativeFixtures(k) => v }.sum

@@ -139,6 +139,52 @@ object DedupQueries {
           |ORDER BY vec_id""".stripMargin),
       "batch-vs-vector-store novelty gate through real sign-LSH + cosine"),
 
+    // ----- incremental SimHash novelty gate vs fingerprint store -----
+    // q58's modular fingerprints make the incremental band+hamming
+    // machinery closed-form: band b of fp(id) is id mod 8/16/32/64, so
+    // fp(a) == fp(b) iff a ≡ b (mod 64), and an odd id differs from
+    // every even id in ALL FOUR fields (parity differs under each
+    // modulus) — hamming ≥ 4 > maxDist = 3. The store seeds the even
+    // ids; the batch is the odd ids plus COPIES of even ids 0..49
+    // (original's fingerprint, shifted id; hamming 0 → gated). Survivors
+    // = exactly the odd ids: leaked copies or vanished odd ids both fail
+    // the oracle. Store tables are per-call and dropped before returning.
+    "q72_simhash_incremental" -> Q(
+      (s, dir) => {
+        def fpOf(idc: org.apache.spark.sql.Column) =
+          pmod(idc, lit(8L)) + pmod(idc, lit(16L)) * 65536L +
+            pmod(idc, lit(32L)) * 4294967296L +
+            pmod(idc, lit(64L)) * 281474976710656L
+        val ids = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"))
+        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val table = s"graft_incsh_$uid"
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), table).getPath
+        Dedup.simhashIncremental(
+          ids.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(col("doc_id"), fpOf(col("doc_id")).as("simhash")),
+          "doc_id", table, path, maxDist = 3)
+        val batch = ids.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), fpOf(col("doc_id")).as("simhash"))
+          .unionByName(ids
+            .filter(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") < 50)
+            .select((col("doc_id") + 1000).as("doc_id"),
+              fpOf(col("doc_id")).as("simhash")))
+        val survivors = Dedup.simhashIncremental(batch, "doc_id",
+          table, path, maxDist = 3)
+        s.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_fps")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        survivors.select("doc_id").orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id FROM documents
+          |WHERE doc_id < 200 AND doc_id % 2 = 1
+          |ORDER BY doc_id""".stripMargin),
+      "batch-vs-fingerprint-store novelty gate; 8 bytes of state per doc"),
+
     // ----- n-gram Jaccard near-dup, bounded candidate set -----
     "q36_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccard(

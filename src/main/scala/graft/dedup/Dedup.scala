@@ -540,6 +540,68 @@ object Dedup {
     out
   }
 
+  /** Incremental SimHash novelty gate against a persisted fingerprint
+    * store — the cheapest member of the incremental tier (8 bytes of
+    * state per corpus document vs 16 for [[exactIncremental]]'s hash and
+    * 256 for [[minhashIncremental]]'s signature). Batch rows whose
+    * 64-bit fingerprint is within `maxDist` Hamming bits of a stored one
+    * (candidates via 16-bit band equality — pigeonhole covers maxDist≤3)
+    * are gated; survivors' band rows + fingerprints are appended.
+    *
+    * Store layout mirrors [[minhashIncremental]]: bands bucketed on
+    * (band, bkey), fingerprints bucketed on the id; only the batch side
+    * ever shuffles.
+    */
+  def simhashIncremental(batchFp: DataFrame, idCol: String,
+                         storeTable: String, storePath: String,
+                         maxDist: Int = 3, maxBucket: Int = 500,
+                         nBuckets: Int = 8): DataFrame = {
+    val s = batchFp.sparkSession
+    val bandsT = s"${storeTable}_bands"
+    val fpsT = s"${storeTable}_fps"
+    def bandRows(fp: DataFrame) =
+      fp.select(col(idCol),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
+          .as(Seq("band", "bkey")))
+    val batchBands = capBuckets(bandRows(batchFp),
+      Seq("band", "bkey"), maxBucket, "simhashIncremental")
+    val storeExists = s.catalog.tableExists(bandsT)
+    val novel =
+      if (!storeExists) batchFp
+      else {
+        val dupIds = batchBands
+          .select(col(idCol).as("id1"), col("band"), col("bkey"))
+          .join(s.table(bandsT).hint("merge")
+            .select(col(idCol).as("id2"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .select("id1", "id2").distinct()
+          .join(batchFp.select(col(idCol).as("id1"), col("simhash").as("__f1")),
+            "id1")
+          .join(s.table(fpsT).hint("merge")
+            .select(col(idCol).as("id2"), col("simhash").as("__f2")), "id2")
+          .filter(bit_count(col("__f1").bitwiseXOR(col("__f2"))) <= maxDist)
+          .select(col("id1").as(idCol)).distinct()
+        batchFp.join(dupIds, Seq(idCol), "left_anti")
+      }
+    // materialized once: returned to the caller and appended below
+    val out = novel.localCheckpoint()
+    if (!storeExists) {
+      graft.pipelines.Sinks.reloadBucketedBy(
+        bandRows(out), bandsT, s"$storePath/bands", Seq("band", "bkey"),
+        nBuckets)
+      graft.pipelines.Sinks.reloadBucketedBy(
+        out, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
+    } else {
+      graft.pipelines.Sinks.appendBucketedBy(
+        bandRows(out), bandsT, s"$storePath/bands", Seq("band", "bkey"),
+        nBuckets)
+      graft.pipelines.Sinks.appendBucketedBy(
+        out, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
+    }
+    out
+  }
+
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
     * shingle, scored |A∩B| / |A∪B|. Quadratic in posting-list size — use
     * after LSH pruning or on bounded candidate sets.

@@ -99,6 +99,26 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
   }
 
+  test("simhashIncremental gates within-maxDist fingerprints") {
+    val (table, path) = freshStore()
+    val b1 = Seq((1L, 0xF0F0L), (2L, 0x0F0FL)).toDF("doc_id", "simhash")
+    val s1 = Dedup.simhashIncremental(b1, "doc_id", table, path, maxDist = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(1L, 2L))
+
+    val b2 = Seq(
+      (10L, 0xF0F0L), // identical to stored 1 -> gated
+      (11L, 0xF0F1L), // 1 bit from stored 1 -> gated (maxDist 3)
+      (12L, 0xFF00L)  // 8 bits from both -> survives
+    ).toDF("doc_id", "simhash")
+    val s2 = Dedup.simhashIncremental(b2, "doc_id", table, path, maxDist = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(12L))
+    assert(spark.table(s"${table}_fps").count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_fps")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+  }
+
   test("anti-join shuffles only the batch side") {
     val (table, path) = freshStore()
     Dedup.exactIncremental(
