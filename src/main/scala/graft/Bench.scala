@@ -24,8 +24,12 @@ import org.apache.spark.sql.SparkSession
   *    that dominates at toy scale amortizes away, which is the scaling
   *    story the 100 TB design argues.
   *
-  * After the JSON line, PLANS.md is regenerated via PlanAudit so the plan
-  * audit can never go stale relative to the catalog.
+  * PLANS.md is regenerated via PlanAudit on every run so the plan audit
+  * can never go stale relative to the catalog. The audit runs BEFORE the
+  * JSON line is printed: the metric line must be the LAST thing on
+  * stdout, because the driver records only a bounded tail of the run's
+  * output — in round 5 the audit's log chatter printed after the metric
+  * line and pushed it out of the recorded tail entirely.
   */
 object Bench {
 
@@ -117,7 +121,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: per-query function registration emits a WARN per
+    // re-registration, and hundreds of those can crowd the bounded output
+    // tail the driver keeps (the metric line must survive in it).
+    spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
@@ -183,7 +190,7 @@ object Bench {
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")))
       }
 
-    println(jobj(Seq(
+    val metricLine = jobj(Seq(
       "metric" -> jstr("total"),
       "value" -> jnum(total),
       "unit" -> jstr("sec"),
@@ -199,7 +206,7 @@ object Bench {
       "duckdb_queries" -> duckMain.map(d =>
         jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null"),
       "sf" -> jstr(sfDir),
-      "sf1" -> sf1Block)))
+      "sf1" -> sf1Block))
 
     // regenerate the plan audit with every bench so it cannot go stale;
     // audit at the smallest SF available (plans don't depend on volume)
@@ -211,6 +218,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan audit failed: ${e.toString.take(200)}")
     }
+
+    // also persist the metric line so it survives independently of stdout
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (metricLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
+    // the metric line is printed LAST (see scaladoc): nothing may follow
+    // it on stdout or it risks falling out of the driver's recorded tail
+    println(metricLine)
+    System.out.flush()
     spark.stop()
   }
 }
