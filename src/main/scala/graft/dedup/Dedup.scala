@@ -109,26 +109,41 @@ object Dedup {
   def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
                        storeTable: String, storePath: String,
                        nBuckets: Int = 8): DataFrame = {
+    // materialized once: both returned to the caller and appended below
+    val out = exactGate(batch, idCol, textCol, storeTable).localCheckpoint()
+    appendHashStore(out, storeTable, storePath, nBuckets)
+    out
+  }
+
+  /** The read-only half of [[exactIncremental]]: canonical (min-id,
+    * text_hash) batch rows whose text is corpus-new. No writes — callers
+    * that need survivors durable before the store advances (e.g. the
+    * streaming gate, which must order its sink write first for replay
+    * idempotence) sequence [[appendHashStore]] themselves.
+    */
+  def exactGate(batch: DataFrame, idCol: String, textCol: String,
+                storeTable: String): DataFrame = {
     val s = batch.sparkSession
     val inBatch = batch
       .select(col(idCol), md5(col(textCol)).as("text_hash"))
       .groupBy("text_hash").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("text_hash"))
-    val storeExists = s.catalog.tableExists(storeTable)
-    val fresh =
-      if (!storeExists) inBatch
-      else inBatch.join(s.table(storeTable).hint("merge"),
-        Seq("text_hash"), "left_anti")
-    // materialized once: both returned to the caller and appended below
-    val out = fresh.localCheckpoint()
-    if (!storeExists)
+    if (!s.catalog.tableExists(storeTable)) inBatch
+    else inBatch.join(s.table(storeTable).hint("merge"),
+      Seq("text_hash"), "left_anti")
+  }
+
+  /** The write half of [[exactIncremental]]: seed or extend the bucketed
+    * corpus hash store with this batch's surviving (id, text_hash) rows.
+    */
+  def appendHashStore(keys: DataFrame, storeTable: String,
+                      storePath: String, nBuckets: Int = 8): Unit =
+    if (!keys.sparkSession.catalog.tableExists(storeTable))
       graft.pipelines.Sinks.reloadBucketed(
-        out, storeTable, storePath, "text_hash", nBuckets)
+        keys, storeTable, storePath, "text_hash", nBuckets)
     else
       graft.pipelines.Sinks.appendBucketedBy(
-        out, storeTable, storePath, Seq("text_hash"), nBuckets)
-    out
-  }
+        keys, storeTable, storePath, Seq("text_hash"), nBuckets)
 
   /** Incremental near-dup novelty filter against a persisted MinHash
     * signature store — "which of today's documents are new vs the
@@ -615,7 +630,11 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, minJaccard: Double = 0.2,
                    maxPosting: Int = 500): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // The distinct shingle frame feeds four consumers (the cap's hot-bucket
+    // stats action, per-doc sizes, and both sides of the self-join);
+    // checkpoint it once so the explode+distinct shuffle runs once, not
+    // per consumer.
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val idx = capBuckets(sh, Seq("shingle"), maxPosting, "ngramJaccard")
     val inter = idx.select(col(idCol).as("id1"), col("shingle"))

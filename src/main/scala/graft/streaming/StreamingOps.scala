@@ -51,6 +51,43 @@ object StreamingOps {
       batch: DataFrame, batchId: Long): Unit =
     Sinks.upsertByKey(batch.sparkSession, batch.dropDuplicates(key), path, key)
 
+  /** Streaming corpus novelty gate: each micro-batch of documents dedups
+    * against the persisted corpus hash store ([[graft.dedup.Dedup
+    * .exactGate]]) and appends only corpus-new documents to `outPath` —
+    * the streaming form of the curation pipeline's daily-batch ingest.
+    * Use as `docs.writeStream.foreachBatch(noveltyGateEachBatch(...) _)`.
+    *
+    * Dedup state lives in the bucketed store TABLE, not in streaming
+    * state: it is shared with the batch-side [[graft.dedup.Dedup
+    * .exactIncremental]], unbounded watermark-free history costs 16
+    * bytes/doc, and the store side of the anti-join never reshuffles.
+    *
+    * Replay safety (a micro-batch can re-run after a crash), without a
+    * transactional sink, comes from ordering + idempotent writes:
+    *  1. survivors land in `outPath` under a `__batch_id=<id>` partition
+    *     with dynamic partition-overwrite — a replayed batch overwrites
+    *     its OWN partition with identical content, never duplicating;
+    *  2. the hash store advances only AFTER the sink write. A crash
+    *     between the two replays the batch against the unchanged store:
+    *     same survivors, same partition, then the store append runs.
+    *     (The reverse order would gate the replayed batch to zero
+    *     survivors and silently DROP its documents from the sink.)
+    */
+  def noveltyGateEachBatch(idCol: String, textCol: String,
+                           storeTable: String, storePath: String,
+                           outPath: String, nBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val fresh = graft.dedup.Dedup
+      .exactGate(batch, idCol, textCol, storeTable)
+      .localCheckpoint() // one materialization feeds the sink AND the store
+    batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi")
+      .withColumn("__batch_id", lit(batchId))
+      .write.partitionBy("__batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outPath)
+    graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath, nBuckets)
+  }
+
   final case class KeyCount(key: String, total: Long)
 
   /** Custom state via `mapGroupsWithState`: per-key running totals that

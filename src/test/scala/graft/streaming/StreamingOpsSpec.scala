@@ -88,6 +88,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "Yes"), (2, "No")))
   }
 
+  test("noveltyGateEachBatch: stream dedups against the persisted corpus store") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-novelty")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"novelty_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.noveltyGateEachBatch(
+          "doc_id", "text", table, storePath, outPath) _)
+        .outputMode("update").start()
+      // batch 1 seeds the store; 10 and 11 share a text -> min-id canon
+      input.addData((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+      query.processAllAvailable()
+      // batch 2: two corpus dups (gated) + one genuinely new doc
+      input.addData((20L, "alpha"), (21L, "beta"), (22L, "gamma"))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      // survivors: canonical alpha + beta from batch 1, gamma from batch 2
+      assert(got.toSeq == Seq(
+        (10L, "alpha", 0L), (12L, "beta", 0L), (22L, "gamma", 1L)))
+      // the shared store now holds one 16-byte hash per distinct text
+      assert(spark.table(table).count() == 3)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("RunSummaryNotifier emits one run summary on query termination (S10)") {
     implicit val sqlCtx = spark.sqlContext
     val summaries = new java.util.concurrent.CopyOnWriteArrayList[String]()
