@@ -34,10 +34,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline queries for the larger-scale point: the fact-table agg, the
-    * dedup pipeline (shuffle-heavy), and the embedding top-k (codegen).
+    * dedup pipelines (shuffle-heavy), the fingerprint + banded-LSH tiers,
+    * and the embedding top-k (codegen). Only queries whose input grows
+    * with SF belong here — fixture-capped entries (doc_id < 100 etc.)
+    * are scale-invariant and would just restate the sf0.1 number.
     */
   private val headline = Seq("q12_pricing_summary", "q37_minhash_lsh",
-    "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native")
+    "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native",
+    "q38_simhash", "q64_embedding_neardup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

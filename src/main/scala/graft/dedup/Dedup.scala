@@ -164,47 +164,67 @@ object Dedup {
                          storeTable: String, storePath: String,
                          bands: Int, minEstJaccard: Double,
                          maxBucket: Int = 500, nBuckets: Int = 8): DataFrame = {
+    // materialized once: returned to the caller and appended below
+    val out = minhashGate(batchSig, idCol, storeTable, bands, minEstJaccard,
+      maxBucket).localCheckpoint()
+    appendSigStore(out, idCol, storeTable, storePath, bands, nBuckets)
+    out
+  }
+
+  /** The read-only half of [[minhashIncremental]]: batch signature rows
+    * with no stored near-neighbor. No writes — streaming callers sink the
+    * survivors durably first, then [[appendSigStore]].
+    */
+  def minhashGate(batchSig: DataFrame, idCol: String, storeTable: String,
+                  bands: Int, minEstJaccard: Double,
+                  maxBucket: Int = 500): DataFrame = {
     val s = batchSig.sparkSession
     val bandsT = s"${storeTable}_bands"
     val sigsT = s"${storeTable}_sigs"
-    val batchBands = capBuckets(bandRowsOf(batchSig, idCol, bands),
-      Seq("band", "bkey"), maxBucket, "minhashIncremental")
-    val storeExists = s.catalog.tableExists(bandsT)
-    val novel =
-      if (!storeExists) batchSig
-      else {
-        val pairs = batchBands
-          .select(col(idCol).as("id1"), col("band"), col("bkey"))
-          .join(s.table(bandsT).hint("merge")
-            .select(col(idCol).as("id2"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .select("id1", "id2").distinct()
-        val dupIds = pairs
-          .join(batchSig.select(col(idCol).as("id1"), col("sig").as("sig1")),
-            "id1")
-          .join(s.table(sigsT).hint("merge")
-            .select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
-          .filter(
-            size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-              x => x)) / size(col("sig1")) >= minEstJaccard)
-          .select(col("id1").as(idCol)).distinct()
-        batchSig.join(dupIds, Seq(idCol), "left_anti")
-      }
-    // materialized once: returned to the caller and appended below
-    val out = novel.localCheckpoint()
-    val outBands = bandRowsOf(out, idCol, bands)
-    if (!storeExists) {
+    if (!s.catalog.tableExists(bandsT)) batchSig
+    else {
+      val batchBands = capBuckets(bandRowsOf(batchSig, idCol, bands),
+        Seq("band", "bkey"), maxBucket, "minhashIncremental")
+      val pairs = batchBands
+        .select(col(idCol).as("id1"), col("band"), col("bkey"))
+        .join(s.table(bandsT).hint("merge")
+          .select(col(idCol).as("id2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("id1", "id2").distinct()
+      val dupIds = pairs
+        .join(batchSig.select(col(idCol).as("id1"), col("sig").as("sig1")),
+          "id1")
+        .join(s.table(sigsT).hint("merge")
+          .select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
+        .filter(
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+            x => x)) / size(col("sig1")) >= minEstJaccard)
+        .select(col("id1").as(idCol)).distinct()
+      batchSig.join(dupIds, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** The write half of [[minhashIncremental]]: seed or extend the band +
+    * signature stores with this batch's surviving signature rows.
+    */
+  def appendSigStore(sigs: DataFrame, idCol: String, storeTable: String,
+                     storePath: String, bands: Int,
+                     nBuckets: Int = 8): Unit = {
+    val s = sigs.sparkSession
+    val bandsT = s"${storeTable}_bands"
+    val sigsT = s"${storeTable}_sigs"
+    val outBands = bandRowsOf(sigs, idCol, bands)
+    if (!s.catalog.tableExists(bandsT)) {
       graft.pipelines.Sinks.reloadBucketedBy(
         outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
       graft.pipelines.Sinks.reloadBucketedBy(
-        out, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
+        sigs, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
     } else {
       graft.pipelines.Sinks.appendBucketedBy(
         outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
       graft.pipelines.Sinks.appendBucketedBy(
-        out, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
+        sigs, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
     }
-    out
   }
 
   /** 61-bit shingle-hash space for the exact-Jaccard tier: large enough

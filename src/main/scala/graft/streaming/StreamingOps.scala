@@ -80,13 +80,49 @@ object StreamingOps {
     val fresh = graft.dedup.Dedup
       .exactGate(batch, idCol, textCol, storeTable)
       .localCheckpoint() // one materialization feeds the sink AND the store
-    batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi")
+    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath, nBuckets)
+  }
+
+  /** [[noveltyGateEachBatch]]'s near-dup sibling: each micro-batch is
+    * MinHash-signed and gated against the persisted signature store
+    * ([[graft.dedup.Dedup.minhashGate]]); only documents with no stored
+    * near-neighbor reach `outPath`, and their signatures extend the store
+    * so later batches see them. Same replay-safety ordering: idempotent
+    * batch-partitioned sink write first, store append after. Note the
+    * gate is corpus-vs-batch only — near-dups WITHIN one micro-batch all
+    * survive (in-batch dedup is the batch-local tiers' job).
+    */
+  def minhashNoveltyGateEachBatch(idCol: String, textCol: String,
+                                  storeTable: String, storePath: String,
+                                  outPath: String, numHashes: Int = 32,
+                                  shingleN: Int = 5, bands: Int = 4,
+                                  minEstJaccard: Double = 0.8,
+                                  nBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val sig = graft.dedup.Dedup
+      .minhashSignatures(batch, idCol, textCol, numHashes, shingleN)
+    val fresh = graft.dedup.Dedup
+      .minhashGate(sig, idCol, storeTable, bands, minEstJaccard)
+      .localCheckpoint()
+    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    graft.dedup.Dedup.appendSigStore(fresh, idCol, storeTable, storePath,
+      bands, nBuckets)
+  }
+
+  /** Replay-idempotent survivor write shared by the novelty gates: the
+    * batch's surviving full rows land under a `__batch_id=<id>` partition
+    * with dynamic partition-overwrite, so a replayed micro-batch
+    * overwrites its own partition with identical content.
+    */
+  private def gatedSinkWrite(batch: DataFrame, idCol: String,
+                             freshKeys: DataFrame, outPath: String,
+                             batchId: Long): Unit =
+    batch.join(freshKeys.select(col(idCol)), Seq(idCol), "left_semi")
       .withColumn("__batch_id", lit(batchId))
       .write.partitionBy("__batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outPath)
-    graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath, nBuckets)
-  }
 
   final case class KeyCount(key: String, total: Long)
 

@@ -123,6 +123,44 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashNoveltyGateEachBatch: near-dup stream docs are gated by the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mh-novelty")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"mh_novelty_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs before the dawn comes"
+    val textC = "sphinx of black quartz judge my vow under the evening stars"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.minhashNoveltyGateEachBatch(
+          "doc_id", "text", table, storePath, outPath,
+          minEstJaccard = 0.9) _)
+        .outputMode("update").start()
+      input.addData((1L, textA), (2L, textB)) // seeds the signature store
+      query.processAllAvailable()
+      // batch 2: an exact copy of textA (every signature position agrees
+      // -> est 1.0 >= 0.9, gated) and an unrelated text (survives)
+      input.addData((10L, textA), (11L, textC))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "__batch_id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (11L, 1L)))
+      // signature store holds exactly the three survivors
+      assert(spark.table(s"${table}_sigs").count() == 3)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("RunSummaryNotifier emits one run summary on query termination (S10)") {
     implicit val sqlCtx = spark.sqlContext
     val summaries = new java.util.concurrent.CopyOnWriteArrayList[String]()
