@@ -39,13 +39,21 @@ object CorpusPipeline {
       .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
       .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
 
-    // tier 2: exact dedup (keep min doc_id per identical text).
+    // tier 2: exact dedup (keep min doc_id per identical text) in ONE
+    // pass: group full rows on the 16-byte text hash, keep min_by doc_id.
+    // vs the exact()+semi-join-back form: the tier-1 expressions evaluate
+    // once instead of once per join branch, the doc_id-keyed join shuffle
+    // disappears, and map-side partial min_by means at most one candidate
+    // row per (hash, task) reaches the exchange — on a deduplicated-ish
+    // corpus the shuffle carries ~distinct rows, not the corpus.
     // localCheckpoint: every later tier (signatures, bands, verify, CC
     // iterations, final semi-join) consumes this frame — without
     // materialization each downstream action would re-run tiers 1-2.
-    val exactKept = filtered.join(
-      Dedup.exact(filtered, "doc_id", "text").select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    val exactKept = filtered
+      .groupBy(md5(col("text")).as("__text_hash"))
+      .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id"))
+        .as("__doc"))
+      .select(col("__doc.*"))
       .localCheckpoint()
 
     // tier 3: near-dup clusters -> canonical survivor per cluster

@@ -41,9 +41,12 @@ object ProfilePipeline {
       .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
       .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
     val exactKept = timed("tier1+2 filter+exact dedup") {
-      val f = filtered.join(
-        Dedup.exact(filtered, "doc_id", "text").select("doc_id"),
-        Seq("doc_id"), "left_semi").localCheckpoint()
+      val f = filtered
+        .groupBy(md5(col("text")).as("__text_hash"))
+        .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id"))
+          .as("__doc"))
+        .select(col("__doc.*"))
+        .localCheckpoint()
       f.count(); f
     }
     val sig = timed("minhash signatures") {
