@@ -526,53 +526,76 @@ object Dedup {
                            minCosine: Double, nPlanes: Int = 32,
                            bands: Int = 4, maxBucket: Int = 1000,
                            nBuckets: Int = 8): DataFrame = {
+    // materialized once: returned to the caller and appended below
+    val out = embeddingGate(batch, idCol, vecCol, storeTable, minCosine,
+      nPlanes, bands, maxBucket).localCheckpoint()
+    appendVecStore(out, idCol, vecCol, storeTable, storePath, nPlanes,
+      bands, nBuckets)
+    out
+  }
+
+  /** The read-only half of [[embeddingIncremental]]: batch (id, vector)
+    * rows with no stored vector at cosine >= `minCosine`. No writes.
+    */
+  def embeddingGate(batch: DataFrame, idCol: String, vecCol: String,
+                    storeTable: String, minCosine: Double,
+                    nPlanes: Int = 32, bands: Int = 4,
+                    maxBucket: Int = 1000): DataFrame = {
     val s = batch.sparkSession
     val bandsT = s"${storeTable}_bands"
     val vecsT = s"${storeTable}_vecs"
     val bucketed = graft.similarity.Similarity
       .withBuckets(batch.select(col(idCol), col(vecCol)), vecCol, nPlanes)
-    val batchBands = capBuckets(
-      vectorBandRows(bucketed, idCol, nPlanes, bands),
-      Seq("band", "bkey"), maxBucket, "embeddingIncremental")
-    val storeExists = s.catalog.tableExists(bandsT)
-    graft.functions.Vectors.register(s)
-    val novel =
-      if (!storeExists) bucketed.select(col(idCol), col(vecCol))
-      else {
-        val pairs = batchBands
-          .select(col(idCol).as("id1"), col("band"), col("bkey"))
-          .join(s.table(bandsT).hint("merge")
-            .select(col(idCol).as("id2"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .select("id1", "id2").distinct()
-        val dupIds = pairs
-          .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")),
-            "id1")
-          .join(s.table(vecsT).hint("merge")
-            .select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
-          .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
-            >= minCosine)
-          .select(col("id1").as(idCol)).distinct()
-        bucketed.select(col(idCol), col(vecCol))
-          .join(dupIds, Seq(idCol), "left_anti")
-      }
-    // materialized once: returned to the caller and appended below
-    val out = novel.localCheckpoint()
+    if (!s.catalog.tableExists(bandsT))
+      bucketed.select(col(idCol), col(vecCol))
+    else {
+      val batchBands = capBuckets(
+        vectorBandRows(bucketed, idCol, nPlanes, bands),
+        Seq("band", "bkey"), maxBucket, "embeddingIncremental")
+      graft.functions.Vectors.register(s)
+      val pairs = batchBands
+        .select(col(idCol).as("id1"), col("band"), col("bkey"))
+        .join(s.table(bandsT).hint("merge")
+          .select(col(idCol).as("id2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("id1", "id2").distinct()
+      val dupIds = pairs
+        .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")),
+          "id1")
+        .join(s.table(vecsT).hint("merge")
+          .select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+        .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
+          >= minCosine)
+        .select(col("id1").as(idCol)).distinct()
+      bucketed.select(col(idCol), col(vecCol))
+        .join(dupIds, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** The write half of [[embeddingIncremental]]: seed or extend the band
+    * + vector stores with this batch's surviving (id, vector) rows.
+    */
+  def appendVecStore(vecs: DataFrame, idCol: String, vecCol: String,
+                     storeTable: String, storePath: String,
+                     nPlanes: Int = 32, bands: Int = 4,
+                     nBuckets: Int = 8): Unit = {
+    val s = vecs.sparkSession
+    val bandsT = s"${storeTable}_bands"
+    val vecsT = s"${storeTable}_vecs"
     val outBands = vectorBandRows(
-      graft.similarity.Similarity.withBuckets(out, vecCol, nPlanes),
+      graft.similarity.Similarity.withBuckets(vecs, vecCol, nPlanes),
       idCol, nPlanes, bands)
-    if (!storeExists) {
+    if (!s.catalog.tableExists(bandsT)) {
       graft.pipelines.Sinks.reloadBucketedBy(
         outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
       graft.pipelines.Sinks.reloadBucketedBy(
-        out, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
+        vecs, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
     } else {
       graft.pipelines.Sinks.appendBucketedBy(
         outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
       graft.pipelines.Sinks.appendBucketedBy(
-        out, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
+        vecs, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
     }
-    out
   }
 
   /** Incremental SimHash novelty gate against a persisted fingerprint
@@ -591,50 +614,71 @@ object Dedup {
                          storeTable: String, storePath: String,
                          maxDist: Int = 3, maxBucket: Int = 500,
                          nBuckets: Int = 8): DataFrame = {
+    // materialized once: returned to the caller and appended below
+    val out = simhashGate(batchFp, idCol, storeTable, maxDist, maxBucket)
+      .localCheckpoint()
+    appendFpStore(out, idCol, storeTable, storePath, nBuckets)
+    out
+  }
+
+  /** 16-bit band rows of a (id, simhash) frame — the pigeonhole candidate
+    * key shared by the batch and incremental SimHash tiers.
+    */
+  private def simhashBandRows(fp: DataFrame, idCol: String): DataFrame =
+    fp.select(col(idCol),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
+        .as(Seq("band", "bkey")))
+
+  /** The read-only half of [[simhashIncremental]]: batch fingerprint rows
+    * with no stored fingerprint within `maxDist` Hamming bits. No writes.
+    */
+  def simhashGate(batchFp: DataFrame, idCol: String, storeTable: String,
+                  maxDist: Int = 3, maxBucket: Int = 500): DataFrame = {
     val s = batchFp.sparkSession
     val bandsT = s"${storeTable}_bands"
     val fpsT = s"${storeTable}_fps"
-    def bandRows(fp: DataFrame) =
-      fp.select(col(idCol),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
-          .as(Seq("band", "bkey")))
-    val batchBands = capBuckets(bandRows(batchFp),
-      Seq("band", "bkey"), maxBucket, "simhashIncremental")
-    val storeExists = s.catalog.tableExists(bandsT)
-    val novel =
-      if (!storeExists) batchFp
-      else {
-        val dupIds = batchBands
-          .select(col(idCol).as("id1"), col("band"), col("bkey"))
-          .join(s.table(bandsT).hint("merge")
-            .select(col(idCol).as("id2"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .select("id1", "id2").distinct()
-          .join(batchFp.select(col(idCol).as("id1"), col("simhash").as("__f1")),
-            "id1")
-          .join(s.table(fpsT).hint("merge")
-            .select(col(idCol).as("id2"), col("simhash").as("__f2")), "id2")
-          .filter(bit_count(col("__f1").bitwiseXOR(col("__f2"))) <= maxDist)
-          .select(col("id1").as(idCol)).distinct()
-        batchFp.join(dupIds, Seq(idCol), "left_anti")
-      }
-    // materialized once: returned to the caller and appended below
-    val out = novel.localCheckpoint()
-    if (!storeExists) {
+    if (!s.catalog.tableExists(bandsT)) batchFp
+    else {
+      val batchBands = capBuckets(simhashBandRows(batchFp, idCol),
+        Seq("band", "bkey"), maxBucket, "simhashIncremental")
+      val dupIds = batchBands
+        .select(col(idCol).as("id1"), col("band"), col("bkey"))
+        .join(s.table(bandsT).hint("merge")
+          .select(col(idCol).as("id2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("id1", "id2").distinct()
+        .join(batchFp.select(col(idCol).as("id1"), col("simhash").as("__f1")),
+          "id1")
+        .join(s.table(fpsT).hint("merge")
+          .select(col(idCol).as("id2"), col("simhash").as("__f2")), "id2")
+        .filter(bit_count(col("__f1").bitwiseXOR(col("__f2"))) <= maxDist)
+        .select(col("id1").as(idCol)).distinct()
+      batchFp.join(dupIds, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** The write half of [[simhashIncremental]]: seed or extend the band +
+    * fingerprint stores with this batch's surviving rows.
+    */
+  def appendFpStore(fps: DataFrame, idCol: String, storeTable: String,
+                    storePath: String, nBuckets: Int = 8): Unit = {
+    val s = fps.sparkSession
+    val bandsT = s"${storeTable}_bands"
+    val fpsT = s"${storeTable}_fps"
+    if (!s.catalog.tableExists(bandsT)) {
       graft.pipelines.Sinks.reloadBucketedBy(
-        bandRows(out), bandsT, s"$storePath/bands", Seq("band", "bkey"),
-        nBuckets)
+        simhashBandRows(fps, idCol), bandsT, s"$storePath/bands",
+        Seq("band", "bkey"), nBuckets)
       graft.pipelines.Sinks.reloadBucketedBy(
-        out, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
+        fps, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
     } else {
       graft.pipelines.Sinks.appendBucketedBy(
-        bandRows(out), bandsT, s"$storePath/bands", Seq("band", "bkey"),
-        nBuckets)
+        simhashBandRows(fps, idCol), bandsT, s"$storePath/bands",
+        Seq("band", "bkey"), nBuckets)
       graft.pipelines.Sinks.appendBucketedBy(
-        out, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
+        fps, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
     }
-    out
   }
 
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1

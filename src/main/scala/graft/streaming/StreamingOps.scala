@@ -110,6 +110,45 @@ object StreamingOps {
       bands, nBuckets)
   }
 
+  /** The SimHash member of the streaming novelty-gate family: each
+    * micro-batch is fingerprinted ([[graft.dedup.Dedup.simhash]]) and
+    * gated against the persisted fingerprint store — documents within
+    * `maxDist` Hamming bits of a stored fingerprint are dropped. The
+    * cheapest streaming gate: 8 bytes of store state per corpus doc.
+    */
+  def simhashNoveltyGateEachBatch(idCol: String, textCol: String,
+                                  storeTable: String, storePath: String,
+                                  outPath: String, maxDist: Int = 3,
+                                  nBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val fp = graft.dedup.Dedup.simhash(batch, idCol, textCol)
+    val fresh = graft.dedup.Dedup
+      .simhashGate(fp, idCol, storeTable, maxDist)
+      .localCheckpoint()
+    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    graft.dedup.Dedup.appendFpStore(fresh, idCol, storeTable, storePath,
+      nBuckets)
+  }
+
+  /** The embedding member of the streaming novelty-gate family: each
+    * micro-batch of (id, vector) rows is gated against the persisted
+    * vector store via sign-LSH banded candidates + fused-codegen cosine
+    * verify; batch rows with a stored neighbor at cosine >= `minCosine`
+    * are dropped.
+    */
+  def embeddingNoveltyGateEachBatch(idCol: String, vecCol: String,
+                                    storeTable: String, storePath: String,
+                                    outPath: String, minCosine: Double,
+                                    nBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val fresh = graft.dedup.Dedup
+      .embeddingGate(batch, idCol, vecCol, storeTable, minCosine)
+      .localCheckpoint()
+    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    graft.dedup.Dedup.appendVecStore(fresh, idCol, vecCol, storeTable,
+      storePath)
+  }
+
   /** Replay-idempotent survivor write shared by the novelty gates: the
     * batch's surviving full rows land under a `__batch_id=<id>` partition
     * with dynamic partition-overwrite, so a replayed micro-batch

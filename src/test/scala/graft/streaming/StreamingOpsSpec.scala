@@ -161,6 +161,79 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhashNoveltyGateEachBatch: fingerprint-close stream docs are gated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-sh-novelty")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"sh_novelty_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs before the dawn comes"
+    val textC = "sphinx of black quartz judge my vow under the evening stars"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.simhashNoveltyGateEachBatch(
+          "doc_id", "text", table, storePath, outPath) _)
+        .outputMode("update").start()
+      input.addData((1L, textA), (2L, textB)) // seeds the fingerprint store
+      query.processAllAvailable()
+      // batch 2: an exact copy of textA (hamming 0 <= 3, gated) and an
+      // unrelated text (survives)
+      input.addData((10L, textA), (11L, textC))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "__batch_id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (11L, 1L)))
+      assert(spark.table(s"${table}_fps").count() == 3)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_fps")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("embeddingNoveltyGateEachBatch: cosine-close stream vectors are gated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-emb-novelty")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"emb_novelty_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val vA = Array(1f, 0f, 0f, 0f)
+    val vB = Array(0f, 1f, 0f, 0f)
+    val vC = Array(0f, 0f, 1f, 0f)
+    try {
+      val input = MemoryStream[(Long, Array[Float])]
+      val query = input.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch(StreamingOps.embeddingNoveltyGateEachBatch(
+          "vec_id", "embedding", table, storePath, outPath,
+          minCosine = 0.95) _)
+        .outputMode("update").start()
+      input.addData((1L, vA), (2L, vB)) // seeds the vector store
+      query.processAllAvailable()
+      // batch 2: an exact copy of vA (cosine 1.0, shares every band ->
+      // gated) and an orthogonal vector (cosine 0 -> survives)
+      input.addData((10L, vA), (11L, vC))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("vec_id", "__batch_id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (11L, 1L)))
+      assert(spark.table(s"${table}_vecs").count() == 3)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("RunSummaryNotifier emits one run summary on query termination (S10)") {
     implicit val sqlCtx = spark.sqlContext
     val summaries = new java.util.concurrent.CopyOnWriteArrayList[String]()
