@@ -7,6 +7,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Prints ONE JSON line the driver records as
   * BENCH_r{N}.json.
   *
+  * The driver records only the last ~2000 characters of the run's
+  * output, and sbt prints its own `[success] Total time: ...` line
+  * after ours — so the stdout metric line must stay comfortably under
+  * that budget or its head gets truncated and the driver can't parse
+  * it (this is exactly what voided the official BENCH_r05/r06
+  * records). The stdout line therefore uses SHORT query keys (`q45`
+  * for `q45_curate_corpus`), 3-decimal times, truncated error strings
+  * and scalar-only duckdb summaries, with a hard guard that drops the
+  * per-query map rather than ever exceeding the budget. The FULL
+  * detail (long names, per-query duckdb medians) is written to
+  * BENCH_LOCAL.json.
+  *
   * Credibility rules (each query's number must mean something):
   *  - one untimed warm-up pass (JIT + codegen cache + parquet footers),
   *    reported separately as `warmup_sec`;
@@ -64,6 +76,19 @@ object Bench {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "-1" else BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** 3-decimal variant for the size-bounded stdout line. */
+  private def jnum3(d: Double): String =
+    if (d.isNaN || d.isInfinite) "-1" else BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** `q45_curate_corpus` → `q45`. Every catalog name is `qNN_...` with a
+    * unique number, so the short key stays unambiguous.
+    */
+  private def shortKey(name: String): String = {
+    val i = name.indexOf('_')
+    if (i > 0) name.substring(0, i) else name
+  }
 
   /** `reps` timed passes over `names`; per-query medians + error map. */
   private def timeQueries(spark: SparkSession, sfDir: String,
@@ -174,36 +199,58 @@ object Bench {
     // keeps the whole bench bounded.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "data/sf1")
     val sf1Reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "1").toInt
-    val sf1Block: String =
-      if (!new java.io.File(sf1Dir).isDirectory) "null"
+    val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
+                      Option[(Double, Seq[(String, Double)])])] =
+      if (!new java.io.File(sf1Dir).isDirectory) None
       else {
         headline.foreach { n => // warm-up at this scale too
           try SparkEntry.queries(n)(spark, sf1Dir).count()
           catch { case _: Throwable => () }
         }
         val (m1, e1) = timeQueries(spark, sf1Dir, headline, sf1Reps)
-        val d1 = duck(sf1Dir, headline, sf1Reps)
+        Some((m1, e1, duck(sf1Dir, headline, sf1Reps)))
+      }
+    def sf1OracleSec(m1: Seq[(String, Double)]): Double =
+      // like-for-like with duckdb_oneshot_total_sec: spark time over
+      // ONLY the headline queries whose oracle does equivalent work
+      // (answer-key oracles excluded from both sides, as in the main
+      // block's one-shot ratio)
+      m1.filter(kv => kv._2 >= 0 && SparkEntry.oracleSql.contains(kv._1)
+        && !answerKeyOracles(kv._1)).map(_._2).sum
+    def sf1DuckOneshot(d1: Option[(Double, Seq[(String, Double)])])
+        : Option[Double] =
+      d1.map(_._2.collect {
+        case (k, v) if v >= 0 && !answerKeyOracles(k) => v }.sum)
+    val sf1Full: String = sf1 match {
+      case None => "null"
+      case Some((m1, e1, d1)) =>
         jobj(Seq(
           "dir" -> jstr(sf1Dir),
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
           "errors" -> jobj(e1.map { case (k, v) => k -> jstr(v) }),
           "spark_total_sec" -> jnum(m1.filter(_._2 >= 0).map(_._2).sum),
-          // like-for-like with duckdb_oneshot_total_sec: spark time over
-          // ONLY the headline queries whose oracle does equivalent work
-          // (answer-key oracles excluded from both sides, as in the main
-          // block's one-shot ratio)
-          "spark_oracle_total_sec" -> jnum(m1.filter(kv =>
-            kv._2 >= 0 && SparkEntry.oracleSql.contains(kv._1)
-              && !answerKeyOracles(kv._1))
-            .map(_._2).sum),
-          "duckdb_total_sec" -> d1.map(_._2.collect {
-            case (k, v) if v >= 0 && !answerKeyOracles(k) => v }.sum)
-            .map(jnum).getOrElse("null"),
+          "spark_oracle_total_sec" -> jnum(sf1OracleSec(m1)),
+          "duckdb_oneshot_total_sec" ->
+            sf1DuckOneshot(d1).map(jnum).getOrElse("null"),
           "duckdb_queries" -> d1.map(d =>
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")))
-      }
+    }
+    val sf1Compact: String = sf1 match {
+      case None => "null"
+      case Some((m1, e1, d1)) =>
+        jobj(Seq(
+          "queries" -> jobj(m1.map { case (k, v) => shortKey(k) -> jnum3(v) }),
+          "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
+          "spark_oracle_total_sec" -> jnum3(sf1OracleSec(m1)),
+          "duckdb_oneshot_total_sec" ->
+            sf1DuckOneshot(d1).map(jnum3).getOrElse("null")) ++
+          (if (e1.isEmpty) Nil else Seq("errors" -> jobj(
+            e1.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))))
+    }
 
-    val metricLine = jobj(Seq(
+    // full-detail record (long names, per-query duckdb medians) — this is
+    // what BENCH_LOCAL.json keeps for humans and the judge
+    val fullLine = jobj(Seq(
       "metric" -> jstr("total"),
       "value" -> jnum(total),
       "unit" -> jstr("sec"),
@@ -219,7 +266,34 @@ object Bench {
       "duckdb_queries" -> duckMain.map(d =>
         jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null"),
       "sf" -> jstr(sfDir),
-      "sf1" -> sf1Block))
+      "sf1" -> sf1Full))
+
+    // size-bounded stdout line: short keys, 3 decimals, scalar duckdb
+    // summaries only; must survive a ~2000-char tail capture minus sbt's
+    // trailing success line
+    val stdoutBudget = 1800
+    def compactLine(withQueries: Boolean): String = jobj(Seq(
+      "metric" -> jstr("total"),
+      "value" -> jnum3(total),
+      "unit" -> jstr("sec")) ++
+      (if (withQueries) Seq("queries" -> jobj(
+        medians.map { case (k, v) => shortKey(k) -> jnum3(v) })) else Nil) ++
+      (if (errors.isEmpty) Nil else Seq("errors" -> jobj(
+        errors.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))) ++
+      Seq(
+        "reps" -> reps.toString,
+        "warmup_sec" -> jnum3(warmup),
+        "spark_oracle_total_sec" -> jnum3(oracleTotal),
+        "spark_oracle_oneshot_sec" -> jnum3(oneshotTotal),
+        "duckdb_oneshot_total_sec" -> duckOneshot.map(jnum3).getOrElse("null"),
+        "duckdb_total_sec" -> duckMain.map(d => jnum3(d._1)).getOrElse("null"),
+        "sf" -> jstr(sfDir),
+        "sf1" -> sf1Compact,
+        "detail" -> jstr("BENCH_LOCAL.json")))
+    val metricLine = {
+      val full = compactLine(withQueries = true)
+      if (full.length <= stdoutBudget) full else compactLine(withQueries = false)
+    }
 
     // regenerate the plan audit with every bench so it cannot go stale;
     // audit at the smallest SF available (plans don't depend on volume)
@@ -232,10 +306,11 @@ object Bench {
       System.err.println(s"[bench] plan audit failed: ${e.toString.take(200)}")
     }
 
-    // also persist the metric line so it survives independently of stdout
+    // persist the FULL record so the per-query duckdb medians and long
+    // names survive independently of the size-bounded stdout line
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (metricLine + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
     // the metric line is printed LAST (see scaladoc): nothing may follow

@@ -45,7 +45,10 @@ object DedupQueries {
         s.sql(s"DROP TABLE IF EXISTS $table")
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(path), true)
-        survivors.orderBy("doc_id")
+        // the store keeps the digest as 16 raw bytes; hex it back (lower,
+        // matching MD5()'s output) so the oracle compare sees strings
+        survivors.select(col("doc_id"),
+          lower(hex(col("text_hash"))).as("text_hash")).orderBy("doc_id")
       },
       Some(
         """SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_hash

@@ -124,8 +124,11 @@ object Dedup {
   def exactGate(batch: DataFrame, idCol: String, textCol: String,
                 storeTable: String): DataFrame = {
     val s = batch.sparkSession
+    // unhex(md5) stores the digest as 16 raw bytes, not the 32-char hex
+    // string — halving store state is what makes the scaladoc's
+    // 16-bytes/doc claim literally true
     val inBatch = batch
-      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .select(col(idCol), unhex(md5(col(textCol))).as("text_hash"))
       .groupBy("text_hash").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("text_hash"))
     if (!s.catalog.tableExists(storeTable)) inBatch

@@ -60,18 +60,26 @@ object StreamingOps {
     * Dedup state lives in the bucketed store TABLE, not in streaming
     * state: it is shared with the batch-side [[graft.dedup.Dedup
     * .exactIncremental]], unbounded watermark-free history costs 16
-    * bytes/doc, and the store side of the anti-join never reshuffles.
+    * bytes/doc (the digest is stored as raw binary, not hex) plus the
+    * canonical id, and the store side of the anti-join never reshuffles.
     *
     * Replay safety (a micro-batch can re-run after a crash), without a
-    * transactional sink, comes from ordering + idempotent writes:
-    *  1. survivors land in `outPath` under a `__batch_id=<id>` partition
-    *     with dynamic partition-overwrite — a replayed batch overwrites
-    *     its OWN partition with identical content, never duplicating;
+    * transactional sink, comes from ordering + an ADDITIVE idempotent
+    * sink write ([[gatedSinkWrite]]):
+    *  1. survivors land in `outPath` under a `__batch_id=<id>` partition,
+    *     UNIONED with whatever a previous attempt already wrote there —
+    *     a replayed batch can only restore the partition to the full
+    *     original survivor set, never shrink it;
     *  2. the hash store advances only AFTER the sink write. A crash
-    *     between the two replays the batch against the unchanged store:
-    *     same survivors, same partition, then the store append runs.
-    *     (The reverse order would gate the replayed batch to zero
-    *     survivors and silently DROP its documents from the sink.)
+    *     between the two replays the batch against the unchanged store
+    *     (same survivors, same partition, then the store append runs);
+    *     a crash MIDWAY through the store append — parquet appends are
+    *     not atomic at job level — replays with a shrunken gate result,
+    *     but the union with the partition's prior content keeps the
+    *     already-sunk docs. Store appends may duplicate hash rows on
+    *     such a replay; duplicates are semantically harmless to the
+    *     anti-join and are folded away by the next
+    *     [[graft.pipelines.Sinks.compactBucketed]].
     */
   def noveltyGateEachBatch(idCol: String, textCol: String,
                            storeTable: String, storePath: String,
@@ -146,22 +154,45 @@ object StreamingOps {
       .localCheckpoint()
     gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendVecStore(fresh, idCol, vecCol, storeTable,
-      storePath)
+      storePath, nBuckets = nBuckets)
   }
 
   /** Replay-idempotent survivor write shared by the novelty gates: the
     * batch's surviving full rows land under a `__batch_id=<id>` partition
-    * with dynamic partition-overwrite, so a replayed micro-batch
-    * overwrites its own partition with identical content.
+    * with dynamic partition-overwrite. The write is ADDITIVE under
+    * replay: if a previous attempt already populated this batch's
+    * partition, its rows are unioned back in (id-deduped) before the
+    * overwrite. Without this, a crash midway through the subsequent
+    * store append would make the replay's gate drop docs whose hashes
+    * already reached the store, and a plain overwrite would silently
+    * remove those already-sunk docs from the partition.
     */
   private def gatedSinkWrite(batch: DataFrame, idCol: String,
                              freshKeys: DataFrame, outPath: String,
-                             batchId: Long): Unit =
-    batch.join(freshKeys.select(col(idCol)), Seq(idCol), "left_semi")
+                             batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val survivors =
+      batch.join(freshKeys.select(col(idCol)), Seq(idCol), "left_semi")
+    val partDir = new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withPrior =
+      if (!fs.exists(partDir)) survivors
+      else survivors
+        // read the partition dir directly (no partition column inferred);
+        // task files are moved in whole on commit, so any file present is
+        // a complete fragment of the prior attempt
+        .unionByName(spark.read.schema(survivors.schema)
+          .parquet(partDir.toString))
+        .dropDuplicates(idCol)
+        // eager: the overwrite below targets the path being read, which
+        // Spark (rightly) refuses inside one plan — materialize first
+        .localCheckpoint()
+    withPrior
       .withColumn("__batch_id", lit(batchId))
       .write.partitionBy("__batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outPath)
+  }
 
   final case class KeyCount(key: String, total: Long)
 

@@ -125,7 +125,7 @@ class IncrementalDedupSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
       "doc_id", "text", table, path)
     val batch = Seq((3L, "a"), (4L, "c")).toDF("doc_id", "text")
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .select(col("doc_id"), unhex(md5(col("text"))).as("text_hash"))
     val anti = batch.join(spark.table(table).hint("merge"),
       Seq("text_hash"), "left_anti")
     anti.count()

@@ -123,6 +123,30 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyGateEachBatch: replay after the store already advanced is additive") {
+    val base = Files.createTempDirectory("graft-novelty-replay")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"novelty_replay_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val gate = StreamingOps.noveltyGateEachBatch(
+        "doc_id", "text", table, storePath, outPath) _
+      val batch = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      gate(batch, 0L) // first attempt: sink written, store advanced
+      // crash-replay: the store already holds both hashes, so the gate
+      // now yields ZERO survivors — the partition must keep its docs
+      gate(batch, 0L)
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, "alpha", 0L), (2L, "beta", 0L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("minhashNoveltyGateEachBatch: near-dup stream docs are gated by the store") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mh-novelty")
