@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks machine parsing of Bench's single-line JSON metric (the
+// driver's parser has recorded `parsed: null` in every round because of
+// that prefix). StdoutOutput emits the line byte-for-byte.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -186,19 +186,21 @@ object Bench {
       "q68_dedup_incremental", "q69_minhash_incremental",
       "q70_embedding_incremental", "q72_simhash_incremental",
       "q57_lsh_bands_fixture", "q58_simhash_bands_fixture",
-      "q60_kmv_fixture", "q64_embedding_neardup")
+      "q60_kmv_fixture", "q64_embedding_neardup",
+      // copy-seeded ANN closed forms (r8): real probe work, answer-key SQL
+      "q40_ann_lsh", "q62_ann_indexed")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !answerKeyOracles(k) => v }.sum
     val duckOneshot = duckMain.map(_._2.collect {
       case (k, v) if v >= 0 && !answerKeyOracles(k) => v }.sum)
 
-    // Optional larger-scale point on the headline queries. Queries here
-    // run tens of seconds, so their relative run-to-run noise is small —
-    // one timed rep after the warm-up (override: SPARK_GRAFT_SF1_REPS)
-    // keeps the whole bench bounded.
+    // Optional larger-scale point on the headline queries, median-of-3
+    // like the main block (override: SPARK_GRAFT_SF1_REPS): at 1 rep a
+    // ±15% swing is indistinguishable from noise, which made the r6→r7
+    // q45 comparison unattributable. ~29 s/rep keeps 3 reps in budget.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "data/sf1")
-    val sf1Reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "1").toInt
+    val sf1Reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "3").toInt
     val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
                       Option[(Double, Seq[(String, Double)])])] =
       if (!new java.io.File(sf1Dir).isDirectory) None
