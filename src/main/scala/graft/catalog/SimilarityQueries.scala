@@ -34,20 +34,49 @@ object SimilarityQueries {
       |FROM dots, qn WHERE vec_id <> 0
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** The indexed/ANN corpus for q40/q62: base embeddings (minus the
+    * query vector's own row) UNIONED with 10 exact COPIES of the query
+    * vector under fresh ids (max+1..max+10) — the q66 closed-form trick.
+    * A copy's bucket is a deterministic function of the vector, so it
+    * equals the query's bucket and every probe set contains it; copies
+    * verify at cosine 1.0 while no base vector reaches round(cos,6)=1
+    * (max base pairwise cosine ~0.46), so the top-10 is exactly the 10
+    * copy ids — SQL-expressible even though the xxhash64-derived planes
+    * are not, turning both rows-only entries into hash-matched oracles.
+    */
+  private def copySeededCorpus(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val shift = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val copies = emb.filter(col("vec_id") === 0)
+      .crossJoin(s.range(10)) // 1-row x 10: a fixture expander, not a join
+      .select((col("id") + shift).as("vec_id"), col("embedding"))
+    emb.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").unionByName(copies)
+  }
+
+  /** Shared closed-form oracle for the copy-seeded ANN entries (q40/q62):
+    * the 10 copy ids in id order at cosine 1.0.
+    */
+  private val annCopyTopkSql =
+    """SELECT (SELECT MAX(vec_id) FROM embeddings) + 1 + CAST(i AS BIGINT) AS vec_id,
+      |       CAST(1.0 AS DOUBLE) AS cosine
+      |FROM (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS i)
+      |ORDER BY vec_id""".stripMargin
+
   /** Build the q62 LSH index for `dir` if absent (Spark's `_SUCCESS`
     * marker is the completed-build check, so a half-written index from a
     * killed run rebuilds), returning its path. Keyed by dataset dir AND
-    * the index parameters, so a parameter change can never probe a stale
-    * layout.
+    * the index parameters (p8c10 = 8 planes, 10 query copies), so a
+    * parameter change can never probe a stale layout.
     */
   private def ensureAnnIndex(s: org.apache.spark.sql.SparkSession,
                              dir: String): String = {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_ann_index_p8_${Integer.toHexString(dir.hashCode)}").getPath
+      s"graft_ann_index_p8c10_${Integer.toHexString(dir.hashCode)}").getPath
     if (!new java.io.File(path, "_SUCCESS").isFile)
-      Similarity.buildIndex(
-        Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      Similarity.buildIndex(copySeededCorpus(s, dir),
         "embedding", path, nPlanes = 8)
     path
   }
@@ -131,18 +160,23 @@ object SimilarityQueries {
       Some(cosineTopkSql),
       "cosine top-k via the fused codegen CosineSimilarity Expression"),
 
-    // ----- LSH-bucketed ANN (scale path; no SQL oracle) -----
+    // ----- LSH-bucketed ANN over the copy-seeded corpus -----
+    // The REAL sign-LSH multiprobe path (bucketing, driver-enumerated
+    // probe IN-list, within-bucket codegen cosine) under the closed-form
+    // copy oracle: the 10 query copies share the query's bucket by
+    // construction, so any probe radius must surface exactly them at
+    // cosine 1.0 — a broken probe enumeration or bucket computation
+    // loses copies; an over-wide candidate set cannot add rows (nothing
+    // else reaches 1.0).
     "q40_ann_lsh" -> Q(
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val query = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0)
+        val query = queryVec(s, dir)
         Similarity.annTopK(
-          Similarity.withBuckets(emb.filter(col("vec_id") =!= 0), "embedding",
+          Similarity.withBuckets(copySeededCorpus(s, dir), "embedding",
             nPlanes = 8),
           "vec_id", "embedding", query, k = 10, nPlanes = 8, probe = 2)
       },
-      None,
+      Some(annCopyTopkSql),
       "sign-random-projection LSH, multiprobe bucket pruning"),
 
     // ----- indexed ANN: probe a persisted hive-partitioned index -----
@@ -153,15 +187,18 @@ object SimilarityQueries {
     // in the untimed warm-up pass — and every timed rep is the number
     // that matters at scale, the PROBE, which reads only the multiprobe
     // bucket DIRECTORIES (PartitionFilters — pinned by SimilaritySpec).
-    // Rows-only like q40 (xxhash64-derived planes aren't SQL-expressible).
+    // The index is copy-seeded, so the probe runs under the closed-form
+    // copy oracle: losing a partition directory (broken PartitionFilters
+    // or probe enumeration) loses copies and fails the hash-match.
     "q62_ann_indexed" -> Q(
       (s, dir) => {
         // A probe starts with the query vector IN HAND (an ANN service
         // receives it), so its one-row lookup is memoized with the index
-        // rather than re-billed to every timed rep. Oracled entries
-        // (q39/q43/q63) keep the in-query fetch: their DuckDB yardstick
-        // recomputes the query subquery too, so dropping it would bias
-        // the ratio.
+        // rather than re-billed to every timed rep. Equivalent-work
+        // oracled entries (q39/q43/q63) keep the in-query fetch: their
+        // DuckDB yardstick recomputes the query subquery too, so
+        // dropping it would bias the ratio. (This entry's closed-form
+        // oracle is an answer key, excluded from the one-shot ratio.)
         val query = queryVec(s, dir)
         val path = ensureAnnIndex(s, dir)
         val index = annIndexDfCache.getOrElseUpdate((s, path),
@@ -169,7 +206,7 @@ object SimilarityQueries {
         Similarity.annTopK(index, "vec_id", "embedding", query,
           k = 10, nPlanes = 8, probe = 2)
       },
-      None,
+      Some(annCopyTopkSql),
       "probe a prebuilt hive-partitioned LSH index via partition pruning"),
 
     // ----- IVF ANN with ALL cells probed: exact, so fully oracled -----
