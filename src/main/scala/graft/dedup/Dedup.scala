@@ -209,24 +209,48 @@ object Dedup {
 
   /** The write half of [[minhashIncremental]]: seed or extend the band +
     * signature stores with this batch's surviving signature rows.
+    *
+    * `dedupAgainstStore = true` makes the append idempotent under
+    * crash-replay: each frame is anti-joined against its table's current
+    * content first, so rows a torn earlier attempt already committed are
+    * skipped rather than duplicated. Off the normal path (it re-reads the
+    * store side); the streaming gates pass it only for a micro-batch
+    * detected as a replay.
     */
   def appendSigStore(sigs: DataFrame, idCol: String, storeTable: String,
-                     storePath: String, bands: Int,
-                     nBuckets: Int = 8): Unit = {
-    val s = sigs.sparkSession
-    val bandsT = s"${storeTable}_bands"
-    val sigsT = s"${storeTable}_sigs"
-    val outBands = bandRowsOf(sigs, idCol, bands)
-    if (!s.catalog.tableExists(bandsT)) {
-      graft.pipelines.Sinks.reloadBucketedBy(
-        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
-      graft.pipelines.Sinks.reloadBucketedBy(
-        sigs, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
-    } else {
-      graft.pipelines.Sinks.appendBucketedBy(
-        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
-      graft.pipelines.Sinks.appendBucketedBy(
-        sigs, sigsT, s"$storePath/sigs", Seq(idCol), nBuckets)
+                     storePath: String, bands: Int, nBuckets: Int = 8,
+                     dedupAgainstStore: Boolean = false): Unit = {
+    seedOrAppend(bandRowsOf(sigs, idCol, bands), s"${storeTable}_bands",
+      s"$storePath/bands", Seq("band", "bkey"), Seq(idCol, "band", "bkey"),
+      nBuckets, dedupAgainstStore)
+    seedOrAppend(sigs, s"${storeTable}_sigs", s"$storePath/sigs",
+      Seq(idCol), Seq(idCol), nBuckets, dedupAgainstStore)
+  }
+
+  /** Seed-or-append one bucketed store table, shared by the append
+    * halves. Each table is handled independently, so a torn multi-table
+    * append (first table created, crash before the second) recovers
+    * naturally: the existing table takes the append path, the missing one
+    * is seeded. With `dedupAgainstStore`, rows already present (full
+    * identity on `dedupKeys`) are anti-joined away first — `dedupKeys`
+    * always contains the bucket keys, so the store side of that join
+    * stays co-located.
+    */
+  private def seedOrAppend(df: DataFrame, table: String, path: String,
+                           bucketKeys: Seq[String], dedupKeys: Seq[String],
+                           nBuckets: Int, dedupAgainstStore: Boolean): Unit = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table))
+      graft.pipelines.Sinks.reloadBucketedBy(df, table, path, bucketKeys,
+        nBuckets)
+    else {
+      val rows =
+        if (!dedupAgainstStore) df
+        else df.join(
+          s.table(table).hint("merge").select(dedupKeys.map(col): _*),
+          dedupKeys, "left_anti")
+      graft.pipelines.Sinks.appendBucketedBy(rows, table, path, bucketKeys,
+        nBuckets)
     }
   }
 
@@ -302,8 +326,10 @@ object Dedup {
     */
   /** (id, band, bkey) rows of a signature frame: each signature splits
     * into `bands` equal slices, keyed by the slice hash.
+    * (`private[graft]`: StreamingOpsSpec appends band rows alone to
+    * simulate a crash midway through [[appendSigStore]]'s two jobs.)
     */
-  private def bandRowsOf(sig: DataFrame, idCol: String, bands: Int): DataFrame =
+  private[graft] def bandRowsOf(sig: DataFrame, idCol: String, bands: Int): DataFrame =
     sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
@@ -577,28 +603,21 @@ object Dedup {
 
   /** The write half of [[embeddingIncremental]]: seed or extend the band
     * + vector stores with this batch's surviving (id, vector) rows.
+    * `dedupAgainstStore` as in [[appendSigStore]].
     */
   def appendVecStore(vecs: DataFrame, idCol: String, vecCol: String,
                      storeTable: String, storePath: String,
                      nPlanes: Int = 32, bands: Int = 4,
-                     nBuckets: Int = 8): Unit = {
-    val s = vecs.sparkSession
-    val bandsT = s"${storeTable}_bands"
-    val vecsT = s"${storeTable}_vecs"
+                     nBuckets: Int = 8,
+                     dedupAgainstStore: Boolean = false): Unit = {
     val outBands = vectorBandRows(
       graft.similarity.Similarity.withBuckets(vecs, vecCol, nPlanes),
       idCol, nPlanes, bands)
-    if (!s.catalog.tableExists(bandsT)) {
-      graft.pipelines.Sinks.reloadBucketedBy(
-        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
-      graft.pipelines.Sinks.reloadBucketedBy(
-        vecs, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
-    } else {
-      graft.pipelines.Sinks.appendBucketedBy(
-        outBands, bandsT, s"$storePath/bands", Seq("band", "bkey"), nBuckets)
-      graft.pipelines.Sinks.appendBucketedBy(
-        vecs, vecsT, s"$storePath/vecs", Seq(idCol), nBuckets)
-    }
+    seedOrAppend(outBands, s"${storeTable}_bands", s"$storePath/bands",
+      Seq("band", "bkey"), Seq(idCol, "band", "bkey"), nBuckets,
+      dedupAgainstStore)
+    seedOrAppend(vecs, s"${storeTable}_vecs", s"$storePath/vecs",
+      Seq(idCol), Seq(idCol), nBuckets, dedupAgainstStore)
   }
 
   /** Incremental SimHash novelty gate against a persisted fingerprint
@@ -663,25 +682,64 @@ object Dedup {
 
   /** The write half of [[simhashIncremental]]: seed or extend the band +
     * fingerprint stores with this batch's surviving rows.
+    * `dedupAgainstStore` as in [[appendSigStore]].
     */
   def appendFpStore(fps: DataFrame, idCol: String, storeTable: String,
-                    storePath: String, nBuckets: Int = 8): Unit = {
-    val s = fps.sparkSession
-    val bandsT = s"${storeTable}_bands"
-    val fpsT = s"${storeTable}_fps"
-    if (!s.catalog.tableExists(bandsT)) {
-      graft.pipelines.Sinks.reloadBucketedBy(
-        simhashBandRows(fps, idCol), bandsT, s"$storePath/bands",
-        Seq("band", "bkey"), nBuckets)
-      graft.pipelines.Sinks.reloadBucketedBy(
-        fps, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
-    } else {
-      graft.pipelines.Sinks.appendBucketedBy(
-        simhashBandRows(fps, idCol), bandsT, s"$storePath/bands",
-        Seq("band", "bkey"), nBuckets)
-      graft.pipelines.Sinks.appendBucketedBy(
-        fps, fpsT, s"$storePath/fps", Seq(idCol), nBuckets)
-    }
+                    storePath: String, nBuckets: Int = 8,
+                    dedupAgainstStore: Boolean = false): Unit = {
+    seedOrAppend(simhashBandRows(fps, idCol), s"${storeTable}_bands",
+      s"$storePath/bands", Seq("band", "bkey"), Seq(idCol, "band", "bkey"),
+      nBuckets, dedupAgainstStore)
+    seedOrAppend(fps, s"${storeTable}_fps", s"$storePath/fps",
+      Seq(idCol), Seq(idCol), nBuckets, dedupAgainstStore)
+  }
+
+  /** Store maintenance: rewrite each incremental-dedup store table back
+    * to one file per bucket (daily appends each add a file per bucket)
+    * and fold any full-row duplicates left behind by code predating the
+    * idempotent replay append. Weekly-cadence offline ops with
+    * [[graft.pipelines.Sinks.compactBucketed]]'s single-writer contract:
+    * a crash DURING a rewrite needs that store rebuilt, so run them in a
+    * maintenance window, never inline in a gate.
+    */
+  def compactHashStore(spark: org.apache.spark.sql.SparkSession,
+                       storeTable: String, storePath: String,
+                       nBuckets: Int = 8): Unit =
+    graft.pipelines.Sinks.compactBucketed(spark, storeTable, storePath,
+      Seq("text_hash"), nBuckets, dedupRows = true)
+
+  /** [[compactHashStore]] for [[minhashIncremental]]'s band + signature
+    * tables.
+    */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                          storeTable: String, storePath: String,
+                          idCol: String, nBuckets: Int = 8): Unit =
+    compactTwoTableStore(spark, storeTable, storePath, "sigs", idCol, nBuckets)
+
+  /** [[compactHashStore]] for [[embeddingIncremental]]'s band + vector
+    * tables.
+    */
+  def compactVecStore(spark: org.apache.spark.sql.SparkSession,
+                      storeTable: String, storePath: String,
+                      idCol: String, nBuckets: Int = 8): Unit =
+    compactTwoTableStore(spark, storeTable, storePath, "vecs", idCol, nBuckets)
+
+  /** [[compactHashStore]] for [[simhashIncremental]]'s band + fingerprint
+    * tables.
+    */
+  def compactFpStore(spark: org.apache.spark.sql.SparkSession,
+                     storeTable: String, storePath: String,
+                     idCol: String, nBuckets: Int = 8): Unit =
+    compactTwoTableStore(spark, storeTable, storePath, "fps", idCol, nBuckets)
+
+  private def compactTwoTableStore(spark: org.apache.spark.sql.SparkSession,
+                                   storeTable: String, storePath: String,
+                                   sub: String, idCol: String,
+                                   nBuckets: Int): Unit = {
+    graft.pipelines.Sinks.compactBucketed(spark, s"${storeTable}_bands",
+      s"$storePath/bands", Seq("band", "bkey"), nBuckets, dedupRows = true)
+    graft.pipelines.Sinks.compactBucketed(spark, s"${storeTable}_$sub",
+      s"$storePath/$sub", Seq(idCol), nBuckets, dedupRows = true)
   }
 
   /** Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1

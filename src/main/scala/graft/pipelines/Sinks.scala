@@ -99,10 +99,19 @@ object Sinks {
     * mid-read; like upsertByKey, a crash DURING the rewrite needs the
     * store rebuilt (single-writer batch semantics — a transactional
     * format makes compaction atomic).
+    *
+    * `dedupRows = true` additionally folds full-row duplicates — the
+    * shape a crash-replayed store append leaves behind (a replay
+    * re-appends rows a torn attempt already committed; see
+    * [[graft.dedup.Dedup.compactMinhashStore]] and siblings, which pass
+    * it). Left off by default: a general bucketed table has bag
+    * semantics.
     */
   def compactBucketed(spark: SparkSession, table: String, path: String,
-                      keys: Seq[String], nBuckets: Int): Unit = {
-    val staged = spark.table(table).localCheckpoint()
+                      keys: Seq[String], nBuckets: Int,
+                      dedupRows: Boolean = false): Unit = {
+    val t = spark.table(table)
+    val staged = (if (dedupRows) t.distinct() else t).localCheckpoint()
     reloadBucketedBy(staged, table, path, keys, nBuckets)
   }
 

@@ -76,10 +76,16 @@ object StreamingOps {
     *     a crash MIDWAY through the store append — parquet appends are
     *     not atomic at job level — replays with a shrunken gate result,
     *     but the union with the partition's prior content keeps the
-    *     already-sunk docs. Store appends may duplicate hash rows on
-    *     such a replay; duplicates are semantically harmless to the
-    *     anti-join and are folded away by the next
-    *     [[graft.pipelines.Sinks.compactBucketed]].
+    *     already-sunk docs.
+    *
+    * The store cannot accumulate duplicate rows either: this gate IS an
+    * anti-join on the store's own key (text_hash), so a replayed append
+    * re-adds only the hashes the torn attempt did not commit. The band
+    * gates below need one more step for the same guarantee — their
+    * multi-table appends pass `dedupAgainstStore` when [[gatedSinkWrite]]
+    * detects a replay. [[graft.dedup.Dedup.compactHashStore]] and
+    * siblings remain the scheduled file-count maintenance op (appends add
+    * a file per bucket per day).
     */
   def noveltyGateEachBatch(idCol: String, textCol: String,
                            storeTable: String, storePath: String,
@@ -113,9 +119,9 @@ object StreamingOps {
     val fresh = graft.dedup.Dedup
       .minhashGate(sig, idCol, storeTable, bands, minEstJaccard)
       .localCheckpoint()
-    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendSigStore(fresh, idCol, storeTable, storePath,
-      bands, nBuckets)
+      bands, nBuckets, dedupAgainstStore = replay)
   }
 
   /** The SimHash member of the streaming novelty-gate family: each
@@ -133,9 +139,9 @@ object StreamingOps {
     val fresh = graft.dedup.Dedup
       .simhashGate(fp, idCol, storeTable, maxDist)
       .localCheckpoint()
-    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendFpStore(fresh, idCol, storeTable, storePath,
-      nBuckets)
+      nBuckets, dedupAgainstStore = replay)
   }
 
   /** The embedding member of the streaming novelty-gate family: each
@@ -152,9 +158,9 @@ object StreamingOps {
     val fresh = graft.dedup.Dedup
       .embeddingGate(batch, idCol, vecCol, storeTable, minCosine)
       .localCheckpoint()
-    gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+    val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendVecStore(fresh, idCol, vecCol, storeTable,
-      storePath, nBuckets = nBuckets)
+      storePath, nBuckets = nBuckets, dedupAgainstStore = replay)
   }
 
   /** Replay-idempotent survivor write shared by the novelty gates: the
@@ -166,17 +172,23 @@ object StreamingOps {
     * store append would make the replay's gate drop docs whose hashes
     * already reached the store, and a plain overwrite would silently
     * remove those already-sunk docs from the partition.
+    *
+    * Returns whether this batch is a REPLAY (its partition already
+    * existed) — the callers' signal to make the subsequent store append
+    * idempotent (`dedupAgainstStore`), since the torn first attempt may
+    * already have committed part of it.
     */
   private def gatedSinkWrite(batch: DataFrame, idCol: String,
                              freshKeys: DataFrame, outPath: String,
-                             batchId: Long): Unit = {
+                             batchId: Long): Boolean = {
     val spark = batch.sparkSession
     val survivors =
       batch.join(freshKeys.select(col(idCol)), Seq(idCol), "left_semi")
     val partDir = new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replay = fs.exists(partDir)
     val withPrior =
-      if (!fs.exists(partDir)) survivors
+      if (!replay) survivors
       else survivors
         // read the partition dir directly (no partition column inferred);
         // task files are moved in whole on commit, so any file present is
@@ -192,6 +204,7 @@ object StreamingOps {
       .write.partitionBy("__batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outPath)
+    replay
   }
 
   final case class KeyCount(key: String, total: Long)

@@ -185,6 +185,82 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashNoveltyGateEachBatch: torn store append then replay leaves no " +
+      "duplicate band rows") {
+    val base = Files.createTempDirectory("graft-mh-torn")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"mh_torn_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs before the dawn comes"
+    val textC = "sphinx of black quartz judge my vow under the evening stars"
+    try {
+      val gate = StreamingOps.minhashNoveltyGateEachBatch(
+        "doc_id", "text", table, storePath, outPath, minEstJaccard = 0.9) _
+      gate(Seq((1L, textA)).toDF("doc_id", "text"), 0L) // seeds the store
+      // crash simulation for batch 1: the first attempt wrote the sink
+      // partition and the BAND half of the two-job store append, then
+      // died before the signature half
+      val b1 = Seq((10L, textB), (11L, textC)).toDF("doc_id", "text")
+      b1.withColumn("__batch_id",
+          org.apache.spark.sql.functions.lit(1L))
+        .write.partitionBy("__batch_id").mode("append").parquet(outPath)
+      val sig1 = graft.dedup.Dedup.minhashSignatures(b1, "doc_id", "text")
+      graft.pipelines.Sinks.appendBucketedBy(
+        graft.dedup.Dedup.bandRowsOf(sig1, "doc_id", bands = 4),
+        s"${table}_bands", s"$storePath/bands", Seq("band", "bkey"), 8)
+      // replay of batch 1: band rows are already stored but signatures are
+      // not, so the gate cannot verify est-jaccard and both docs survive;
+      // the append must detect the replay and skip the stored band rows
+      gate(b1, 1L)
+      val bandRows = spark.table(s"${table}_bands")
+      assert(bandRows.count() == bandRows.distinct().count(),
+        "replayed append duplicated band rows")
+      // store is now complete: every survivor has its sig + 4 band rows
+      assert(spark.table(s"${table}_sigs").count() == 3)
+      assert(bandRows.count() == 3 * 4)
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "__batch_id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, 0L), (10L, 1L), (11L, 1L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("compactMinhashStore folds duplicate rows and restores one file per bucket") {
+    val base = Files.createTempDirectory("graft-mh-compact")
+    val storePath = base.resolve("store").toString
+    val table = s"mh_compact_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val sigs = Seq(
+        (1L, Seq(1L, 2L, 3L, 4L)), (2L, Seq(5L, 6L, 7L, 8L)))
+        .toDF("doc_id", "sig")
+      graft.dedup.Dedup.appendSigStore(sigs, "doc_id", table, storePath,
+        bands = 4, nBuckets = 2)
+      // a legacy (pre-idempotent-append) replay double-appended everything
+      graft.dedup.Dedup.appendSigStore(sigs, "doc_id", table, storePath,
+        bands = 4, nBuckets = 2)
+      assert(spark.table(s"${table}_bands").count() == 2 * 2 * 4)
+      graft.dedup.Dedup.compactMinhashStore(spark, table, storePath,
+        "doc_id", nBuckets = 2)
+      assert(spark.table(s"${table}_bands").count() == 2 * 4)
+      assert(spark.table(s"${table}_sigs").count() == 2)
+      // compaction restored one data file per bucket
+      val sigFiles = new java.io.File(s"$storePath/sigs")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(sigFiles == 2, s"expected 2 bucket files, got $sigFiles")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("simhashNoveltyGateEachBatch: fingerprint-close stream docs are gated") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-sh-novelty")
