@@ -124,11 +124,14 @@ object TextQueries {
 
     // ----- quality scoring: length/punct/stopword composite -----
     "q32_quality_score" -> Q(
-      (s, dir) => Tables(s, dir, "documents")
+      (s, dir) => {
+        graft.functions.Texts.register(s) // stopword_counts
+        Tables(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+      },
       Some {
         val punct =
           "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text) END"
@@ -146,10 +149,13 @@ object TextQueries {
 
     // ----- language ID: stopword-count argmax with fixed tie order -----
     "q33_lang_id" -> Q(
-      (s, dir) => Tables(s, dir, "documents")
+      (s, dir) => {
+        graft.functions.Texts.register(s) // stopword_counts
+        Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("pred_lang"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+      },
       Some {
         val s_ = TextAnalysis.Stopwords
         def h(l: String) = hitsSql(s_(l))

@@ -109,6 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_counts"),
+      new ExpressionInfo(classOf[StopwordCountsExpr].getName, "stopword_counts"),
+      (exprs: Seq[Expression]) => StopwordCountsExpr(exprs(0))))
     ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine)
   }
 }

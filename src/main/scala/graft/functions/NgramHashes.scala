@@ -91,13 +91,16 @@ case class NgramHashes(child: Expression, n: Int, mod: Long)
 object Texts {
   private val name = "ngram_hashes"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => NgramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].longValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "stopword_counts", exprs => StopwordCountsExpr(exprs(0)), "built-in")
+  }
 
   /** Column API over the registered function. */
   def ngramHashes(text: Column, n: Int, mod: Long): Column =

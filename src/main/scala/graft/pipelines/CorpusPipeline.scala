@@ -34,6 +34,7 @@ object CorpusPipeline {
     * near-dup cluster.
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    graft.functions.Texts.register(docs.sparkSession) // stopword_counts
     // tier 1: expression-only filters
     val filtered = docs
       .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
@@ -94,6 +95,7 @@ object CorpusPipeline {
     */
   def curateIncremental(batch: DataFrame, storeTable: String,
                         storePath: String, cfg: Config = Config()): DataFrame = {
+    graft.functions.Texts.register(batch.sparkSession) // stopword_counts
     val filtered = batch
       .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
       .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)

@@ -30,10 +30,15 @@ object TextAnalysis {
 
   def tokenCountRe(c: Column): Column = size(reTokens(c))
 
-  /** Fraction of non-alphanumeric, non-space chars. */
-  def punctRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(c, "[A-Za-z0-9\\s]", "")) / length(c))
+  /** Fraction of non-alphanumeric, non-space chars (code points outside
+    * `[A-Za-z0-9\s]`), from the same one-pass scan as the stopword
+    * counts — no regexp_replace string rebuild.
+    */
+  def punctRatio(c: Column): Column = {
+    val acc = swCounts(c)
+    when(acc.getItem(8) === 0, lit(0.0))
+      .otherwise(acc.getItem(7).cast("double") / acc.getItem(8))
+  }
 
   /** Tiny multilingual stopword table (heuristic tier; a production list
     * would broadcast a dictionary table).
@@ -45,14 +50,34 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "die", "das", "ist"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
-  private def hits(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+  /** Fixed language order — also the tie-break order for [[langId]]. */
+  val LangOrder: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
+  /** All stopword counts — `[en, es, fr, de, zh, union-hits, n-tokens]` —
+    * in ONE codegen'd byte-level scan of the text
+    * ([[graft.functions.StopwordCountsExpr]]).
+    *
+    * This replaced a fold-of-whens shape whose every `hits()` reference
+    * re-split the text with a regex and re-swept the token array (~20
+    * higher-order-function evaluations per row for langId +
+    * stopwordRatio together) — the corpus-curation tier-1 filter was
+    * spending >80% of its time re-tokenizing. Same trap family as the
+    * minhash-signatures O(k²) note: derive everything from one pass,
+    * never reference a shared array expression k times.
+    *
+    * The expression resolves through the session function registry:
+    * [[graft.functions.Texts.register]] must run once per session (every
+    * graft entry point that uses this tier does so; `GraftExtensions`
+    * injects it cluster-wide).
+    */
+  private def swCounts(c: Column): Column =
+    graft.functions.StopwordCountsExpr.stopwordCounts(c)
 
   /** Fraction of whitespace tokens that are (any-language) stopwords. */
   def stopwordRatio(c: Column): Column = {
-    val toks = wsTokens(c)
-    val all = Stopwords.values.flatten.toSeq.distinct
-    when(size(toks) === 0, lit(0.0)).otherwise(hits(toks, all) / size(toks))
+    val acc = swCounts(c)
+    when(acc.getItem(6) === 0, lit(0.0))
+      .otherwise(acc.getItem(5).cast("double") / acc.getItem(6))
   }
 
   /** Composite quality score in [0,1]: length saturation + low punctuation
@@ -69,16 +94,17 @@ object TextAnalysis {
     * fixed order en > es > fr > de > zh. Returns the winning language code
     * ("en" when nothing matches anywhere — score 0 ties resolve to the
     * first language).
+    *
+    * The winner is the FIRST language (in [[LangOrder]]) holding the max
+    * score — equivalent to the original "first lang whose score >= every
+    * later lang's" fold, computed as array_position(max) on the one-pass
+    * counts.
     */
   def langId(c: Column): Column = {
-    val toks = wsTokens(c)
-    val order = Seq("en", "es", "fr", "de", "zh")
-    val scores = order.map(l => l -> hits(toks, Stopwords(l))).toMap
-    order.init.foldRight(lit(order.last): Column) { (l, rest) =>
-      when(order.dropWhile(_ != l).tail
-        .map(o => scores(l) >= scores(o)).reduce(_ && _), lit(l))
-        .otherwise(rest)
-    }
+    val scores = slice(swCounts(c), 1, 5)
+    element_at(
+      array(LangOrder.map(lit): _*),
+      array_position(scores, array_max(scores)).cast("int"))
   }
 
   /** Accent-fold map used by [[normalizeText]] (the common Latin-1/2

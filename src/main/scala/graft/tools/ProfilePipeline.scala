@@ -11,6 +11,11 @@ import graft.text.TextAnalysis
   *   sbt "runMain graft.tools.ProfilePipeline data/sf1"
   * Mirrors CorpusPipeline.curate stage by stage, forcing each frame with
   * count() and timing the increments.
+  *
+  * Two passes: pass 1 is cold (JIT + codegen compile + parquet footer
+  * reads land on whichever stage runs first), pass 2 is warm and is the
+  * one comparable to the bench's warmed-up median — quote PASS 2 in
+  * README's stage table.
   */
 object ProfilePipeline {
   def main(args: Array[String]): Unit = {
@@ -26,13 +31,19 @@ object ProfilePipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    for (pass <- 1 to 2) runPass(spark, dir, pass)
+    spark.stop()
+  }
+
+  private def runPass(spark: SparkSession, dir: String, pass: Int): Unit = {
     def timed[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[profile] $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[profile] pass$pass $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
 
+    graft.functions.Texts.register(spark) // stopword_counts
     val docs = graft.Tables(spark, dir, "documents")
     val cfg = graft.pipelines.CorpusPipeline.Config(
       langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0)
@@ -75,6 +86,5 @@ object ProfilePipeline {
         .withColumn("tokens", TextAnalysis.tokenCountRe(col("text")))
         .count()
     }
-    spark.stop()
   }
 }
