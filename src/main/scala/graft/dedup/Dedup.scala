@@ -182,6 +182,7 @@ object Dedup {
                   bands: Int, minEstJaccard: Double,
                   maxBucket: Int = 500): DataFrame = {
     val s = batchSig.sparkSession
+    graft.functions.Texts.register(s) // sig_overlap
     val bandsT = s"${storeTable}_bands"
     val sigsT = s"${storeTable}_sigs"
     if (!s.catalog.tableExists(bandsT)) batchSig
@@ -199,9 +200,8 @@ object Dedup {
           "id1")
         .join(s.table(sigsT).hint("merge")
           .select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
-        .filter(
-          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-            x => x)) / size(col("sig1")) >= minEstJaccard)
+        .filter(graft.functions.SigOverlap.sigOverlap(col("sig1"), col("sig2"))
+          >= minEstJaccard)
         .select(col("id1").as(idCol)).distinct()
       batchSig.join(dupIds, Seq(idCol), "left_anti")
     }
@@ -350,14 +350,19 @@ object Dedup {
 
   /** Estimated Jaccard for candidate pairs = fraction of equal signature
     * positions (MinHash property). Verification tier after banding.
+    * The position-equality count is the codegen'd
+    * [[graft.functions.SigOverlap]] expression, not a zip_with/filter
+    * HOF pair — this runs once per candidate pair.
     */
-  def minhashJaccard(pairs: DataFrame, sig: DataFrame, idCol: String): DataFrame =
+  def minhashJaccard(pairs: DataFrame, sig: DataFrame, idCol: String): DataFrame = {
+    graft.functions.Texts.register(pairs.sparkSession)
     pairs
       .join(sig.select(col(idCol).as("id1"), col("sig").as("sig1")), "id1")
       .join(sig.select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          x => x)) / size(col("sig1"))).as("est_jaccard"))
+        graft.functions.SigOverlap.sigOverlap(col("sig1"), col("sig2"))
+          .as("est_jaccard"))
+  }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes. The 64-way bit fan-out is a narrow expand + partial agg; at

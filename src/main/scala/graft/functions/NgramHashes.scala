@@ -100,6 +100,8 @@ object Texts {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "stopword_counts", exprs => StopwordCountsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_overlap", exprs => SigOverlap(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */
