@@ -287,33 +287,21 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleN: Int = 5): DataFrame = {
-    // One scalar base hash column, then numHashes cheap affine variants of
-    // it as aggregate inputs. (Not an array + getItem(i): project collapse
-    // would re-evaluate the whole transform() array inside every min(),
-    // turning O(k) per row into O(k^2) — measured 5x slower end-to-end.)
-    // No per-doc distinct: min over a multiset equals min over its
-    // distinct set, so repeated shingles can't change any signature
-    // position — and dropping the distinct drops an entire full-volume
-    // shuffle of the (id, hash) shingle rows. The only remaining shuffle
-    // is the partial-aggregate exchange: one row per (id, partition),
-    // with map-side combine doing all the min-ing.
+    // The signature is a pure function of the text, so it is ONE codegen
+    // expression over the scan (graft.functions.MinHashSig): shingle
+    // hashing and all k affine minimums fused into a per-row loop, ZERO
+    // shuffle. This replaced explode(ngram_hashes) + groupBy(id).agg(k
+    // mins) — a ~300x row expansion plus a full aggregate exchange for a
+    // per-document value (and before that, a transform()-array form
+    // whose project collapse re-evaluated the array per aggregate, the
+    // O(k²) trap the scaladoc history warns about). Values are
+    // bit-identical across all three formulations; MinHashSigSpec pins
+    // the explode+agg equivalence.
     val p = 2147483647L
-    val mins = (0 until numHashes).map { i =>
-      min(pmod(col("h0") * (i * 2 + 1) + i * 40503L + 2654435769L, lit(p)))
-        .as(s"m$i")
-    }
-    // One-pass shingle hashing (graft.functions.NgramHasher): the
-    // substring(text, i, n)-per-position form re-seeks UTF-8 boundaries
-    // from the string start each time — O(len²) per document — and
-    // allocates per shingle. Hash values are identical (same byte spans,
-    // same xxhash64 seed), measured ~2x on the signature stage at 10x SF.
     graft.functions.Texts.register(df.sparkSession)
     df.select(col(idCol),
-        explode(graft.functions.Texts.ngramHashes(col(textCol), shingleN, p))
-          .as("h0"))
-      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      graft.functions.MinHashSig
+        .minhashSig(col(textCol), numHashes, shingleN, p).as("sig"))
   }
 
   /** LSH banding: signature rows → (band, bucket) keys → candidate pairs
@@ -365,25 +353,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. The 64-way bit fan-out is a narrow expand + partial agg; at
-    * extreme scale it collapses into a DeclarativeAggregate, same result.
+    * hashes. The fingerprint is a pure function of the text, so it is ONE
+    * codegen expression over the scan (graft.functions.SimHash64):
+    * tokenization, per-token xxhash64, and the 64 vote counters fused
+    * into a per-row loop, ZERO shuffle. This replaced explode(tokens) +
+    * groupBy(id).agg(64 vote sums) — a corpus-sized row expansion plus a
+    * full aggregate exchange for a per-document value. Zero-token docs
+    * are dropped (the explode form never emitted a row for them; the
+    * expression returns null and the filter removes it) and values are
+    * bit-identical otherwise; SimHash64Spec pins the equivalence.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // 64 per-bit vote sums as parallel aggregate columns over the token
-    // rows — one hash-agg pass, no 64x row fan-out. Each aggregate input
-    // is a cheap scalar off the single hashed column (never index a shared
-    // transform() array here: project collapse would re-evaluate it per
-    // aggregate — the O(k^2) trap documented in minhashSignatures).
-    val votes = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
-    val fingerprint = (0 until 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.Texts.register(df.sparkSession)
     df.select(col(idCol),
-        explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
-      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fingerprint.as("simhash"))
+        graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup candidates: equal 16-bit band (pigeonhole: hamming

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `minhash_sig(text, k, n, mod)` → `array<long>`: the full k-position
+  * MinHash signature of a document in ONE narrow map — shingle hashing
+  * ([[NgramHasher.hashAll]], identical values to `ngram_hashes`) and all
+  * k affine-permutation minimums fused into a single per-row loop.
+  *
+  * MinHash is a pure function of the document text, so computing it via
+  * `explode(ngram_hashes(...))` + `groupBy(id).agg(min...)` — the
+  * previous formulation — pays a corpus-sized row expansion (one row per
+  * shingle: ~300x the document count) and a full aggregate exchange for
+  * what a scan can produce for free. At 100 TB the explode+agg form
+  * shuffles (id, partial-min) rows for every (doc, partition) pair;
+  * this form shuffles NOTHING — signatures materialize inside
+  * whole-stage codegen on top of the parquet scan, and only the
+  * (much smaller) band join downstream exchanges data.
+  *
+  * Values are bit-identical to the explode+agg form: same shingle byte
+  * spans, same xxhash64 seed, same `pmod(h0*(2i+1) + i*40503 +
+  * 2654435769, mod)` affine family, same min over the shingle multiset
+  * (min over a multiset = min over its distinct set, so repeated
+  * shingles cannot change any position). `hashAll` yields at least one
+  * shingle for ANY non-null text (the whole text when shorter than n),
+  * so exactly the input rows come back — no doc is dropped. Null text
+  * propagates null.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int,
+                      mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSig.sig(
+      input.asInstanceOf[UTF8String], numHashes, shingleN, mod))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashSig.sig($c, $numHashes, $shingleN, ${mod}L));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  /** The fused loop. Public so generated code can call it. */
+  def sig(s: UTF8String, k: Int, n: Int, mod: Long): Array[Long] = {
+    val hashes = NgramHasher.hashAll(s, n, mod)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < hashes.length) {
+      val h0 = hashes(j) // already in [0, mod)
+      var i = 0
+      while (i < k) {
+        val v = (h0 * (i * 2 + 1) + i * 40503L + 2654435769L) % mod
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    mins
+  }
+
+  /** Column API over the registered function (see [[Texts.register]]). */
+  def minhashSig(text: Column, numHashes: Int, shingleN: Int,
+                 mod: Long): Column =
+    call_function("minhash_sig", text, lit(numHashes), lit(shingleN), lit(mod))
+}
