@@ -327,13 +327,31 @@ object Dedup {
 
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
                     maxBucket: Int = 500): DataFrame = {
-    val bandRows = capBuckets(bandRowsOf(sig, idCol, bands),
-      Seq("band", "bkey"), maxBucket, "lshCandidates")
-    val a = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
-    val b = bandRows.select(col(idCol).as("id2"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    // ONE aggregation pass gathers each band bucket's ids with
+    // hard-bounded state (graft.functions.BoundedIds: a bucket past
+    // maxBucket evaluates to null and is filtered — identical drop
+    // semantics to the old count-then-anti-join capBuckets, minus its
+    // separate count job), then pairs expand WITHIN each bucket row:
+    // posexplode picks each id, slice takes its later neighbors. vs the
+    // previous self-join form this is one exchange instead of three
+    // (count agg + both join sides) and no driver-side stats action; the
+    // pair set is unchanged (least/greatest + distinct normalize the
+    // in-bucket order, which — like collect_list — is
+    // partitioning-dependent).
+    graft.functions.Texts.register(sig.sparkSession)
+    val buckets = bandRowsOf(sig, idCol, bands)
+      .groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BoundedIds.boundedIds(col(idCol), maxBucket)
+        .as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "ida")), col("ids"))
+      .select(col("ida"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+      .distinct()
   }
 
   /** Estimated Jaccard for candidate pairs = fraction of equal signature

@@ -111,6 +111,11 @@ object Texts {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_ids",
+      exprs => BoundedIds(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   /** Column API over the registered function. */

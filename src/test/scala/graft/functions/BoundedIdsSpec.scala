@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BoundedIdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  Texts.register(spark)
+
+  test("collects a bucket's ids; overflowed buckets evaluate to null") {
+    val rows = (1L to 10L).map(i => ("small", i)) ++
+      (1L to 600L).map(i => ("hot", i))
+    val got = rows.toDF("bucket", "id")
+      .repartition(8) // force partial buffers + merge
+      .groupBy("bucket")
+      .agg(BoundedIds.boundedIds(col("id"), 500).as("ids"))
+      .as[(String, Option[Seq[Long]])].collect().toMap
+    assert(got("hot").isEmpty) // > max -> null
+    assert(got("small").map(_.sorted) == Some((1L to 10L).toSeq))
+  }
+
+  test("exactly max ids is kept (the cap is strict greater-than)") {
+    val got = (1L to 500L).map(i => ("b", i)).toDF("bucket", "id")
+      .repartition(8)
+      .groupBy("bucket")
+      .agg(BoundedIds.boundedIds(col("id"), 500).as("ids"))
+      .as[(String, Option[Seq[Long]])].head()
+    assert(got._2.map(_.size) == Some(500))
+  }
+
+  test("null ids are ignored, empty group gives empty array") {
+    val got = Seq(("b", Option.empty[Long]), ("b", Some(7L)))
+      .toDF("bucket", "id")
+      .groupBy("bucket")
+      .agg(BoundedIds.boundedIds(col("id"), 10).as("ids"))
+      .as[(String, Option[Seq[Long]])].head()
+    assert(got._2.map(_.toSeq) == Some(Seq(7L)))
+  }
+}
