@@ -325,26 +325,26 @@ object Dedup {
       .select(col(idCol), col("band"),
         xxhash64(col("band"), col("bslice")).as("bkey"))
 
-  def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
-                    maxBucket: Int = 500): DataFrame = {
-    // ONE aggregation pass gathers each band bucket's ids with
-    // hard-bounded state (graft.functions.BoundedIds: a bucket past
-    // maxBucket evaluates to null and is filtered — identical drop
-    // semantics to the old count-then-anti-join capBuckets, minus its
-    // separate count job), then pairs expand WITHIN each bucket row:
-    // posexplode picks each id, slice takes its later neighbors. vs the
-    // previous self-join form this is one exchange instead of three
-    // (count agg + both join sides) and no driver-side stats action; the
-    // pair set is unchanged (least/greatest + distinct normalize the
-    // in-bucket order, which — like collect_list — is
-    // partitioning-dependent).
-    graft.functions.Texts.register(sig.sparkSession)
-    val buckets = bandRowsOf(sig, idCol, bands)
+  /** In-bucket candidate pairs from (…, band, bkey) rows in ONE
+    * aggregation pass: graft.functions.BoundedIds gathers each bucket's
+    * ids with hard-bounded state (a bucket past `maxBucket` evaluates to
+    * null and is filtered — identical drop semantics to the old
+    * count-then-anti-join capBuckets, minus its separate count job),
+    * then pairs expand WITHIN each bucket row: posexplode picks each id,
+    * slice takes its later neighbors. vs the previous self-join form
+    * this is one exchange instead of three (count agg + both join sides)
+    * and no driver-side stats action; the pair set is unchanged
+    * (least/greatest + distinct normalize the in-bucket order, which —
+    * like collect_list — is partitioning-dependent).
+    */
+  private def boundedBucketPairs(bandRows: DataFrame, idCol: String,
+                                 maxBucket: Int): DataFrame = {
+    graft.functions.Texts.register(bandRows.sparkSession)
+    bandRows
       .groupBy(col("band"), col("bkey"))
-      .agg(graft.functions.BoundedIds.boundedIds(col(idCol), maxBucket)
+      .agg(graft.functions.BoundedIds.boundedIds(maxBucket, col(idCol))
         .as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-    buckets
       .select(posexplode(col("ids")).as(Seq("i", "ida")), col("ids"))
       .select(col("ida"),
         explode(slice(col("ids"), col("i") + lit(2),
@@ -353,6 +353,10 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("id2"))
       .distinct()
   }
+
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
+                    maxBucket: Int = 500): DataFrame =
+    boundedBucketPairs(bandRowsOf(sig, idCol, bands), idCol, maxBucket)
 
   /** Estimated Jaccard for candidate pairs = fraction of equal signature
     * positions (MinHash property). Verification tier after banding.
@@ -390,24 +394,31 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal 16-bit band (pigeonhole: hamming
     * ≤ 3 guarantees ≥1 equal band of 4) then exact hamming filter.
-    * Buckets above `maxBucket` are dropped pre-join ([[capBuckets]]).
+    * Same single-exchange bounded-bucket shape as [[boundedBucketPairs]],
+    * with the fingerprint carried through the bucket as a tuple payload
+    * (hamming is symmetric, so the least/greatest id normalization needs
+    * no payload swap); buckets above `maxBucket` evaluate to null and
+    * are dropped, exactly the old capBuckets semantics.
     */
   def simhashCandidates(sh: DataFrame, idCol: String, maxDist: Int = 3,
                         maxBucket: Int = 500): DataFrame = {
-    val bands = capBuckets(
-      sh.select(col(idCol), col("simhash"),
+    graft.functions.Texts.register(sh.sparkSession)
+    sh.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
-          .as(Seq("band", "bkey"))),
-      Seq("band", "bkey"), maxBucket, "simhashCandidates")
-    val a = bands.select(col(idCol).as("id1"), col("simhash").as("sh1"),
-      col("band"), col("bkey"))
-    val b = bands.select(col(idCol).as("id2"), col("simhash").as("sh2"),
-      col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+          .as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BoundedIds
+        .boundedIds(maxBucket, col(idCol), col("simhash")).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 2)
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + lit(2),
+          size(col("xs")) - col("i") - lit(1))).as("b"))
+      .select(
+        least(col("a.c0"), col("b.c0")).as("id1"),
+        greatest(col("a.c0"), col("b.c0")).as("id2"),
+        bit_count(col("a.c1").bitwiseXOR(col("b.c1"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -525,13 +536,8 @@ object Dedup {
   def embeddingNearDups(bucketed: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double = 0.9, nPlanes: Int = 32,
                         bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val bandRows = capBuckets(vectorBandRows(bucketed, idCol, nPlanes, bands),
-      Seq("band", "bkey"), maxBucket, "embeddingNearDups")
-    val cands = bandRows.select(col(idCol).as("id1"), col("band"), col("bkey"))
-      .join(bandRows.select(col(idCol).as("id2"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val cands = boundedBucketPairs(
+      vectorBandRows(bucketed, idCol, nPlanes, bands), idCol, maxBucket)
     graft.functions.Vectors.register(bucketed.sparkSession)
     cands
       .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")

@@ -113,8 +113,8 @@ object Texts {
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_ids",
-      exprs => BoundedIds(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => BoundedIds(exprs.init,
+        exprs.last.eval().asInstanceOf[Number].intValue()),
       "built-in")
   }
 
