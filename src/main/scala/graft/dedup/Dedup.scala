@@ -445,9 +445,17 @@ object Dedup {
     */
   def canonicalClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                         maxIter: Int = 10): DataFrame = {
-    // symmetric edge list (propagate both directions)
+    // Symmetric edge list (propagate both directions), shuffled onto the
+    // join key ONCE and materialized: every round's neighbor-min joins
+    // edges on dst, and without the explicit repartition+checkpoint the
+    // union would re-execute and re-exchange the full edge list in every
+    // round — at corpus scale that is rounds x |edges| of avoidable
+    // shuffle. The checkpointed frame keeps its HashPartitioning(dst),
+    // so each round exchanges only the (much smaller) label frame.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
     // Iterate ONLY over ids that touch an edge: an isolated doc keeps its
     // own label forever, so dragging the whole corpus through every round's
     // joins is pure waste — at 100 TB the near-dup subgraph is a small
