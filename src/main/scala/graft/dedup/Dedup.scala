@@ -336,6 +336,10 @@ object Dedup {
     * and no driver-side stats action; the pair set is unchanged
     * (least/greatest + distinct normalize the in-bucket order, which —
     * like collect_list — is partitioning-dependent).
+    *
+    * The drop is SILENT on the hot path (logging it would cost the very
+    * stats job this shape removes) — operators audit the dropped mass on
+    * their own cadence with [[bucketCapAudit]] over the same band rows.
     */
   private def boundedBucketPairs(bandRows: DataFrame, idCol: String,
                                  maxBucket: Int): DataFrame = {
@@ -357,6 +361,24 @@ object Dedup {
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
                     maxBucket: Int = 500): DataFrame =
     boundedBucketPairs(bandRowsOf(sig, idCol, bands), idCol, maxBucket)
+
+  /** Audit for the bounded-bucket candidate stages' silent hot-bucket
+    * drop: (hot bucket count, total rows they cover) above `maxBucket`,
+    * from one map-side-combined count aggregate over the same band rows
+    * a candidate stage consumes — e.g.
+    * `bucketCapAudit(Dedup.bandRowsOf(sig, "doc_id", 8), 500)`. Run on
+    * the monitoring cadence, not per query: the hot path drops
+    * over-cap buckets without counting them (see [[boundedBucketPairs]]).
+    */
+  def bucketCapAudit(bandRows: DataFrame, maxBucket: Int,
+                     keys: Seq[String] = Seq("band", "bkey")): (Long, Long) = {
+    val stats = bandRows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .agg(count(lit(1)).as("nb"),
+        coalesce(sum(col("__bsz")), lit(0L)).as("mass")).head()
+    (stats.getAs[Long]("nb"), stats.getAs[Long]("mass"))
+  }
 
   /** Estimated Jaccard for candidate pairs = fraction of equal signature
     * positions (MinHash property). Verification tier after banding.

@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(!nj.exists(t => t._1 < 1000L && t._2 < 1000L))
   }
 
+  test("bucketCapAudit reports the mass the silent cap dropped") {
+    val flood = (0L until 1000L).map(i => (i, longA))
+    val sig = Dedup.minhashSignatures(flood.toDF("doc_id", "text"),
+      "doc_id", "text", 32, 5)
+    val (nb, mass) = Dedup.bucketCapAudit(
+      Dedup.bandRowsOf(sig, "doc_id", 8), maxBucket = 500)
+    assert(nb == 8L) // every band's single bucket is saturated
+    assert(mass == 8L * 1000L)
+    val (nb2, _) = Dedup.bucketCapAudit(
+      Dedup.bandRowsOf(Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5),
+        "doc_id", 8), maxBucket = 500)
+    assert(nb2 == 0L)
+  }
+
   test("hot-bucket cap is inert when no bucket exceeds the threshold") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5)
     val capped = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = 500)
