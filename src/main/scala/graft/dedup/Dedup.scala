@@ -53,6 +53,24 @@ object Dedup {
     */
   private val MaxBroadcastHotBuckets = 4L * 1000 * 1000
 
+  /** Action-free variant of [[capBuckets]] for the incremental gates'
+    * BATCH side: a window count over the bucket key filters over-cap
+    * buckets inline, with no driver-side stats job. The window's
+    * exchange hash-partitions the rows on exactly the key the store
+    * join shuffles them to anyway, so the join reuses it — the cap is
+    * effectively free, where the count+anti-join form paid a separate
+    * aggregate job per micro-batch. Silent like [[boundedBucketPairs]]'
+    * cap; [[bucketCapAudit]] is the monitoring-cadence counterpart.
+    */
+  private def capBucketsInline(rows: DataFrame, keys: Seq[String],
+                               maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    rows.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+  }
+
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int,
                          what: String): DataFrame = {
     val hot = rows.groupBy(keys.map(col): _*)
@@ -187,8 +205,8 @@ object Dedup {
     val sigsT = s"${storeTable}_sigs"
     if (!s.catalog.tableExists(bandsT)) batchSig
     else {
-      val batchBands = capBuckets(bandRowsOf(batchSig, idCol, bands),
-        Seq("band", "bkey"), maxBucket, "minhashIncremental")
+      val batchBands = capBucketsInline(bandRowsOf(batchSig, idCol, bands),
+        Seq("band", "bkey"), maxBucket)
       val pairs = batchBands
         .select(col(idCol).as("id1"), col("band"), col("bkey"))
         .join(s.table(bandsT).hint("merge")
@@ -621,9 +639,9 @@ object Dedup {
     if (!s.catalog.tableExists(bandsT))
       bucketed.select(col(idCol), col(vecCol))
     else {
-      val batchBands = capBuckets(
+      val batchBands = capBucketsInline(
         vectorBandRows(bucketed, idCol, nPlanes, bands),
-        Seq("band", "bkey"), maxBucket, "embeddingIncremental")
+        Seq("band", "bkey"), maxBucket)
       graft.functions.Vectors.register(s)
       val pairs = batchBands
         .select(col(idCol).as("id1"), col("band"), col("bkey"))
@@ -705,8 +723,8 @@ object Dedup {
     val fpsT = s"${storeTable}_fps"
     if (!s.catalog.tableExists(bandsT)) batchFp
     else {
-      val batchBands = capBuckets(simhashBandRows(batchFp, idCol),
-        Seq("band", "bkey"), maxBucket, "simhashIncremental")
+      val batchBands = capBucketsInline(simhashBandRows(batchFp, idCol),
+        Seq("band", "bkey"), maxBucket)
       val dupIds = batchBands
         .select(col(idCol).as("id1"), col("band"), col("bkey"))
         .join(s.table(bandsT).hint("merge")
