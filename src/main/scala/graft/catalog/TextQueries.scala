@@ -188,13 +188,16 @@ object TextQueries {
 
     // ----- document fingerprint: min-hash over 8-char shingles -----
     "q34_fingerprint" -> Q(
-      (s, dir) => Tables(s, dir, "documents")
+      (s, dir) => {
+        // fused per-row expression — the explode + min-agg formulation
+        // this replaced shuffled one row per shingle position
+        graft.functions.Texts.register(s)
+        Tables(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextAnalysis.shingleStarts(col("text"))).as("i"),
-          col("text"))
-        .select(col("doc_id"), md5(expr("substring(text, i, 8)")).as("h"))
-        .groupBy("doc_id").agg(min(col("h")).as("fingerprint"))
-        .orderBy("doc_id"),
+          graft.functions.ShingleFingerprint
+            .shingleFingerprint(col("text"), 8).as("fingerprint"))
+        .orderBy("doc_id")
+      },
       Some(
         """SELECT doc_id, MIN(MD5(SUBSTRING(text, CAST(i AS INTEGER), 8))) AS fingerprint
           |FROM (SELECT doc_id, text,

@@ -112,6 +112,11 @@ object Texts {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_fingerprint",
+      exprs => ShingleFingerprint(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_ids",
       exprs => BoundedIds(exprs.init,
         exprs.last.eval().asInstanceOf[Number].intValue()),
