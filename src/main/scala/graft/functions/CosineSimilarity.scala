@@ -99,20 +99,50 @@ object Vectors {
 }
 
 /** `SparkSessionExtensions` injector for cluster deployments:
-  * `spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * `cosine_sim` + the graft optimizer rules available in every session
-  * without driver code.
+  * `spark.sql.extensions=graft.functions.GraftExtensions` makes the
+  * full graft expression inventory + the graft optimizer rules
+  * available in every session without driver code. (The sole
+  * session-registry function NOT injected is the `geo_mean_growth`
+  * udaf-wrapped Aggregator — `Aggregators.register(spark)` it per
+  * session; typed Aggregators have no expression builder to inject.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+  private def longArg(e: Expression): Long =
+    e.eval().asInstanceOf[Number].longValue()
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("stopword_counts"),
-      new ExpressionInfo(classOf[StopwordCountsExpr].getName, "stopword_counts"),
-      (exprs: Seq[Expression]) => StopwordCountsExpr(exprs(0))))
+    val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("cosine_sim", classOf[CosineSimilarity].getName,
+        es => CosineSimilarity(es(0), es(1))),
+      ("stopword_counts", classOf[StopwordCountsExpr].getName,
+        es => StopwordCountsExpr(es(0))),
+      ("sig_overlap", classOf[SigOverlap].getName,
+        es => SigOverlap(es(0), es(1))),
+      ("ngram_hashes", classOf[NgramHashes].getName,
+        es => NgramHashes(es(0), intArg(es(1)), longArg(es(2)))),
+      ("minhash_sig", classOf[MinHashSig].getName,
+        es => MinHashSig(es(0), intArg(es(1)), intArg(es(2)), longArg(es(3)))),
+      ("simhash64", classOf[SimHash64].getName,
+        es => SimHash64(es(0))),
+      ("shingle_fingerprint", classOf[ShingleFingerprint].getName,
+        es => ShingleFingerprint(es(0), intArg(es(1)))),
+      ("bounded_ids", classOf[BoundedIds].getName,
+        es => BoundedIds(es.init, intArg(es.last))),
+      ("lsh_bucket", classOf[LshBucket].getName,
+        es => LshBucket(es(0), intArg(es(1)), longArg(es(2)))),
+      ("kmv_sample", classOf[KmvSketch].getName,
+        es => KmvSketch(Sketches.defaultHash(es(0)), es(0), intArg(es(1)))),
+      ("kmv_sample_by", classOf[KmvSketch].getName,
+        es => KmvSketch(es(0), es(1), intArg(es(2)))),
+      ("kmv_distinct", classOf[KmvDistinct].getName,
+        es => KmvDistinct(es(0), intArg(es(1)))))
+    builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine)
   }
 }
