@@ -40,6 +40,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 2, s"expected <=2 exchanges, got $n")
   }
 
+  test("simhashCandidates: one bucket-gather exchange plus the distinct") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").localCheckpoint()
+    val n = exchanges(Dedup.simhashCandidates(sh, "doc_id"))
+    assert(n <= 2, s"expected <=2 exchanges, got $n")
+  }
+
+  test("shingle fingerprint is a pure map: zero exchanges") {
+    graft.functions.Texts.register(spark)
+    assert(exchanges(docs.select(col("doc_id"),
+      graft.functions.ShingleFingerprint
+        .shingleFingerprint(col("text"), 8).as("fp"))) == 0)
+  }
+
   test("exact dedup exchanges hashes, not text") {
     val deduped = Dedup.exact(docs, "doc_id", "text")
     deduped.count()
