@@ -207,12 +207,16 @@ object Dedup {
     else {
       val batchBands = capBucketsInline(bandRowsOf(batchSig, idCol, bands),
         Seq("band", "bkey"), maxBucket)
+      // no pair-level distinct: a pair colliding in several bands reaches
+      // the verify joins once per band (bounded by the band count), but
+      // the id set is distinct'd after the filter anyway — dropping the
+      // (id1, id2)-keyed exchange is the better trade on a per-batch path
       val pairs = batchBands
         .select(col(idCol).as("id1"), col("band"), col("bkey"))
         .join(s.table(bandsT).hint("merge")
           .select(col(idCol).as("id2"), col("band"), col("bkey")),
           Seq("band", "bkey"))
-        .select("id1", "id2").distinct()
+        .select("id1", "id2")
       val dupIds = pairs
         .join(batchSig.select(col(idCol).as("id1"), col("sig").as("sig1")),
           "id1")
@@ -643,12 +647,16 @@ object Dedup {
         vectorBandRows(bucketed, idCol, nPlanes, bands),
         Seq("band", "bkey"), maxBucket)
       graft.functions.Vectors.register(s)
+      // no pair-level distinct: a pair colliding in several bands reaches
+      // the verify joins once per band (bounded by the band count), but
+      // the id set is distinct'd after the filter anyway — dropping the
+      // (id1, id2)-keyed exchange is the better trade on a per-batch path
       val pairs = batchBands
         .select(col(idCol).as("id1"), col("band"), col("bkey"))
         .join(s.table(bandsT).hint("merge")
           .select(col(idCol).as("id2"), col("band"), col("bkey")),
           Seq("band", "bkey"))
-        .select("id1", "id2").distinct()
+        .select("id1", "id2")
       val dupIds = pairs
         .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")),
           "id1")
@@ -725,12 +733,14 @@ object Dedup {
     else {
       val batchBands = capBucketsInline(simhashBandRows(batchFp, idCol),
         Seq("band", "bkey"), maxBucket)
+      // pair-level distinct dropped: duplication is bounded by the band
+      // count and the id set is distinct'd after the hamming filter
       val dupIds = batchBands
         .select(col(idCol).as("id1"), col("band"), col("bkey"))
         .join(s.table(bandsT).hint("merge")
           .select(col(idCol).as("id2"), col("band"), col("bkey")),
           Seq("band", "bkey"))
-        .select("id1", "id2").distinct()
+        .select("id1", "id2")
         .join(batchFp.select(col(idCol).as("id1"), col("simhash").as("__f1")),
           "id1")
         .join(s.table(fpsT).hint("merge")
