@@ -12,9 +12,9 @@ import graft.text.TextAnalysis
   */
 object TextQueries {
 
-  // DuckDB mirror of TextAnalysis.wsTokens
+  // DuckDB mirror of TextAnalysis.wsTokens (non-empty \s+-delimited runs)
   private val toksSql =
-    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END"
+    "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)"
 
   private def hitsSql(words: Seq[String]): String =
     s"LEN(LIST_FILTER($toksSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"

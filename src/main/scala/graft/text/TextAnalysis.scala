@@ -12,12 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens; empty/blank input gives an empty array (Spark's
-    * `split("")` would give `[""]`).
+  /** Whitespace tokens: the NON-EMPTY `\s+`-delimited runs. Empty/blank
+    * input gives an empty array.
+    *
+    * The earlier `split(trim(c), "\\s+")` form had a latent quirk the
+    * fused byte-scan expressions surfaced (caught by
+    * SketchFusionPropertySpec): Spark's `trim` strips only SPACES, so
+    * text starting with `\t`/`\n` produced a phantom leading ""
+    * token — counted by stopwordRatio's denominator and hashed into
+    * simhash votes. Filtering empties defines the semantics everyone
+    * means and matches the byte-level scans exactly; the DuckDB oracle
+    * mirror (TextQueries.toksSql) applies the same filter in lockstep.
     */
   def wsTokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    filter(split(c, "\\s+"), t => length(t) > 0)
 
   def tokenCountWs(c: Column): Column = size(wsTokens(c))
 
