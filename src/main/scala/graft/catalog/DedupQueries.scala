@@ -43,6 +43,53 @@ object DedupQueries {
       table
     })
 
+  /** Salted + copy-seeded corpus for the oracled q37/q38 entries.
+    *
+    * The raw synthetic corpus contains ORGANIC templated near-dups that
+    * reach est_jaccard 1.0 and hamming 0 (measured at sf0.01: 10 full
+    * 32/32 signature collisions, organic hamming-0 pairs) — so plain
+    * copy seeding has no threshold that separates seeded copies from
+    * organic pairs, and those pairs are xxhash-derived, not
+    * SQL-expressible. The fix: append a per-doc salt of DISTINCT unique
+    * tokens (`u<id>x1 u<id>x2 …`, sized ~half the text length — a
+    * REPEATED salt token would be useless for MinHash, contributing only
+    * a handful of distinct shingles to a set-based similarity).
+    * Previously-identical texts then share at most J ≈ 0.5 of their
+    * shingle set (measured at sf0.01: organic max est drops to 25/32 =
+    * 0.78125, far from the 32/32 the 0.99 threshold requires), and the
+    * salt tokens scatter organic SimHash fingerprints (measured organic
+    * minimum hamming 4 at sf0.01 > maxDist 3 — deterministic corpus,
+    * deterministic margin). Verbatim
+    * copies still share the exact salted TEXT, so the full real path —
+    * xxhash shingling, banding, bounded-bucket candidates, verify join —
+    * must emit exactly the copy pairs at est 1.0 / hamming 0. The salt
+    * never appears in the oracle (closed form over ids alone), so it
+    * needs determinism, not SQL expressibility.
+    */
+  private def saltedCopySeeded(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val nTok = greatest(lit(12), (length(col("text")) / 16).cast("int"))
+    val salted = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        array_join(transform(sequence(lit(1), nTok),
+          i => concat(lit("u"), col("doc_id"), lit("x"), i)), " "))
+        .as("text"))
+    salted.unionByName(salted.filter(col("doc_id") < 50)
+      .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
+  }
+
+  /** Copy-id shift for [[saltedCopySeeded]]: above any real doc_id at
+    * any bench SF (sf1 tops out around 5e4).
+    */
+  private val CopyShift = 10000000L
+
+  /** [[saltedCopySeeded]] for [[graft.tools.OracleMargins]], the audit
+    * that re-measures the organic-margin claims in the scaladoc above.
+    */
+  def saltedCopySeededForAudit(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    saltedCopySeeded(s, dir)
+
   val all: Map[String, Q] = Map(
 
     // ----- exact dedup: canonical min-id per identical text -----
@@ -228,22 +275,33 @@ object DedupQueries {
           |ORDER BY id1, id2""".stripMargin),
       "exact n-gram Jaccard via inverted shingle index"),
 
-    // ----- MinHash + LSH banding (scale path; no SQL oracle) -----
+    // ----- MinHash + LSH banding over the salted copy-seeded corpus -----
+    // The REAL scale path (fused minhash_sig over every doc, LSH band
+    // join, bounded-bucket candidates, sig_overlap verify) under the
+    // closed-form copy oracle (see saltedCopySeeded): at est >= 0.99
+    // exactly the 50 seeded copy pairs survive — a broken band split,
+    // candidate path, or overlap count loses copies; an over-wide
+    // candidate set cannot add rows (no organic salted pair reaches
+    // 32/32). The organic threshold-0.5 composition stays demonstrated
+    // by q45's near-dup tier and q57's fully-oracled band fixture.
     "q37_minhash_lsh" -> Q(
       (s, dir) => {
         // materialized once (CorpusPipeline pattern): consumed by the
-        // hot-bucket detection agg, both band-join sides, and the verify
-        // joins — recomputing shingle hashing per consumer would dominate
+        // band join sides and the verify joins — recomputing shingle
+        // hashing per consumer would dominate
         val sig = Dedup.minhashSignatures(
-          Tables(s, dir, "documents"), "doc_id", "text",
+          saltedCopySeeded(s, dir), "doc_id", "text",
           numHashes = 32, shingleN = 5).localCheckpoint()
         Dedup.minhashJaccard(Dedup.lshCandidates(sig, "doc_id", bands = 8),
             sig, "doc_id")
-          .filter(col("est_jaccard") >= 0.5)
+          .filter(col("est_jaccard") >= 0.99)
           .orderBy("id1", "id2")
       },
-      None,
-      "MinHash signatures -> LSH band join -> estimated-Jaccard filter"),
+      Some(
+        """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
+          |       CAST(1.0 AS DOUBLE) AS est_jaccard
+          |FROM documents WHERE doc_id < 50 ORDER BY id1, id2""".stripMargin),
+      "MinHash signatures -> LSH band join -> verify, copy-pair oracle"),
 
     // ----- full corpus-curation composition (no SQL oracle) -----
     "q45_curate_corpus" -> Q(
@@ -255,16 +313,26 @@ object DedupQueries {
       None,
       "filter -> exact dedup -> MinHash/LSH near-dup -> connected components -> token accounting"),
 
-    // ----- SimHash near-dup candidates (no SQL oracle) -----
+    // ----- SimHash near-dup candidates, salted copy-seeded oracle -----
+    // Same construction as q37 for the SimHash path: fused simhash64
+    // over every salted doc, 16-bit banding, bounded-bucket candidates,
+    // bit_count(xor) verify. Copies share the exact salted text (hamming
+    // 0); the salt scatters organic fingerprints ~30 bits apart, so at
+    // maxDist = 3 exactly the 50 copy pairs survive. The organic
+    // hamming distribution stays exercised by q58's oracled fixture and
+    // q72's incremental gate.
     "q38_simhash" -> Q(
       (s, dir) => Dedup.simhashCandidates(
-          // materialized once: feeds the hot-bucket agg + both join sides
-          Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+          // materialized once: feeds both candidate join sides
+          Dedup.simhash(saltedCopySeeded(s, dir), "doc_id", "text")
             .localCheckpoint(),
           "doc_id", maxDist = 3)
         .orderBy("id1", "id2"),
-      None,
-      "64-bit SimHash, banded candidates, hamming<=3"),
+      Some(
+        """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
+          |       CAST(0 AS INTEGER) AS hamming
+          |FROM documents WHERE doc_id < 50 ORDER BY id1, id2""".stripMargin),
+      "64-bit SimHash, banded candidates, hamming<=3, copy-pair oracle"),
 
     // ----- LSH band join + estimated-Jaccard verify on a FIXED fixture --
     // q37's post-hash stages (band slice -> bucket equi-join -> distinct

@@ -71,6 +71,13 @@ object Dedup {
       .drop("__bsz")
   }
 
+  /** NOTE: this form pays a DRIVER-SIDE STATS ACTION (`.head()`) per
+    * call. Its one remaining consumer is the offline [[ngramJaccard]]
+    * verification tier, where the logged dropped-mass warning is worth a
+    * job; per-batch / hot paths must use [[capBucketsInline]] (window
+    * cap, action-free) or [[boundedBucketPairs]] (cap inside the
+    * gathering aggregate) instead — do not migrate this back onto them.
+    */
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int,
                          what: String): DataFrame = {
     val hot = rows.groupBy(keys.map(col): _*)
@@ -321,9 +328,15 @@ object Dedup {
     // the explode+agg equivalence.
     val p = 2147483647L
     graft.functions.Texts.register(df.sparkSession)
+    // null-text docs are dropped, preserving the explode+agg row set
+    // (explode of a null array emitted nothing). Without the filter a
+    // null sig would give every null-text doc the SAME band key
+    // (xxhash64 skips the null slice) — spurious candidate pairs now,
+    // and an uncapped ever-growing store bucket in minhashGate later.
     df.select(col(idCol),
       graft.functions.MinHashSig
         .minhashSig(col(textCol), numHashes, shingleN, p).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH banding: signature rows → (band, bucket) keys → candidate pairs
@@ -377,6 +390,10 @@ object Dedup {
           size(col("ids")) - col("i") - lit(1))).as("idb"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
+      // a duplicated input id in one bucket would otherwise emit a
+      // (id, id) self-pair — the old self-join's strict id1 < id2
+      // excluded those, so keep that contract
+      .filter(col("id1") =!= col("id2"))
       .distinct()
   }
 
@@ -463,6 +480,9 @@ object Dedup {
         least(col("a.c0"), col("b.c0")).as("id1"),
         greatest(col("a.c0"), col("b.c0")).as("id2"),
         bit_count(col("a.c1").bitwiseXOR(col("b.c1"))).as("hamming"))
+      // self-pairs from a duplicated input id: the old self-join's
+      // strict id1 < id2 excluded them
+      .filter(col("id1") =!= col("id2"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

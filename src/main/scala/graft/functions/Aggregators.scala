@@ -30,5 +30,8 @@ object Aggregators {
   def register(spark: SparkSession): Unit =
     spark.udf.register(name, udaf(GeoMeanGrowth))
 
-  def geoMeanGrowth(rate: Column): Column = call_function(name, rate)
+  def geoMeanGrowth(rate: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(name, rate)
+  }
 }

@@ -34,6 +34,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * callers must not depend on it — the LSH pair expansions normalize
   * with least/greatest + distinct, making the emitted pair SET
   * deterministic.
+  *
+  * Input contract: every collected column must be `bigint` (the buffer
+  * is a flat long array — this is what keeps serialization and merge
+  * allocation-free), so the dedup operators built on it
+  * ([[graft.dedup.Dedup.lshCandidates]], `simhashCandidates`,
+  * `embeddingNearDups`) require a bigint id column; non-long ids fail
+  * analysis loudly (cast or hash them to long first). A tuple with ANY
+  * null component is SKIPPED — it neither occupies buffer space nor
+  * counts toward the cap (same row-drop semantics as `collect_list`
+  * on a null input); callers who must keep null-keyed rows need to
+  * coalesce to a sentinel before aggregating.
   */
 case class BoundedIds(
     values: Seq[Expression],
@@ -177,7 +188,9 @@ object BoundedIds {
     * `boundedIds(max, id)` gives `array<bigint>`,
     * `boundedIds(max, id, payload, ...)` gives `array<struct<c0,c1,...>>`.
     */
-  def boundedIds(max: Int, cols: Column*): Column =
+  def boundedIds(max: Int, cols: Column*): Column = {
+    Texts.ensureRegistered()
     call_function("bounded_ids",
       cols :+ org.apache.spark.sql.functions.lit(max): _*)
+  }
 }

@@ -94,8 +94,13 @@ object Vectors {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
 
-  /** Column API over the registered function. */
-  def cosineSim(a: Column, b: Column): Column = call_function(name, a, b)
+  /** Column API over the registered function (lazily registered against
+    * the active session, as [[Texts.ensureRegistered]]).
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(name, a, b)
+  }
 }
 
 /** `SparkSessionExtensions` injector for cluster deployments:

@@ -190,17 +190,26 @@ object Sketches {
       "built-in")
   }
 
+  private def ensureRegistered(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
+
   /** `kmvSample(col, k)`: deterministic k-element uniform sample. */
-  def kmvSample(c: Column, k: Int): Column =
+  def kmvSample(c: Column, k: Int): Column = {
+    ensureRegistered()
     call_function(name, c, org.apache.spark.sql.functions.lit(k))
+  }
 
   /** `kmvSampleBy(hash, value, k)`: bottom-k values ranked by a
     * caller-supplied hash column (fixture/oracle hook; see q60).
     */
-  def kmvSampleBy(h: Column, v: Column, k: Int): Column =
+  def kmvSampleBy(h: Column, v: Column, k: Int): Column = {
+    ensureRegistered()
     call_function(byName, h, v, org.apache.spark.sql.functions.lit(k))
+  }
 
   /** `kmvDistinct(col, k)`: deterministic distinct-count estimate. */
-  def kmvDistinct(c: Column, k: Int): Column =
+  def kmvDistinct(c: Column, k: Int): Column = {
+    ensureRegistered()
     call_function(distinctName, c, org.apache.spark.sql.functions.lit(k))
+  }
 }

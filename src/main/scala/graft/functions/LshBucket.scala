@@ -87,7 +87,11 @@ object LshBuckets {
         exprs(2).eval().asInstanceOf[Number].longValue()),
       "built-in")
 
-  /** Column API over the registered function. */
-  def lshBucket(vec: Column, nPlanes: Int, seed: Long): Column =
+  /** Column API over the registered function (lazily registered against
+    * the active session, as [[Texts.ensureRegistered]]).
+    */
+  def lshBucket(vec: Column, nPlanes: Int, seed: Long): Column = {
+    SparkSession.getActiveSession.foreach(register)
     call_function(name, vec, lit(nPlanes), lit(seed))
+  }
 }

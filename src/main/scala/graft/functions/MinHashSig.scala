@@ -64,7 +64,14 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int,
 
 object MinHashSig {
 
-  /** The fused loop. Public so generated code can call it. */
+  /** The fused loop. Public so generated code can call it.
+    *
+    * `floorMod`, not `%`: the claimed bit-identity is with SQL `pmod`,
+    * whose result is non-negative even when the affine product overflows
+    * a long (possible for caller-supplied `mod` near 2^63/k — for the
+    * default mod = 2^31-1 and k = 32 the product stays positive and the
+    * two operators agree, but the registry accepts arbitrary k/mod).
+    */
   def sig(s: UTF8String, k: Int, n: Int, mod: Long): Array[Long] = {
     val hashes = NgramHasher.hashAll(s, n, mod)
     val mins = new Array[Long](k)
@@ -74,7 +81,7 @@ object MinHashSig {
       val h0 = hashes(j) // already in [0, mod)
       var i = 0
       while (i < k) {
-        val v = (h0 * (i * 2 + 1) + i * 40503L + 2654435769L) % mod
+        val v = Math.floorMod(h0 * (i * 2 + 1) + i * 40503L + 2654435769L, mod)
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -85,6 +92,8 @@ object MinHashSig {
 
   /** Column API over the registered function (see [[Texts.register]]). */
   def minhashSig(text: Column, numHashes: Int, shingleN: Int,
-                 mod: Long): Column =
+                 mod: Long): Column = {
+    Texts.ensureRegistered()
     call_function("minhash_sig", text, lit(numHashes), lit(shingleN), lit(mod))
+  }
 }

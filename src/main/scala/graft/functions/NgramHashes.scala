@@ -91,6 +91,21 @@ case class NgramHashes(child: Expression, n: Int, mod: Long)
 object Texts {
   private val name = "ngram_hashes"
 
+  /** Lazily [[register]] against the thread's active session, if any.
+    *
+    * Every Column API in this package calls this before building its
+    * `call_function` Column, so the helpers work on a bare session with
+    * no explicit `Texts.register` — the old hidden precondition made
+    * direct callers of e.g. `TextAnalysis.langId` fail with "undefined
+    * function" until an operator entry point happened to register first.
+    * Registration is idempotent and driver-side-cheap (one registry map
+    * write per function). Column construction without ANY active session
+    * (possible off-thread) still needs an explicit `register(spark)` /
+    * `GraftExtensions` before analysis.
+    */
+  def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.foreach(register)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
@@ -124,6 +139,8 @@ object Texts {
   }
 
   /** Column API over the registered function. */
-  def ngramHashes(text: Column, n: Int, mod: Long): Column =
+  def ngramHashes(text: Column, n: Int, mod: Long): Column = {
+    ensureRegistered()
     call_function(name, text, lit(n), lit(mod))
+  }
 }

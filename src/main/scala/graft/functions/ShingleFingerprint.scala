@@ -105,6 +105,8 @@ object ShingleFingerprint {
   }
 
   /** Column API over the registered function (see [[Texts.register]]). */
-  def shingleFingerprint(text: Column, n: Int): Column =
+  def shingleFingerprint(text: Column, n: Int): Column = {
+    Texts.ensureRegistered()
     call_function("shingle_fingerprint", text, lit(n))
+  }
 }

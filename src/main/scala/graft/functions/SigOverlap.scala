@@ -87,6 +87,8 @@ case class SigOverlap(left: Expression, right: Expression)
 
 object SigOverlap {
   /** Column API over the registered function (see [[Texts.register]]). */
-  def sigOverlap(a: Column, b: Column): Column =
+  def sigOverlap(a: Column, b: Column): Column = {
+    Texts.ensureRegistered()
     org.apache.spark.sql.functions.call_function("sig_overlap", a, b)
+  }
 }

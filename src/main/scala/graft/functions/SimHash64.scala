@@ -105,5 +105,8 @@ object SimHash64 {
   }
 
   /** Column API over the registered function (see [[Texts.register]]). */
-  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def simhash64(text: Column): Column = {
+    Texts.ensureRegistered()
+    call_function("simhash64", text)
+  }
 }

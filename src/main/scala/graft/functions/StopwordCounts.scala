@@ -130,6 +130,8 @@ object StopwordCountsExpr {
     * the text tier registers it first, and `GraftExtensions` injects it
     * for cluster deployments.
     */
-  def stopwordCounts(c: Column): Column =
+  def stopwordCounts(c: Column): Column = {
+    Texts.ensureRegistered()
     org.apache.spark.sql.functions.call_function("stopword_counts", c)
+  }
 }

@@ -73,10 +73,11 @@ object TextAnalysis {
     * minhash-signatures O(k²) note: derive everything from one pass,
     * never reference a shared array expression k times.
     *
-    * The expression resolves through the session function registry:
-    * [[graft.functions.Texts.register]] must run once per session (every
-    * graft entry point that uses this tier does so; `GraftExtensions`
-    * injects it cluster-wide).
+    * The expression resolves through the session function registry.
+    * The Column API registers lazily against the thread's active session
+    * ([[graft.functions.Texts.ensureRegistered]]), so these helpers work
+    * on a bare session; `GraftExtensions` injects cluster-wide for
+    * sessions built off-thread.
     */
   private def swCounts(c: Column): Column =
     graft.functions.StopwordCountsExpr.stopwordCounts(c)
