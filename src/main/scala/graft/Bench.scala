@@ -137,6 +137,49 @@ object Bench {
     None
   }
 
+  /** Measures the incremental exact-dedup GATE against store scale: the
+    * SAME fixed 1k-doc batch is gated (read-only anti-join, the
+    * recurring per-day cost) against a hash store seeded from the sf0.1
+    * corpus (~5k docs) and one seeded from the sf1 corpus (~50k docs).
+    * Store seeding is a one-time corpus build and runs UNTIMED; each
+    * timed rep is `Dedup.exactGate(...).count()`. The design claim this
+    * pins with a measurement (IncrementalDedupSpec pins it on the plan):
+    * the store side of the gate join is bucketed on the join key and
+    * never reshuffles, so per-batch cost scales with the batch — the
+    * 10x store should move the gate time by roughly its extra co-located
+    * scan, not 10x.
+    */
+  private def incGateScale(spark: SparkSession, smallDir: String,
+                           largeDir: String, reps: Int)
+      : Seq[(String, Double)] = try {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    def seed(tag: String, dir: String): String = {
+      val t = s"graft_bench_gate_${nonce}_$tag"
+      graft.dedup.Dedup.exactIncremental(
+        Tables(spark, dir, "documents"), "doc_id", "text",
+        t, new java.io.File(sys.props("java.io.tmpdir"), t).getPath)
+      t
+    }
+    val small = seed("small", smallDir)
+    val large = seed("large", largeDir)
+    val batch = Tables(spark, smallDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 1000)
+    def gateSec(table: String): Double = {
+      graft.dedup.Dedup.exactGate(batch, "doc_id", "text", table).count() // warm
+      median((1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.dedup.Dedup.exactGate(batch, "doc_id", "text", table).count()
+        (System.nanoTime() - t0) / 1e9
+      })
+    }
+    Seq("incgate1k_small_store_sec" -> gateSec(small),
+      "incgate1k_large_store_sec" -> gateSec(large))
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] incremental-gate scale check failed: " +
+      e.toString.take(200))
+    Nil
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -202,7 +245,8 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "data/sf1")
     val sf1Reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "3").toInt
     val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
-                      Option[(Double, Seq[(String, Double)])])] =
+                      Option[(Double, Seq[(String, Double)])],
+                      Seq[(String, Double)])] =
       if (!new java.io.File(sf1Dir).isDirectory) None
       else {
         headline.foreach { n => // warm-up at this scale too
@@ -210,7 +254,8 @@ object Bench {
           catch { case _: Throwable => () }
         }
         val (m1, e1) = timeQueries(spark, sf1Dir, headline, sf1Reps)
-        Some((m1, e1, duck(sf1Dir, headline, sf1Reps)))
+        Some((m1, e1, duck(sf1Dir, headline, sf1Reps),
+          incGateScale(spark, sfDir, sf1Dir, sf1Reps)))
       }
     def sf1OracleSec(m1: Seq[(String, Double)]): Double =
       // like-for-like with duckdb_oneshot_total_sec: spark time over
@@ -225,7 +270,7 @@ object Bench {
         case (k, v) if v >= 0 && !answerKeyOracles(k) => v }.sum)
     val sf1Full: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1)) =>
+      case Some((m1, e1, d1, g1)) =>
         jobj(Seq(
           "dir" -> jstr(sf1Dir),
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
@@ -235,17 +280,19 @@ object Bench {
           "duckdb_oneshot_total_sec" ->
             sf1DuckOneshot(d1).map(jnum).getOrElse("null"),
           "duckdb_queries" -> d1.map(d =>
-            jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")))
+            jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")) ++
+          g1.map { case (k, v) => k -> jnum(v) })
     }
     val sf1Compact: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1)) =>
+      case Some((m1, e1, d1, g1)) =>
         jobj(Seq(
           "queries" -> jobj(m1.map { case (k, v) => shortKey(k) -> jnum3(v) }),
           "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
           "spark_oracle_total_sec" -> jnum3(sf1OracleSec(m1)),
           "duckdb_oneshot_total_sec" ->
             sf1DuckOneshot(d1).map(jnum3).getOrElse("null")) ++
+          g1.map { case (k, v) => k -> jnum3(v) } ++
           (if (e1.isEmpty) Nil else Seq("errors" -> jobj(
             e1.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))))
     }

@@ -90,6 +90,36 @@ object DedupQueries {
                                dir: String): org.apache.spark.sql.DataFrame =
     saltedCopySeeded(s, dir)
 
+  /** The q45 curation corpus: [[saltedCopySeeded]] (salted originals +
+    * 50 verbatim copies = tier-2 exact-dedup fodder) plus 20 seeded
+    * NEAR-DUP FAMILIES that make the near-dup tier's outcome closed-form
+    * while every stage still does real work.
+    *
+    * A family k is the three texts `unit_k` repeated 2, 3, and 4 times,
+    * where `unit_k` = `"w<k>a w<k>b w<k>c "`. The three are DISTINCT
+    * strings — they survive exact dedup — but for any repeat count
+    * m >= 2 the 5-gram shingle SET of `unit^m` is exactly the set of
+    * cyclic 5-gram windows of the unit (every window position lands
+    * inside the first two periods), so all three share ONE shingle set,
+    * hence bit-identical MinHash signatures, est_jaccard exactly 1.0,
+    * and collisions in EVERY band — candidacy is guaranteed, not
+    * probabilistic. The near-dup tier at threshold 0.9 therefore finds
+    * exactly the 20 three-member clusters (organic salted pairs top out
+    * at 25/32 = 0.78125; cross-family shingle overlap is ~0), and
+    * connected components must collapse each to its minimum id.
+    * Family ids: 2e7 + 10k + m, so each canonical survivor is
+    * 2e7 + 10k + 2 — enumerable in SQL alongside the original docs.
+    */
+  private def curationCorpus(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val fams = s.range(20).select(col("id").as("k"))
+      .crossJoin(s.range(2, 5).select(col("id").as("m"))) // 60-row expander
+      .select((lit(20000000L) + col("k") * 10 + col("m")).as("doc_id"),
+        expr("repeat('w' || k || 'a w' || k || 'b w' || k || 'c ', m)")
+          .as("text"))
+    saltedCopySeeded(s, dir).unionByName(fams)
+  }
+
   val all: Map[String, Q] = Map(
 
     // ----- exact dedup: canonical min-id per identical text -----
@@ -303,15 +333,38 @@ object DedupQueries {
           |FROM documents WHERE doc_id < 50 ORDER BY id1, id2""".stripMargin),
       "MinHash signatures -> LSH band join -> verify, copy-pair oracle"),
 
-    // ----- full corpus-curation composition (no SQL oracle) -----
+    // ----- full corpus-curation composition, closed-form oracle -----
+    // Every tier runs for real over the full corpus (see curationCorpus):
+    // tier-1 expression filters scan everything; exact dedup must fold
+    // the 50 verbatim copies; signatures/bands/verify run over all docs
+    // (organic salted candidates flow through the verify join and are
+    // rejected below 0.9); CC must collapse the 20 seeded three-member
+    // clusters to their min ids. Survivors are closed-form: every
+    // original doc (salted originals are pairwise distinct and below
+    // every organic threshold) plus each family's min-id member — any
+    // tier over- or under-deleting hash-mismatches. Token accounting is
+    // recomputed by the oracle: re-tokens of the salted text = re-tokens
+    // of the raw text + 4 per salt token ("u<id>x<i>" splits u/<id>/x/<i>),
+    // and each family canonical (unit^2, 6 words of 3 regex tokens) is
+    // literal 18.
     "q45_curate_corpus" -> Q(
       (s, dir) => graft.pipelines.CorpusPipeline.curate(
-          Tables(s, dir, "documents"),
+          curationCorpus(s, dir),
           graft.pipelines.CorpusPipeline.Config(
-            langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0))
-        .select("doc_id", "tokens").orderBy("doc_id"),
-      None,
-      "filter -> exact dedup -> MinHash/LSH near-dup -> connected components -> token accounting"),
+            langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0,
+            minEstJaccard = 0.9))
+        .select(col("doc_id"), col("tokens").cast("long").as("tokens"))
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  LEN(REGEXP_EXTRACT_ALL(text, '${graft.text.TextAnalysis.TokenRegex}'))
+           |    + 4 * GREATEST(12, CAST(FLOOR(LENGTH(text)/16) AS INT)) AS tokens
+           |FROM documents
+           |UNION ALL
+           |SELECT 20000000 + k*10 + 2 AS doc_id, CAST(18 AS BIGINT) AS tokens
+           |FROM (SELECT UNNEST(GENERATE_SERIES(0, 19)) AS k)
+           |ORDER BY doc_id""".stripMargin),
+      "filter -> exact dedup -> MinHash/LSH near-dup -> connected components -> token accounting, closed-form survivors"),
 
     // ----- SimHash near-dup candidates, salted copy-seeded oracle -----
     // Same construction as q37 for the SimHash path: fused simhash64

@@ -55,17 +55,35 @@ object TextQueries {
       "per-stratum hash-fraction sampling"),
 
     // ----- KMV sketch: deterministic distributed uniform sample -----
+    // The full-table sketch run (insert -> bottom-k truncate ->
+    // partial/final merge -> hash-ordered eval over every partition),
+    // ranked by an injective affine permutation hash ((id*997) mod
+    // 1000003 — injective for every id below the modulus, which covers
+    // all SFs) instead of the default xxhash64, so the bottom-k is
+    // closed-form in SQL and the entry hash-matches. The default-hash
+    // variant keeps its pin in KmvSketchSpec; the scrambling the
+    // permutation provides is the same uniformization role xxhash plays.
     "q54_kmv_sample" -> Q(
       (s, dir) => {
         graft.functions.Sketches.register(s)
         Tables(s, dir, "documents")
           .groupBy("lang")
           .agg(array_join(
-            graft.functions.Sketches.kmvSample(col("doc_id"), 5)
+            graft.functions.Sketches.kmvSampleBy(
+              pmod(col("doc_id") * 997, lit(1000003L)), col("doc_id"), 5)
               .cast("array<string>"), ",").as("sample_ids"))
           .orderBy("lang")
       },
-      None,
+      Some(
+        """WITH d AS (
+          |  SELECT lang, doc_id, (doc_id*997)%1000003 AS h FROM documents),
+          |ranked AS (
+          |  SELECT lang, doc_id, h,
+          |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+          |  FROM d)
+          |SELECT lang, STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY h)
+          |  AS sample_ids
+          |FROM ranked WHERE rn <= 5 GROUP BY lang ORDER BY lang""".stripMargin),
       "TypedImperativeAggregate k-minimum-values sample per group"),
 
     // ----- KMV sketch machinery on a FIXED permutation fixture -----
