@@ -594,8 +594,8 @@ object Dedup {
   /** (id, band, bkey) rows of a sign-LSH `bucket` column: `nPlanes` bits
     * split into `bands` exact-match band keys (pigeonhole).
     */
-  private def vectorBandRows(bucketed: DataFrame, idCol: String,
-                             nPlanes: Int, bands: Int): DataFrame = {
+  private[graft] def vectorBandRows(bucketed: DataFrame, idCol: String,
+                                    nPlanes: Int, bands: Int): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
     val mask = (1L << w) - 1
@@ -735,7 +735,7 @@ object Dedup {
   /** 16-bit band rows of a (id, simhash) frame — the pigeonhole candidate
     * key shared by the batch and incremental SimHash tiers.
     */
-  private def simhashBandRows(fp: DataFrame, idCol: String): DataFrame =
+  private[graft] def simhashBandRows(fp: DataFrame, idCol: String): DataFrame =
     fp.select(col(idCol),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)): _*))
