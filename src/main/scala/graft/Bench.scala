@@ -231,7 +231,16 @@ object Bench {
       "q57_lsh_bands_fixture", "q58_simhash_bands_fixture",
       "q60_kmv_fixture", "q64_embedding_neardup",
       // copy-seeded ANN closed forms (r8): real probe work, answer-key SQL
-      "q40_ann_lsh", "q62_ann_indexed")
+      "q40_ann_lsh", "q62_ann_indexed",
+      // r9 closed-form conversions: Spark runs the full sketch/LSH/CC
+      // or sketch-rank work, the SQL enumerates seeded survivors (q45's
+      // token recompute and q54's window rank do partial real work, but
+      // neither runs the dedup/sketch tiers — not an equivalent job)
+      "q37_minhash_lsh", "q38_simhash", "q45_curate_corpus",
+      "q54_kmv_sample",
+      // the codec round trip: the SQL recomputes length/md5 from the
+      // SOURCE text — it never runs the deflate/inflate work
+      "q71_media_decode")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !answerKeyOracles(k) => v }.sum

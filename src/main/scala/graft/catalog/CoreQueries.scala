@@ -133,7 +133,12 @@ object CoreQueries {
         // re-planned under each consumer (the CorpusPipeline pattern —
         // worth it here because the reuse crosses a limit(5) barrier that
         // defeats exchange reuse). Deliberately NOT repartition-by-nation:
-        // 25 keys would serialize the cumsum at scale.
+        // 25 keys would serialize the cumsum at scale — which also
+        // declines the tempting exchange trim of pre-partitioning by
+        // nation so the (k,d) aggregate, top-5 re-aggregate, and cumsum
+        // window ride ONE exchange: that pins every stage to 25
+        // partitions, trading two cheap exchanges for a parallelism
+        // ceiling that breaks at 100 TB.
         val daily = ordersNation(s, dir)
           .groupBy(col("nation").as("k"), col("d")).agg(count(lit(1)).as("n"))
           .localCheckpoint()
