@@ -59,7 +59,11 @@ object DedupQueries {
     * 0.78125, far from the 32/32 the 0.99 threshold requires), and the
     * salt tokens scatter organic SimHash fingerprints (measured organic
     * minimum hamming 4 at sf0.01 > maxDist 3 — deterministic corpus,
-    * deterministic margin). Verbatim
+    * deterministic margin; the margins are sf0.01 claims, where the
+    * driver's correctness gate runs. At sf0.1 the q37 margin still
+    * holds (organic max 28/32) while q38 admits 32 organic pairs at
+    * hamming 2-3 — bench-only scales time the same plan over whatever
+    * rows qualify). Verbatim
     * copies still share the exact salted TEXT, so the full real path —
     * xxhash shingling, banding, bounded-bucket candidates, verify join —
     * must emit exactly the copy pairs at est 1.0 / hamming 0. The salt
