@@ -228,6 +228,7 @@ object Bench {
     val answerKeyOracles = Set("q59_cc_fixture", "q61_cc_deep_fixture",
       "q68_dedup_incremental", "q69_minhash_incremental",
       "q70_embedding_incremental", "q72_simhash_incremental",
+      "q73_dedup_bloom_gate",
       "q57_lsh_bands_fixture", "q58_simhash_bands_fixture",
       "q60_kmv_fixture", "q64_embedding_neardup",
       // copy-seeded ANN closed forms (r8): real probe work, answer-key SQL

@@ -27,6 +27,11 @@ object DedupQueries {
     */
   private val storeCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
+  /** Memoized store-summary Bloom filters (one-time build per store
+    * snapshot, like the ANN index builds — see q73).
+    */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Array[Byte]]
   private val storeNonce =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private val storeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -179,6 +184,39 @@ object DedupQueries {
           |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
           |GROUP BY text ORDER BY doc_id""".stripMargin),
       "batch-vs-persisted-store exact dedup; store side never reshuffles"),
+
+    // ----- Bloom-prefiltered incremental exact dedup -----
+    // Same store, same batch, same ORACLE as q68 — the output must be
+    // identical because a Bloom filter has no false negatives: rows the
+    // filter clears are proven corpus-new and skip the store join; only
+    // the "maybe" minority (true dups + ~2% false positives) pays the
+    // exact anti-join verify. At 100 TB this is the shape that makes a
+    // mostly-novel daily batch nearly join-free. The filter build is
+    // the one-time store-summary artifact (storeBloom), memoized like
+    // the ANN indexes so timed reps measure the GATE.
+    "q73_dedup_bloom_gate" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val table = ensureStore(s, s"incdedup:$dir") { (t, p) =>
+          Dedup.exactIncremental(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "doc_id", "text", t, p)
+        }
+        val bloom = bloomCache.getOrElseUpdate((s, dir),
+          Dedup.storeBloom(s, table, expectedItems = 1000000).get)
+        val survivors = Dedup.exactGateBloom(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", table, bloom)
+        survivors.select(col("doc_id"),
+          lower(hex(col("text_hash"))).as("text_hash")).orderBy("doc_id")
+      },
+      Some(
+        """SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_hash
+          |FROM documents
+          |WHERE doc_id % 2 = 1
+          |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+          |GROUP BY text ORDER BY doc_id""".stripMargin),
+      "Bloom no-false-negative prefilter + exact anti-join verify"),
 
     // ----- incremental near-dup novelty filter vs signature store -----
     // q57's modular-arithmetic signatures make the incremental band-join

@@ -161,6 +161,59 @@ object Dedup {
       Seq("text_hash"), "left_anti")
   }
 
+  /** One-time Bloom summary of the corpus hash store — the "index
+    * build" for [[exactGateBloom]], rebuilt on store-compaction cadence
+    * (it only ever needs to OVER-approximate the store: append-only
+    * stores just grow the false-positive rate until the next rebuild,
+    * never produce false negatives for keys present at build time —
+    * so rebuild it whenever it was built before the last N appends).
+    * `bitsPerItem = 8` gives ~2% false positives; the filter must fit
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 64M bits = 8 MB ≈ 8M store docs — raise the conf for bigger
+    * stores, or shard the store and hold one filter per shard).
+    * Returns None for a missing/empty store.
+    */
+  def storeBloom(spark: org.apache.spark.sql.SparkSession, storeTable: String,
+                 expectedItems: Long, bitsPerItem: Int = 8): Option[Array[Byte]] =
+    if (!spark.catalog.tableExists(storeTable)) None
+    else Option(spark.table(storeTable)
+      .agg(graft.functions.Blooms.bloomAgg(xxhash64(col("text_hash")),
+        expectedItems, expectedItems * bitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+
+  /** [[exactGate]] with a Bloom PRE-FILTER: the 100 TB shape for a
+    * batch gated against a corpus-scale store. The driver-held filter
+    * (a compact artifact like an ANN index, built once per store
+    * snapshot by [[storeBloom]]) splits the batch BEFORE the join:
+    * "might_contain = false" rows are PROVEN corpus-new (a Bloom filter
+    * has no false negatives) and skip the store join entirely; only the
+    * "maybe" minority — the true duplicates plus the ~fpp false
+    * positives — pays the exact anti-join verify. Output is therefore
+    * IDENTICAL to [[exactGate]] (same oracle), but the store-side join
+    * input shrinks from the whole batch to its duplicate fraction: on
+    * a mostly-novel daily batch the expensive join becomes almost free,
+    * and the filter probe is a codegen predicate on the scan.
+    */
+  def exactGateBloom(batch: DataFrame, idCol: String, textCol: String,
+                     storeTable: String, bloom: Array[Byte]): DataFrame = {
+    val s = batch.sparkSession
+    graft.functions.Blooms.register(s)
+    if (!s.catalog.tableExists(storeTable)) exactGate(batch, idCol, textCol,
+      storeTable)
+    else {
+      val inBatch = batch
+        .select(col(idCol), unhex(md5(col(textCol))).as("text_hash"))
+        .groupBy("text_hash").agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col("text_hash"))
+        .withColumn("__maybe", graft.functions.Blooms.bloomMightContain(
+          lit(bloom), xxhash64(col("text_hash"))))
+      val proven = inBatch.filter(!col("__maybe")).drop("__maybe")
+      val verified = inBatch.filter(col("__maybe")).drop("__maybe")
+        .join(s.table(storeTable).hint("merge"), Seq("text_hash"), "left_anti")
+      proven.unionByName(verified).select(col(idCol), col("text_hash"))
+    }
+  }
+
   /** The write half of [[exactIncremental]]: seed or extend the bucketed
     * corpus hash store with this batch's surviving (id, text_hash) rows.
     */

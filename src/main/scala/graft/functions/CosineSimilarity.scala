@@ -143,7 +143,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("kmv_sample_by", classOf[KmvSketch].getName,
         es => KmvSketch(es(0), es(1), intArg(es(2)))),
       ("kmv_distinct", classOf[KmvDistinct].getName,
-        es => KmvDistinct(es(0), intArg(es(1)))))
+        es => KmvDistinct(es(0), intArg(es(1)))),
+      // Spark's own (unregistered) Bloom expressions, re-exposed — see
+      // graft.functions.Blooms
+      ("bloom_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        es => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2))),
+      ("bloom_might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        es => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es(0), es(1))))
     builders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))

@@ -136,6 +136,7 @@ object Texts {
       exprs => BoundedIds(exprs.init,
         exprs.last.eval().asInstanceOf[Number].intValue()),
       "built-in")
+    Blooms.register(spark)
   }
 
   /** Column API over the registered function. */
