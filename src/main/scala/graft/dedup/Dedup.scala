@@ -162,24 +162,57 @@ object Dedup {
   }
 
   /** One-time Bloom summary of the corpus hash store — the "index
-    * build" for [[exactGateBloom]], rebuilt on store-compaction cadence
-    * (it only ever needs to OVER-approximate the store: append-only
-    * stores just grow the false-positive rate until the next rebuild,
-    * never produce false negatives for keys present at build time —
-    * so rebuild it whenever it was built before the last N appends).
+    * build" for [[exactGateBloom]].
+    *
+    * STALENESS CONTRACT: the gate is exact only while the filter covers
+    * EVERY row of the store it gates against — a key appended after the
+    * build would probe "definitely new" (a false NEGATIVE relative to
+    * the grown store) and admit its duplicates around the verify join.
+    * An incremental pipeline therefore maintains the filter instead of
+    * rebuilding: Bloom filters of equal layout OR-merge, so after
+    * [[appendHashStore]] fold the batch's own filter in with
+    * [[bloomOfHashes]] + [[mergeBlooms]] — no store rescan. Full
+    * rebuilds belong with store compaction (when fill grows past the
+    * target false-positive rate).
+    *
     * `bitsPerItem = 8` gives ~2% false positives; the filter must fit
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
     * 64M bits = 8 MB ≈ 8M store docs — raise the conf for bigger
     * stores, or shard the store and hold one filter per shard).
-    * Returns None for a missing/empty store.
+    * Returns None for a missing store.
     */
   def storeBloom(spark: org.apache.spark.sql.SparkSession, storeTable: String,
                  expectedItems: Long, bitsPerItem: Int = 8): Option[Array[Byte]] =
     if (!spark.catalog.tableExists(storeTable)) None
-    else Option(spark.table(storeTable)
+    else bloomOfHashes(spark.table(storeTable), expectedItems, bitsPerItem)
+
+  /** Bloom filter over a frame's `text_hash` column (the distributed
+    * half of filter maintenance: one map-side-combined aggregate, only
+    * serialized filters travel). Layout is (expectedItems, bitsPerItem)
+    * — merge partners must match ([[mergeBlooms]]). None for an empty
+    * frame (the aggregate yields no filter over zero rows).
+    */
+  def bloomOfHashes(keys: DataFrame, expectedItems: Long,
+                    bitsPerItem: Int = 8): Option[Array[Byte]] =
+    Option(keys
       .agg(graft.functions.Blooms.bloomAgg(xxhash64(col("text_hash")),
         expectedItems, expectedItems * bitsPerItem).as("bf"))
       .head().getAs[Array[Byte]]("bf"))
+
+  /** Driver-side OR-merge of two serialized Bloom filters of identical
+    * layout — the O(filter bytes) operation that keeps [[exactGateBloom]]
+    * exact across appends without rescanning the store.
+    */
+  def mergeBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream(a.length)
+    fa.writeTo(out)
+    out.toByteArray
+  }
 
   /** [[exactGate]] with a Bloom PRE-FILTER: the 100 TB shape for a
     * batch gated against a corpus-scale store. The driver-held filter

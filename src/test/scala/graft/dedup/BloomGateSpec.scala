@@ -59,6 +59,37 @@ class BloomGateSpec extends SparkSpec {
     assert(bloomed.forall(_._1 % 2 == 1))
   }
 
+  test("merged bloom keeps the gate exact across an append (staleness contract)") {
+    val docs = graft.Tables(spark, sf, "documents").limit(300)
+      .select("doc_id", "text").localCheckpoint()
+    val (table, path) = freshStore("merge")
+    // day 0: seed ids 0..99
+    Dedup.exactIncremental(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", table, path)
+    var bloom = Dedup.storeBloom(spark, table, expectedItems = 10000).get
+    // day 1: gate + append ids 100..199
+    val day1 = Dedup.exactGateBloom(docs.filter(
+        col("doc_id") >= 100 && col("doc_id") < 200),
+      "doc_id", "text", table, bloom).localCheckpoint()
+    Dedup.appendHashStore(day1, table, path)
+    bloom = Dedup.mergeBlooms(bloom,
+      Dedup.bloomOfHashes(day1, expectedItems = 10000).get)
+    // day 2: a batch of COPIES of day-1 texts (shifted ids) + novel rows
+    val day2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 9000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 200))
+    val merged = Dedup.exactGateBloom(day2, "doc_id", "text", table, bloom)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // every day-1 copy must be gated — a STALE (day-0) bloom would
+    // wrongly prove them novel and leak them around the verify join
+    assert(merged.forall(_ < 9000))
+    assert(merged == (200L until 300L).toSet)
+    val stale = Dedup.exactGateBloom(day2, "doc_id", "text", table,
+        Dedup.storeBloom(spark, table, expectedItems = 10000).get)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(stale == merged) // merged filter == rebuilt filter semantics
+  }
+
   test("storeBloom is None for a missing store; gate falls back") {
     assert(Dedup.storeBloom(spark, "bloomgate_nope", 1000).isEmpty)
     val docs = graft.Tables(spark, sf, "documents").limit(20)
