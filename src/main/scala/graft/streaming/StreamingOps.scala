@@ -86,6 +86,13 @@ object StreamingOps {
     * detects a replay. [[graft.dedup.Dedup.compactHashStore]] and
     * siblings remain the scheduled file-count maintenance op (appends add
     * a file per bucket per day).
+    *
+    * For a corpus-scale store, swap the plain [[graft.dedup.Dedup
+    * .exactGate]] here for [[graft.dedup.Dedup.exactGateBloom]] with a
+    * driver-held filter merged per batch ([[graft.dedup.Dedup
+    * .bloomOfHashes]] + `mergeBlooms` after each append — see the
+    * staleness contract on `storeBloom`): the mostly-novel micro-batch
+    * then skips the store join for every filter-cleared row.
     */
   def noveltyGateEachBatch(idCol: String, textCol: String,
                            storeTable: String, storePath: String,
