@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 
-/** Deduplication coverage over `documents`. Exact dedup and n-gram Jaccard
-  * carry DuckDB oracles; MinHash/SimHash are built on Spark's xxhash64
-  * (not reproducible in DuckDB SQL) so they're registered without oracle —
-  * the driver records a rows-only check and their semantics are pinned by
-  * DedupSpec instead.
+/** Deduplication coverage over `documents`. Every entry carries a DuckDB
+  * oracle: the xxhash-derived surfaces (MinHash/SimHash/LSH, the full
+  * curation composition) run over constructed corpora whose
+  * supra-threshold outcomes are closed-form — salted text to cap organic
+  * similarity, verbatim copy seeds, periodic-text near-dup families (see
+  * [[saltedCopySeeded]] / [[curationCorpus]]) — while modular-arithmetic
+  * fixtures (q57/q58/q59/q61) oracle the post-hash machinery
+  * value-for-value.
   */
 object DedupQueries {
 

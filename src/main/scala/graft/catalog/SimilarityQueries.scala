@@ -93,7 +93,7 @@ object SimilarityQueries {
     .empty[(org.apache.spark.sql.SparkSession, String), graft.similarity.Ivf.IvfIndex]
 
   /** vec_id 0's vector, memoized per (session, dataset) for the
-    * rows-only probe entry (see q62's comment).
+    * ANN probe entries (see q62's comment).
     */
   private val queryVecCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), Seq[Float]]
