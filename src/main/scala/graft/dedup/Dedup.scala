@@ -234,12 +234,18 @@ object Dedup {
     if (!s.catalog.tableExists(storeTable)) exactGate(batch, idCol, textCol,
       storeTable)
     else {
+      // materialized once: BOTH branches (proven-novel passthrough and
+      // suspect verify join) consume this frame — without it each branch
+      // re-scans the batch and re-runs the dedup aggregate (verified: 4
+      // HashAggregates, no ReusedExchange in the unmaterialized plan),
+      // and batch-side work is exactly what the gate is meant to minimize
       val inBatch = batch
         .select(col(idCol), unhex(md5(col(textCol))).as("text_hash"))
         .groupBy("text_hash").agg(min(col(idCol)).as(idCol))
         .select(col(idCol), col("text_hash"))
         .withColumn("__maybe", graft.functions.Blooms.bloomMightContain(
           lit(bloom), xxhash64(col("text_hash"))))
+        .localCheckpoint()
       val proven = inBatch.filter(!col("__maybe")).drop("__maybe")
       val verified = inBatch.filter(col("__maybe")).drop("__maybe")
         .join(s.table(storeTable).hint("merge"), Seq("text_hash"), "left_anti")
