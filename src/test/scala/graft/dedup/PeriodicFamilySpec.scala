@@ -22,6 +22,21 @@ class PeriodicFamilySpec extends SparkSpec {
   private def sigOf(s: String): Seq[Long] =
     MinHashSig.sig(UTF8String.fromString(s), 32, 5, mod).toSeq
 
+  test("random units: any m >= 2 pair shares the cyclic shingle set") {
+    // the general claim behind the fixed families below, over arbitrary
+    // unit content (the q45 fixture only needs the fixed alphabet)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val len = 5 + rnd.nextInt(20)
+      val unit = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      val m1 = 2 + rnd.nextInt(4)
+      val m2 = 2 + rnd.nextInt(4)
+      assert(shingleSet(unit * m1, 5) == shingleSet(unit * m2, 5),
+        s"unit '$unit' m=$m1 vs m=$m2")
+      assert(sigOf(unit * m1) == sigOf(unit * m2))
+    }
+  }
+
   test("repeat counts >= 2 share one shingle set; m=1 does not") {
     for (k <- Seq(0, 7, 19)) {
       val unit = s"w${k}a w${k}b w${k}c "
