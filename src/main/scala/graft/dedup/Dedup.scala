@@ -294,6 +294,14 @@ object Dedup {
   /** The read-only half of [[minhashIncremental]]: batch signature rows
     * with no stored near-neighbor. No writes — streaming callers sink the
     * survivors durably first, then [[appendSigStore]].
+    *
+    * The Bloom pre-filter pattern ([[exactGateBloom]]) transplants
+    * unchanged to this gate's band join for corpus-scale stores: a
+    * filter over the store's `xxhash64(band, bkey)` keys can drop batch
+    * band rows that provably match nothing BEFORE the join — exactness
+    * is free here because the equi-join discards no-match rows anyway,
+    * so a false positive only forfeits the skip. Same staleness
+    * contract as [[storeBloom]].
     */
   def minhashGate(batchSig: DataFrame, idCol: String, storeTable: String,
                   bands: Int, minEstJaccard: Double,
