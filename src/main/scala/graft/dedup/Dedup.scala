@@ -194,10 +194,31 @@ object Dedup {
     */
   def bloomOfHashes(keys: DataFrame, expectedItems: Long,
                     bitsPerItem: Int = 8): Option[Array[Byte]] =
-    Option(keys
-      .agg(graft.functions.Blooms.bloomAgg(xxhash64(col("text_hash")),
+    bloomOfKeys(keys, Seq("text_hash"), expectedItems, bitsPerItem)
+
+  /** [[bloomOfHashes]] over an arbitrary key-column tuple, hashed with
+    * `xxhash64(keyCols...)` — the probe side must hash the same columns
+    * in the same order.
+    */
+  def bloomOfKeys(df: DataFrame, keyCols: Seq[String], expectedItems: Long,
+                  bitsPerItem: Int = 8): Option[Array[Byte]] =
+    Option(df
+      .agg(graft.functions.Blooms.bloomAgg(xxhash64(keyCols.map(col): _*),
         expectedItems, expectedItems * bitsPerItem).as("bf"))
       .head().getAs[Array[Byte]]("bf"))
+
+  /** Bloom summary of [[minhashIncremental]]'s band store keys — the
+    * build half of [[minhashGate]]'s `bandBloom` pre-filter. Same
+    * staleness contract as [[storeBloom]]: maintain across appends with
+    * `bloomOfKeys(bandRowsOf(survivors, ...), Seq("band", "bkey"), ...)`
+    * + [[mergeBlooms]]. None for a missing store.
+    */
+  def bandStoreBloom(spark: org.apache.spark.sql.SparkSession,
+                     storeTable: String, expectedItems: Long,
+                     bitsPerItem: Int = 8): Option[Array[Byte]] =
+    if (!spark.catalog.tableExists(s"${storeTable}_bands")) None
+    else bloomOfKeys(spark.table(s"${storeTable}_bands"),
+      Seq("band", "bkey"), expectedItems, bitsPerItem)
 
   /** Driver-side OR-merge of two serialized Bloom filters of identical
     * layout — the O(filter bytes) operation that keeps [[exactGateBloom]]
@@ -295,25 +316,32 @@ object Dedup {
     * with no stored near-neighbor. No writes — streaming callers sink the
     * survivors durably first, then [[appendSigStore]].
     *
-    * The Bloom pre-filter pattern ([[exactGateBloom]]) transplants
-    * unchanged to this gate's band join for corpus-scale stores: a
-    * filter over the store's `xxhash64(band, bkey)` keys can drop batch
-    * band rows that provably match nothing BEFORE the join — exactness
-    * is free here because the equi-join discards no-match rows anyway,
-    * so a false positive only forfeits the skip. Same staleness
-    * contract as [[storeBloom]].
+    * `bandBloom` is the [[exactGateBloom]] pre-filter transplanted to
+    * the band join ([[bandStoreBloom]] builds it; same staleness
+    * contract): batch band rows whose key provably matches no store
+    * band row are dropped BEFORE the join. Exactness is free here —
+    * the equi-join discards no-match rows anyway, so a false positive
+    * only forfeits the skip — and the filter applies AFTER the inline
+    * bucket cap so the capped row set (hence the candidate set) is
+    * byte-identical with and without the filter.
     */
   def minhashGate(batchSig: DataFrame, idCol: String, storeTable: String,
                   bands: Int, minEstJaccard: Double,
-                  maxBucket: Int = 500): DataFrame = {
+                  maxBucket: Int = 500,
+                  bandBloom: Option[Array[Byte]] = None): DataFrame = {
     val s = batchSig.sparkSession
     graft.functions.Texts.register(s) // sig_overlap
     val bandsT = s"${storeTable}_bands"
     val sigsT = s"${storeTable}_sigs"
     if (!s.catalog.tableExists(bandsT)) batchSig
     else {
-      val batchBands = capBucketsInline(bandRowsOf(batchSig, idCol, bands),
+      val capped = capBucketsInline(bandRowsOf(batchSig, idCol, bands),
         Seq("band", "bkey"), maxBucket)
+      val batchBands = bandBloom match {
+        case None => capped
+        case Some(bf) => capped.filter(graft.functions.Blooms
+          .bloomMightContain(lit(bf), xxhash64(col("band"), col("bkey"))))
+      }
       // no pair-level distinct: a pair colliding in several bands reaches
       // the verify joins once per band (bounded by the band count), but
       // the id set is distinct'd after the filter anyway — dropping the

@@ -90,6 +90,36 @@ class BloomGateSpec extends SparkSpec {
     assert(stale == merged) // merged filter == rebuilt filter semantics
   }
 
+  test("minhashGate with a band bloom gates identically to without") {
+    // q69's modular-signature shape: sig(id) = [id%2..id%9], so the
+    // expected gate outcome is known and the bloom variant must match
+    def sigOf(idc: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.array(
+        (0 until 8).map(i => pmod(idc, lit((i + 2).toLong))): _*)
+    val ids = spark.range(200).select(col("id").as("doc_id"))
+    val (table, path) = freshStore("mh")
+    Dedup.minhashIncremental(
+      ids.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), sigOf(col("doc_id")).as("sig")),
+      "doc_id", table, path, bands = 4, minEstJaccard = 0.99)
+    val batch = ids.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), sigOf(col("doc_id")).as("sig"))
+      .unionByName(ids
+        .filter(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") < 50)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          sigOf(col("doc_id")).as("sig")))
+    val plain = Dedup.minhashGate(batch, "doc_id", table,
+        bands = 4, minEstJaccard = 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bandStoreBloom(spark, table, expectedItems = 10000).get
+    val bloomed = Dedup.minhashGate(batch, "doc_id", table,
+        bands = 4, minEstJaccard = 0.99, bandBloom = Some(bloom))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    // the known closed form: copies gated, odd ids survive
+    assert(plain == (1L until 200L by 2).toSet)
+  }
+
   test("storeBloom is None for a missing store; gate falls back") {
     assert(Dedup.storeBloom(spark, "bloomgate_nope", 1000).isEmpty)
     val docs = graft.Tables(spark, sf, "documents").limit(20)
