@@ -207,10 +207,12 @@ object Dedup {
         expectedItems, expectedItems * bitsPerItem).as("bf"))
       .head().getAs[Array[Byte]]("bf"))
 
-  /** Bloom summary of [[minhashIncremental]]'s band store keys — the
-    * build half of [[minhashGate]]'s `bandBloom` pre-filter. Same
-    * staleness contract as [[storeBloom]]: maintain across appends with
-    * `bloomOfKeys(bandRowsOf(survivors, ...), Seq("band", "bkey"), ...)`
+  /** Bloom summary of a banded store's `_bands` table keys — the build
+    * half of the `bandBloom` pre-filter on [[minhashGate]],
+    * [[simhashGate]], and [[embeddingGate]] (all three stores share the
+    * `_bands` layout and (band, bkey) key). Same staleness contract as
+    * [[storeBloom]]: maintain across appends with
+    * `bloomOfKeys(<band rows of survivors>, Seq("band", "bkey"), ...)`
     * + [[mergeBlooms]]. None for a missing store.
     */
   def bandStoreBloom(spark: org.apache.spark.sql.SparkSession,
@@ -219,6 +221,22 @@ object Dedup {
     if (!spark.catalog.tableExists(s"${storeTable}_bands")) None
     else bloomOfKeys(spark.table(s"${storeTable}_bands"),
       Seq("band", "bkey"), expectedItems, bitsPerItem)
+
+  /** The band-gate Bloom pre-filter shared by [[minhashGate]] /
+    * [[simhashGate]] / [[embeddingGate]]: drop batch band rows whose
+    * (band, bkey) provably matches no store band row. Applied AFTER the
+    * inline bucket cap (so the capped row set is identical with and
+    * without the filter) and exact by construction — the subsequent
+    * equi-join discards no-match rows anyway, so a false positive only
+    * forfeits the skip.
+    */
+  private def bandBloomFilter(capped: DataFrame,
+                              bandBloom: Option[Array[Byte]]): DataFrame =
+    bandBloom match {
+      case None => capped
+      case Some(bf) => capped.filter(graft.functions.Blooms
+        .bloomMightContain(lit(bf), xxhash64(col("band"), col("bkey"))))
+    }
 
   /** Driver-side OR-merge of two serialized Bloom filters of identical
     * layout — the O(filter bytes) operation that keeps [[exactGateBloom]]
@@ -335,13 +353,10 @@ object Dedup {
     val sigsT = s"${storeTable}_sigs"
     if (!s.catalog.tableExists(bandsT)) batchSig
     else {
-      val capped = capBucketsInline(bandRowsOf(batchSig, idCol, bands),
-        Seq("band", "bkey"), maxBucket)
-      val batchBands = bandBloom match {
-        case None => capped
-        case Some(bf) => capped.filter(graft.functions.Blooms
-          .bloomMightContain(lit(bf), xxhash64(col("band"), col("bkey"))))
-      }
+      val batchBands = bandBloomFilter(
+        capBucketsInline(bandRowsOf(batchSig, idCol, bands),
+          Seq("band", "bkey"), maxBucket),
+        bandBloom)
       // no pair-level distinct: a pair colliding in several bands reaches
       // the verify joins once per band (bounded by the band count), but
       // the id set is distinct'd after the filter anyway — dropping the
@@ -778,11 +793,16 @@ object Dedup {
 
   /** The read-only half of [[embeddingIncremental]]: batch (id, vector)
     * rows with no stored vector at cosine >= `minCosine`. No writes.
+    *
+    * `bandBloom` as in [[simhashGate]]: the band-store pre-filter
+    * ([[bandStoreBloom]] builds it), applied after the inline cap so
+    * output is byte-identical with and without the filter.
     */
   def embeddingGate(batch: DataFrame, idCol: String, vecCol: String,
                     storeTable: String, minCosine: Double,
                     nPlanes: Int = 32, bands: Int = 4,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = 1000,
+                    bandBloom: Option[Array[Byte]] = None): DataFrame = {
     val s = batch.sparkSession
     val bandsT = s"${storeTable}_bands"
     val vecsT = s"${storeTable}_vecs"
@@ -791,9 +811,10 @@ object Dedup {
     if (!s.catalog.tableExists(bandsT))
       bucketed.select(col(idCol), col(vecCol))
     else {
-      val batchBands = capBucketsInline(
-        vectorBandRows(bucketed, idCol, nPlanes, bands),
-        Seq("band", "bkey"), maxBucket)
+      val batchBands = bandBloomFilter(
+        capBucketsInline(vectorBandRows(bucketed, idCol, nPlanes, bands),
+          Seq("band", "bkey"), maxBucket),
+        bandBloom)
       graft.functions.Vectors.register(s)
       // no pair-level distinct: a pair colliding in several bands reaches
       // the verify joins once per band (bounded by the band count), but
@@ -871,16 +892,28 @@ object Dedup {
 
   /** The read-only half of [[simhashIncremental]]: batch fingerprint rows
     * with no stored fingerprint within `maxDist` Hamming bits. No writes.
+    *
+    * `bandBloom` is [[minhashGate]]'s band-store pre-filter transplanted
+    * verbatim ([[bandStoreBloom]] builds it — the `_bands` layout and
+    * (band, bkey) key are shared across the banded stores; same
+    * staleness contract): batch band rows whose key provably matches no
+    * store band row drop BEFORE the join. Exactness is free — the
+    * equi-join discards no-match rows anyway — and the filter applies
+    * AFTER the inline cap so the capped row set is byte-identical with
+    * and without it.
     */
   def simhashGate(batchFp: DataFrame, idCol: String, storeTable: String,
-                  maxDist: Int = 3, maxBucket: Int = 500): DataFrame = {
+                  maxDist: Int = 3, maxBucket: Int = 500,
+                  bandBloom: Option[Array[Byte]] = None): DataFrame = {
     val s = batchFp.sparkSession
     val bandsT = s"${storeTable}_bands"
     val fpsT = s"${storeTable}_fps"
     if (!s.catalog.tableExists(bandsT)) batchFp
     else {
-      val batchBands = capBucketsInline(simhashBandRows(batchFp, idCol),
-        Seq("band", "bkey"), maxBucket)
+      val batchBands = bandBloomFilter(
+        capBucketsInline(simhashBandRows(batchFp, idCol),
+          Seq("band", "bkey"), maxBucket),
+        bandBloom)
       // pair-level distinct dropped: duplication is bounded by the band
       // count and the id set is distinct'd after the hamming filter
       val dupIds = batchBands

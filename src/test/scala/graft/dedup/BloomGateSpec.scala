@@ -120,6 +120,63 @@ class BloomGateSpec extends SparkSpec {
     assert(plain == (1L until 200L by 2).toSet)
   }
 
+  test("simhashGate with a band bloom gates identically to without") {
+    // q72's modular-fingerprint shape: band b of fp(id) is id mod
+    // 8/16/32/64, so odd-vs-even ids differ in all four bands (hamming
+    // >= 4 > maxDist) while copies carry hamming 0 — the expected gate
+    // outcome is closed-form and the bloom variant must match it
+    def fpOf(idc: org.apache.spark.sql.Column) =
+      pmod(idc, lit(8L)) + pmod(idc, lit(16L)) * 65536L +
+        pmod(idc, lit(32L)) * 4294967296L +
+        pmod(idc, lit(64L)) * 281474976710656L
+    val ids = spark.range(200).select(col("id").as("doc_id"))
+    val (table, path) = freshStore("sh")
+    Dedup.simhashIncremental(
+      ids.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), fpOf(col("doc_id")).as("simhash")),
+      "doc_id", table, path, maxDist = 3)
+    val batch = ids.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), fpOf(col("doc_id")).as("simhash"))
+      .unionByName(ids
+        .filter(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") < 50)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          fpOf(col("doc_id")).as("simhash")))
+    val plain = Dedup.simhashGate(batch, "doc_id", table, maxDist = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bandStoreBloom(spark, table, expectedItems = 10000).get
+    val bloomed = Dedup.simhashGate(batch, "doc_id", table, maxDist = 3,
+        bandBloom = Some(bloom))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    assert(plain == (1L until 200L by 2).toSet)
+  }
+
+  test("embeddingGate with a band bloom gates identically to without") {
+    // q70's shape over real vectors: copies of stored vectors share
+    // every sign-LSH band and verify at cosine 1.0 (gated); the corpus
+    // has no organic near-dups at 0.95, so odd ids survive
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 100).select("vec_id", "embedding")
+      .localCheckpoint()
+    val (table, path) = freshStore("emb")
+    Dedup.embeddingIncremental(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", table, path, minCosine = 0.95)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .unionByName(emb
+        .filter(pmod(col("vec_id"), lit(2)) === 0 && col("vec_id") < 50)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val plain = Dedup.embeddingGate(batch, "vec_id", "embedding", table,
+        minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val bloom = Dedup.bandStoreBloom(spark, table, expectedItems = 10000).get
+    val bloomed = Dedup.embeddingGate(batch, "vec_id", "embedding", table,
+        minCosine = 0.95, bandBloom = Some(bloom))
+      .select("vec_id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    assert(plain == (1L until 100L by 2).toSet)
+  }
+
   test("storeBloom is None for a missing store; gate falls back") {
     assert(Dedup.storeBloom(spark, "bloomgate_nope", 1000).isEmpty)
     val docs = graft.Tables(spark, sf, "documents").limit(20)
