@@ -175,11 +175,11 @@ object Dedup {
     * rebuilds belong with store compaction (when fill grows past the
     * target false-positive rate).
     *
-    * `bitsPerItem = 8` gives ~2% false positives; the filter must fit
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
-    * 64M bits = 8 MB ≈ 8M store docs — raise the conf for bigger
-    * stores, or shard the store and hold one filter per shard).
-    * Returns None for a missing store.
+    * `bitsPerItem = 8` gives ~2% false positives; a SINGLE filter must
+    * fit `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 64M bits = 8 MB ≈ 8M store docs) — past that, use
+    * [[storeBloomSharded]], which removes the ceiling by holding one
+    * filter per hash shard. Returns None for a missing store.
     */
   def storeBloom(spark: org.apache.spark.sql.SparkSession, storeTable: String,
                  expectedItems: Long, bitsPerItem: Int = 8): Option[Array[Byte]] =
@@ -221,6 +221,90 @@ object Dedup {
     if (!spark.catalog.tableExists(s"${storeTable}_bands")) None
     else bloomOfKeys(spark.table(s"${storeTable}_bands"),
       Seq("band", "bkey"), expectedItems, bitsPerItem)
+
+  /** Sharded [[storeBloom]]: one filter per hash shard, removing the
+    * single-filter conf ceiling (`spark.sql.optimizer.runtime
+    * .bloomFilter.maxNumBits`, default 64M bits ≈ 8M docs at 8
+    * bits/item). Keys route to shard `pmod(xxhash64(text_hash),
+    * nShards)` on BOTH the build side (here) and the probe side
+    * ([[shardedMightContain]]), so every key is looked up in exactly
+    * the filter it was inserted into and the no-false-negative
+    * property holds shard-wise — a 10⁹-doc store is 128 shards of
+    * 8 MB, each under the conf ceiling. Same staleness contract as
+    * [[storeBloom]]; maintain across appends with
+    * [[bloomOfHashesSharded]] + [[mergeShardedBlooms]] (shard counts
+    * must match — changing nShards is a rebuild, schedule it with
+    * compaction). None for a missing store.
+    */
+  def storeBloomSharded(spark: org.apache.spark.sql.SparkSession,
+                        storeTable: String, expectedItems: Long,
+                        nShards: Int, bitsPerItem: Int = 8)
+      : Option[Seq[Array[Byte]]] =
+    if (!spark.catalog.tableExists(storeTable)) None
+    else Some(bloomOfHashesSharded(spark.table(storeTable), expectedItems,
+      nShards, bitsPerItem))
+
+  /** Sharded [[bloomOfHashes]]: one aggregate pass grouped on the shard
+    * key builds all `nShards` filters distributed (only serialized
+    * filters reach the driver — nShards × filter bytes). Shards with no
+    * keys get an empty filter of the same layout, so probe routing and
+    * shard-wise merges stay total.
+    */
+  def bloomOfHashesSharded(keys: DataFrame, expectedItems: Long,
+                           nShards: Int, bitsPerItem: Int = 8)
+      : Seq[Array[Byte]] = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val perShard = math.max(64L, expectedItems / nShards)
+    val h = xxhash64(col("text_hash"))
+    val built = keys
+      .groupBy(pmod(h, lit(nShards.toLong)).as("__shard"))
+      .agg(graft.functions.Blooms
+        .bloomAgg(h, perShard, perShard * bitsPerItem).as("bf"))
+      .collect()
+      .map(r => r.getAs[Long]("__shard").toInt -> r.getAs[Array[Byte]]("bf"))
+      .toMap
+    (0 until nShards).map(i =>
+      built.getOrElse(i, emptyBloom(perShard, perShard * bitsPerItem)))
+  }
+
+  /** Serialized empty filter of the given layout (for key-less shards:
+    * probing it is always "definitely new", merging it is identity).
+    */
+  private def emptyBloom(expectedItems: Long, numBits: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    org.apache.spark.util.sketch.BloomFilter.create(expectedItems, numBits)
+      .writeTo(out)
+    out.toByteArray
+  }
+
+  /** Membership probe over sharded filters: routes each hash to its
+    * shard's filter through a codegen CASE chain — every branch probes
+    * ONE driver-held foldable filter, the shape Spark's
+    * `BloomFilterMightContain` requires (a row-dependent filter operand
+    * would not be foldable). nShards branches of a flat conditional per
+    * row; route with the same hash that was inserted ([[
+    * bloomOfHashesSharded]] routes and inserts `xxhash64(text_hash)`).
+    */
+  def shardedMightContain(shards: Seq[Array[Byte]], hash: Column): Column = {
+    require(shards.nonEmpty, "no shard filters")
+    val shard = pmod(hash, lit(shards.size.toLong))
+    shards.zipWithIndex.foldRight(lit(false)) { case ((bf, i), acc) =>
+      when(shard === i.toLong,
+        graft.functions.Blooms.bloomMightContain(lit(bf), hash))
+        .otherwise(acc)
+    }
+  }
+
+  /** Shard-wise [[mergeBlooms]] — the maintenance step for a sharded
+    * filter set after [[appendHashStore]] (routing is deterministic, so
+    * merging shard i with shard i covers every appended key).
+    */
+  def mergeShardedBlooms(a: Seq[Array[Byte]],
+                         b: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    require(a.size == b.size,
+      s"shard counts differ (${a.size} vs ${b.size}); changing nShards is a rebuild")
+    a.lazyZip(b).map(mergeBlooms)
+  }
 
   /** The band-gate Bloom pre-filter shared by [[minhashGate]] /
     * [[simhashGate]] / [[embeddingGate]]: drop batch band rows whose
@@ -267,7 +351,26 @@ object Dedup {
     * and the filter probe is a codegen predicate on the scan.
     */
   def exactGateBloom(batch: DataFrame, idCol: String, textCol: String,
-                     storeTable: String, bloom: Array[Byte]): DataFrame = {
+                     storeTable: String, bloom: Array[Byte]): DataFrame =
+    exactGateMaybe(batch, idCol, textCol, storeTable,
+      h => graft.functions.Blooms.bloomMightContain(lit(bloom), h))
+
+  /** [[exactGateBloom]] over a sharded filter set ([[storeBloomSharded]])
+    * — identical output (the sharded probe preserves no-false-negatives
+    * shard-wise), no single-filter size ceiling.
+    */
+  def exactGateBloomSharded(batch: DataFrame, idCol: String, textCol: String,
+                            storeTable: String,
+                            shards: Seq[Array[Byte]]): DataFrame =
+    exactGateMaybe(batch, idCol, textCol, storeTable,
+      h => shardedMightContain(shards, h))
+
+  /** Shared body of the Bloom-prefiltered exact gates: `maybeOf` maps
+    * the key hash to the membership-probe Column.
+    */
+  private def exactGateMaybe(batch: DataFrame, idCol: String, textCol: String,
+                             storeTable: String,
+                             maybeOf: Column => Column): DataFrame = {
     val s = batch.sparkSession
     graft.functions.Blooms.register(s)
     if (!s.catalog.tableExists(storeTable)) exactGate(batch, idCol, textCol,
@@ -282,8 +385,7 @@ object Dedup {
         .select(col(idCol), unhex(md5(col(textCol))).as("text_hash"))
         .groupBy("text_hash").agg(min(col(idCol)).as(idCol))
         .select(col(idCol), col("text_hash"))
-        .withColumn("__maybe", graft.functions.Blooms.bloomMightContain(
-          lit(bloom), xxhash64(col("text_hash"))))
+        .withColumn("__maybe", maybeOf(xxhash64(col("text_hash"))))
         .localCheckpoint()
       val proven = inBatch.filter(!col("__maybe")).drop("__maybe")
       val verified = inBatch.filter(col("__maybe")).drop("__maybe")

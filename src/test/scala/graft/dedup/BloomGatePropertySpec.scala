@@ -36,6 +36,10 @@ object BloomGatePropertySpec extends Properties("BloomGate") {
   } yield (store.distinct.map(i => s"text $i"),
     batch.map { case (id, t) => (id, s"text $t") }, items)
 
+  private val shardedScenario
+      : Gen[((Seq[String], Seq[(Long, String)], Long), Int)] =
+    Gen.zip(scenario, Gen.oneOf(1, 2, 3, 8))
+
   property("exactGateBloom == exactGate for any store/batch/layout") =
     forAll(scenario) { case (storeTexts, batchRows, items) =>
       val tag = seq.incrementAndGet()
@@ -61,5 +65,32 @@ object BloomGatePropertySpec extends Properties("BloomGate") {
       }
       spark.sql(s"DROP TABLE IF EXISTS $table")
       bloomed == expected
+    }
+
+  property("exactGateBloomSharded == exactGate for any store/batch/layout/shards") =
+    forAll(shardedScenario) { case ((storeTexts, batchRows, items), nShards) =>
+      val tag = seq.incrementAndGet()
+      val table = s"bloomshardprop_$tag"
+      val path = new java.io.File(sys.props("java.io.tmpdir"), table).getPath
+      val batch = batchRows.toDF("doc_id", "text")
+      if (storeTexts.nonEmpty)
+        Dedup.exactIncremental(
+          storeTexts.zipWithIndex.map { case (t, i) => (i.toLong + 5000L, t) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", table, path)
+      val expected = Dedup.exactGate(batch, "doc_id", "text", table)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Array[Byte]]("text_hash").toSeq).toSet
+      val sharded = Dedup.storeBloomSharded(spark, table, items, nShards) match {
+        case None => expected // no store -> gate degenerates; nothing to pin
+        case Some(shards) =>
+          Dedup.exactGateBloomSharded(batch, "doc_id", "text", table, shards)
+            .collect()
+            .map(r => r.getAs[Long]("doc_id") ->
+              r.getAs[Array[Byte]]("text_hash").toSeq).toSet
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      sharded == expected
     }
 }

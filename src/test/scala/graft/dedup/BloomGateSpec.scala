@@ -120,6 +120,41 @@ class BloomGateSpec extends SparkSpec {
     assert(plain == (1L until 200L by 2).toSet)
   }
 
+  test("sharded bloom gate matches plain across an append (mergeShardedBlooms)") {
+    val docs = graft.Tables(spark, sf, "documents").limit(300)
+      .select("doc_id", "text").localCheckpoint()
+    val (table, path) = freshStore("shard")
+    Dedup.exactIncremental(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", table, path)
+    var shards = Dedup.storeBloomSharded(spark, table,
+      expectedItems = 10000, nShards = 4).get
+    assert(shards.size == 4)
+    // day 1: gate + append ids 100..199, fold the batch's sharded filter in
+    val day1 = Dedup.exactGateBloomSharded(docs.filter(
+        col("doc_id") >= 100 && col("doc_id") < 200),
+      "doc_id", "text", table, shards).localCheckpoint()
+    Dedup.appendHashStore(day1, table, path)
+    shards = Dedup.mergeShardedBlooms(shards,
+      Dedup.bloomOfHashesSharded(day1, expectedItems = 10000, nShards = 4))
+    // day 2: copies of day-1 texts (must be gated through the MERGED
+    // shards) + novel rows; output must equal the plain exact gate
+    val day2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 9000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 200))
+    val expected = Dedup.exactGate(day2, "doc_id", "text", table)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val sharded = Dedup.exactGateBloomSharded(day2, "doc_id", "text", table,
+        shards)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sharded == expected)
+    assert(sharded == (200L until 300L).toSet)
+    // mismatched shard counts are a rebuild, not a merge
+    intercept[IllegalArgumentException] {
+      Dedup.mergeShardedBlooms(shards,
+        Dedup.bloomOfHashesSharded(day1, 10000, nShards = 2))
+    }
+  }
+
   test("simhashGate with a band bloom gates identically to without") {
     // q72's modular-fingerprint shape: band b of fp(id) is id mod
     // 8/16/32/64, so odd-vs-even ids differ in all four bands (hamming
