@@ -396,15 +396,19 @@ object Dedup {
 
   /** The write half of [[exactIncremental]]: seed or extend the bucketed
     * corpus hash store with this batch's surviving (id, text_hash) rows.
+    *
+    * `dedupAgainstStore` as in [[appendSigStore]] — normally the exact
+    * gate's own store anti-join already guarantees append idempotence
+    * under replay, but a Bloom-PREFILTERED replay can bypass that
+    * anti-join for keys a torn append committed after the filter was
+    * built (cleared rows skip the store join), so the Bloom streaming
+    * gate passes it when a replay is detected.
     */
   def appendHashStore(keys: DataFrame, storeTable: String,
-                      storePath: String, nBuckets: Int = 8): Unit =
-    if (!keys.sparkSession.catalog.tableExists(storeTable))
-      graft.pipelines.Sinks.reloadBucketed(
-        keys, storeTable, storePath, "text_hash", nBuckets)
-    else
-      graft.pipelines.Sinks.appendBucketedBy(
-        keys, storeTable, storePath, Seq("text_hash"), nBuckets)
+                      storePath: String, nBuckets: Int = 8,
+                      dedupAgainstStore: Boolean = false): Unit =
+    seedOrAppend(keys, storeTable, storePath, Seq("text_hash"),
+      keys.columns.toSeq, nBuckets, dedupAgainstStore)
 
   /** Incremental near-dup novelty filter against a persisted MinHash
     * signature store — "which of today's documents are new vs the

@@ -87,12 +87,10 @@ object StreamingOps {
     * siblings remain the scheduled file-count maintenance op (appends add
     * a file per bucket per day).
     *
-    * For a corpus-scale store, swap the plain [[graft.dedup.Dedup
-    * .exactGate]] here for [[graft.dedup.Dedup.exactGateBloom]] with a
-    * driver-held filter merged per batch ([[graft.dedup.Dedup
-    * .bloomOfHashes]] + `mergeBlooms` after each append — see the
-    * staleness contract on `storeBloom`): the mostly-novel micro-batch
-    * then skips the store join for every filter-cleared row.
+    * For a corpus-scale store, use [[bloomNoveltyGate]] instead: the
+    * same loop with a driver-held store Bloom filter maintained across
+    * micro-batches, so a mostly-novel batch skips the store join for
+    * every filter-cleared row.
     */
   def noveltyGateEachBatch(idCol: String, textCol: String,
                            storeTable: String, storePath: String,
@@ -104,6 +102,112 @@ object StreamingOps {
     gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath, nBuckets)
   }
+
+  /** [[noveltyGateEachBatch]] with the store Bloom filter held across
+    * micro-batches — the corpus-scale shape of the streaming exact gate.
+    * Returns the `foreachBatch` function; the returned closure owns the
+    * filter lifecycle (foreachBatch runs on the driver, batches of one
+    * query run sequentially):
+    *
+    *  1. FIRST batch: build the filter from the store as it stands
+    *     ([[graft.dedup.Dedup.storeBloom]]) — the snapshot this stream
+    *     starts gating against (None while the store doesn't exist yet;
+    *     the gate then degenerates to the plain in-batch dedup exactly
+    *     like [[graft.dedup.Dedup.exactGateBloom]] does).
+    *  2. Every batch: gate with [[graft.dedup.Dedup.exactGateBloom]],
+    *     sink survivors (replay-idempotent, as the plain gate), append
+    *     the store.
+    *  3. After the append: fold the batch's own filter in
+    *     ([[graft.dedup.Dedup.bloomOfHashes]] + `mergeBlooms`) so the
+    *     held filter covers the grown store BEFORE the next batch gates
+    *     — the staleness contract on `storeBloom`, maintained at
+    *     O(filter bytes) per batch with no store rescan.
+    *
+    * Replay safety: a replayed batch gates against the pre-append
+    * filter (same survivors — a Bloom miss only proves novelty against
+    * the pre-append STORE, which is the same store the original attempt
+    * gated against, and the sink write unions with the partition's
+    * prior content). The one Bloom-specific hazard is the store append:
+    * filter-cleared rows bypass the store anti-join, so a replay could
+    * re-append hashes a torn first attempt already committed — the
+    * append therefore passes `dedupAgainstStore` when the sink write
+    * detects a replay. Re-folding the same keys into the filter is a
+    * no-op (OR-merge is idempotent).
+    *
+    * Use as `docs.writeStream.foreachBatch(bloomNoveltyGate(...))`.
+    * After a restart the first batch rebuilds the filter from the
+    * store, so crash recovery needs no filter persistence.
+    */
+  def bloomNoveltyGate(idCol: String, textCol: String,
+                       storeTable: String, storePath: String,
+                       outPath: String, expectedItems: Long,
+                       nBuckets: Int = 8): (DataFrame, Long) => Unit = {
+    var bloom: Option[Array[Byte]] = None // driver-held, batches sequential
+    (batch: DataFrame, batchId: Long) => {
+      if (bloom.isEmpty)
+        bloom = graft.dedup.Dedup.storeBloom(batch.sparkSession, storeTable,
+          expectedItems)
+      val fresh = (bloom match {
+        case Some(bf) => graft.dedup.Dedup.exactGateBloom(
+          batch, idCol, textCol, storeTable, bf)
+        case None => graft.dedup.Dedup.exactGate(
+          batch, idCol, textCol, storeTable)
+      }).localCheckpoint()
+      val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+      graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath,
+        nBuckets, dedupAgainstStore = replay)
+      bloom = foldBloom(bloom,
+        graft.dedup.Dedup.bloomOfHashes(fresh, expectedItems))
+    }
+  }
+
+  /** [[minhashNoveltyGateEachBatch]] with the band-store Bloom
+    * pre-filter held across micro-batches ([[graft.dedup.Dedup
+    * .minhashGate]]'s `bandBloom`). Same lifecycle as
+    * [[bloomNoveltyGate]]: seed from the store's `_bands` table on
+    * first use ([[graft.dedup.Dedup.bandStoreBloom]]), gate, sink,
+    * append, then fold the batch's own band keys in so the filter
+    * covers the grown store before the next batch. Unlike the exact
+    * gate, a stale band filter here would DROP batch band rows whose
+    * only store match is a newly appended row — missed duplicates, not
+    * just a forfeited skip — which is why the fold runs inside the
+    * batch loop, not on a maintenance cadence.
+    */
+  def bloomMinhashNoveltyGate(idCol: String, textCol: String,
+                              storeTable: String, storePath: String,
+                              outPath: String, expectedItems: Long,
+                              numHashes: Int = 32, shingleN: Int = 5,
+                              bands: Int = 4, minEstJaccard: Double = 0.8,
+                              nBuckets: Int = 8): (DataFrame, Long) => Unit = {
+    var bloom: Option[Array[Byte]] = None // driver-held, batches sequential
+    (batch: DataFrame, batchId: Long) => {
+      if (bloom.isEmpty)
+        bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
+          storeTable, expectedItems)
+      val sig = graft.dedup.Dedup
+        .minhashSignatures(batch, idCol, textCol, numHashes, shingleN)
+      val fresh = graft.dedup.Dedup
+        .minhashGate(sig, idCol, storeTable, bands, minEstJaccard,
+          bandBloom = bloom)
+        .localCheckpoint()
+      val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+      graft.dedup.Dedup.appendSigStore(fresh, idCol, storeTable, storePath,
+        bands, nBuckets, dedupAgainstStore = replay)
+      bloom = foldBloom(bloom, graft.dedup.Dedup.bloomOfKeys(
+        graft.dedup.Dedup.bandRowsOf(fresh, idCol, bands),
+        Seq("band", "bkey"), expectedItems))
+    }
+  }
+
+  /** OR-merge a batch's filter into the held one; either side may be
+    * absent (store not seeded yet / empty batch).
+    */
+  private def foldBloom(held: Option[Array[Byte]],
+                        batch: Option[Array[Byte]]): Option[Array[Byte]] =
+    (held, batch) match {
+      case (Some(a), Some(b)) => Some(graft.dedup.Dedup.mergeBlooms(a, b))
+      case (a, b) => b.orElse(a)
+    }
 
   /** [[noveltyGateEachBatch]]'s near-dup sibling: each micro-batch is
     * MinHash-signed and gated against the persisted signature store

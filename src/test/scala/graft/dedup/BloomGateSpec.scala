@@ -120,6 +120,27 @@ class BloomGateSpec extends SparkSpec {
     assert(plain == (1L until 200L by 2).toSet)
   }
 
+  test("replayed bloom-gated append with a stale filter leaves no duplicate store rows") {
+    val (table, path) = freshStore("replay")
+    Dedup.exactIncremental(Seq((1L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", table, path)
+    val bloom = Dedup.storeBloom(spark, table, expectedItems = 1000).get
+    val batch = Seq((2L, "beta")).toDF("doc_id", "text")
+    // attempt 1: beta is filter-cleared (novel), appended to the store
+    val fresh1 = Dedup.exactGateBloom(batch, "doc_id", "text", table, bloom)
+      .localCheckpoint()
+    Dedup.appendHashStore(fresh1, table, path)
+    // crash before the filter fold; the replay gates with the STALE
+    // filter: beta bypasses the store anti-join (filter-cleared) even
+    // though its hash is now stored — the sink union absorbs the
+    // survivor, but a plain re-append would duplicate the store row
+    val fresh2 = Dedup.exactGateBloom(batch, "doc_id", "text", table, bloom)
+      .localCheckpoint()
+    assert(fresh2.count() == 1) // the leak the replay contract expects
+    Dedup.appendHashStore(fresh2, table, path, dedupAgainstStore = true)
+    assert(spark.table(table).count() == 2) // alpha + beta, exactly once
+  }
+
   test("sharded bloom gate matches plain across an append (mergeShardedBlooms)") {
     val docs = graft.Tables(spark, sf, "documents").limit(300)
       .select("doc_id", "text").localCheckpoint()

@@ -147,6 +147,112 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomNoveltyGate: batch N's dups of batch N-1 gate through the merged filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-bloom-novelty")
+    val outPath = base.resolve("sink").toString
+    val plainOut = base.resolve("plainsink").toString
+    val storePath = base.resolve("store").toString
+    val plainStorePath = base.resolve("plainstore").toString
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = s"bloom_novelty_spec_$nonce"
+    val plainTable = s"plain_novelty_spec_$nonce"
+    try {
+      // pre-seed both stores so batch 0 builds a non-empty filter
+      val seed = Seq((1L, "alpha")).toDF("doc_id", "text")
+      graft.dedup.Dedup.exactIncremental(seed, "doc_id", "text",
+        table, storePath)
+      graft.dedup.Dedup.exactIncremental(seed, "doc_id", "text",
+        plainTable, plainStorePath)
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.bloomNoveltyGate(
+          "doc_id", "text", table, storePath, outPath,
+          expectedItems = 10000))
+        .outputMode("update").start()
+      // batch 0: one store dup (pre-seeded alpha) + one novel doc
+      input.addData((10L, "alpha"), (11L, "beta"))
+      query.processAllAvailable()
+      // batch 1: dup of batch-0's beta — in the store ONLY via batch 0's
+      // append, so gating it requires the MERGED filter (a stale filter
+      // would prove it "definitely new" and leak it around the verify)
+      input.addData((20L, "beta"), (21L, "gamma"))
+      query.processAllAvailable()
+      // batch 2: dup of batch-1's gamma, same reasoning one merge later
+      input.addData((30L, "gamma"), (31L, "delta"))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (11L, "beta", 0L), (21L, "gamma", 1L), (31L, "delta", 2L)))
+      // output identical to the PLAIN gate run over the same batches
+      val plain = StreamingOps.noveltyGateEachBatch(
+        "doc_id", "text", plainTable, plainStorePath, plainOut) _
+      plain(Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text"), 0L)
+      plain(Seq((20L, "beta"), (21L, "gamma")).toDF("doc_id", "text"), 1L)
+      plain(Seq((30L, "gamma"), (31L, "delta")).toDF("doc_id", "text"), 2L)
+      val plainGot = spark.read.parquet(plainOut)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == plainGot.toSeq)
+      // both stores hold one hash per distinct text, no duplicate rows
+      assert(spark.table(table).count() == 4)
+      assert(spark.table(plainTable).count() == 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $plainTable")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("bloomMinhashNoveltyGate: merged band filter gates cross-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-bloom-mh")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"bloom_mh_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs before the dawn comes"
+    val textC = "sphinx of black quartz judge my vow under the evening stars"
+    try {
+      // pre-seed the signature store so batch 0 builds a band filter
+      graft.dedup.Dedup.minhashIncremental(
+        graft.dedup.Dedup.minhashSignatures(
+          Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id", table, storePath, bands = 4, minEstJaccard = 0.8)
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.bloomMinhashNoveltyGate(
+          "doc_id", "text", table, storePath, outPath,
+          expectedItems = 10000))
+        .outputMode("update").start()
+      // batch 0: a verbatim copy of the seeded text (gated) + novel textB
+      input.addData((10L, textA), (11L, textB))
+      query.processAllAvailable()
+      // batch 1: copy of batch-0's textB — its band rows are in the
+      // store only via batch 0's append, so the MERGED band filter must
+      // keep them flowing into the candidate join (a stale filter would
+      // drop them pre-join and admit the duplicate)
+      input.addData((20L, textB), (21L, textC))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((11L, textB, 0L), (21L, textC, 1L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("minhashNoveltyGateEachBatch: near-dup stream docs are gated by the store") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mh-novelty")
