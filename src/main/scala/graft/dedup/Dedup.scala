@@ -222,6 +222,78 @@ object Dedup {
     else bloomOfKeys(spark.table(s"${storeTable}_bands"),
       Seq("band", "bkey"), expectedItems, bitsPerItem)
 
+  /** A store filter bound to the store snapshot it was built from:
+    * `storeRows` is the store's row count at build time, the cheap
+    * version stamp [[exactGateBloomChecked]] verifies before gating.
+    * Nothing in the raw `Array[Byte]` API binds filter to snapshot — a
+    * stale filter (store appended, merge step forgotten) silently
+    * admits duplicates around the verify join — so pipelines that want
+    * staleness to fail LOUDLY carry this wrapper instead and maintain
+    * it with [[foldVersionedBloom]].
+    */
+  final case class VersionedBloom(filter: Array[Byte], storeRows: Long)
+
+  /** [[storeBloom]] returning a [[VersionedBloom]]: the filter and the
+    * row-count stamp come from ONE aggregate pass over the store.
+    */
+  def storeBloomVersioned(spark: org.apache.spark.sql.SparkSession,
+                          storeTable: String, expectedItems: Long,
+                          bitsPerItem: Int = 8): Option[VersionedBloom] =
+    if (!spark.catalog.tableExists(storeTable)) None
+    else {
+      val row = spark.table(storeTable)
+        .agg(graft.functions.Blooms.bloomAgg(xxhash64(col("text_hash")),
+          expectedItems, expectedItems * bitsPerItem).as("bf"),
+          count(lit(1)).as("n")).head()
+      Option(row.getAs[Array[Byte]]("bf"))
+        .map(VersionedBloom(_, row.getAs[Long]("n")))
+    }
+
+  /** [[exactGateBloom]] with the staleness contract ENFORCED at the API
+    * boundary: the store's current row count must equal the filter's
+    * snapshot stamp, else this throws instead of silently admitting
+    * duplicates. The check is one count job over the store — parquet
+    * count() resolves from file metadata, no data read, but it is still
+    * a job per gate call: use the checked form where corruption risk
+    * outweighs that job (or on a debug cadence), the raw
+    * [[exactGateBloom]] where the maintenance loop is already
+    * spec-pinned (e.g. [[graft.streaming.StreamingOps
+    * .bloomNoveltyGate]], whose closure owns the fold).
+    */
+  def exactGateBloomChecked(batch: DataFrame, idCol: String, textCol: String,
+                            storeTable: String,
+                            bloom: VersionedBloom): DataFrame = {
+    val s = batch.sparkSession
+    if (s.catalog.tableExists(storeTable)) {
+      val now = s.table(storeTable).count()
+      require(now == bloom.storeRows,
+        s"stale store Bloom filter for $storeTable: built at " +
+          s"${bloom.storeRows} store rows, store now has $now — fold every " +
+          "appended batch in with foldVersionedBloom (see the storeBloom " +
+          "staleness contract) or rebuild with storeBloomVersioned")
+    }
+    exactGateBloom(batch, idCol, textCol, storeTable, bloom.filter)
+  }
+
+  /** Maintenance step for a [[VersionedBloom]] after [[appendHashStore]]:
+    * folds the appended keys into the filter and advances the snapshot
+    * stamp, from one aggregate pass over the appended frame. Layout
+    * (`expectedItems`, `bitsPerItem`) must match the build call.
+    */
+  def foldVersionedBloom(bloom: VersionedBloom, appended: DataFrame,
+                         expectedItems: Long,
+                         bitsPerItem: Int = 8): VersionedBloom = {
+    val row = appended
+      .agg(graft.functions.Blooms.bloomAgg(xxhash64(col("text_hash")),
+        expectedItems, expectedItems * bitsPerItem).as("bf"),
+        count(lit(1)).as("n")).head()
+    Option(row.getAs[Array[Byte]]("bf")) match {
+      case None => bloom // empty append: nothing changed
+      case Some(bf) => VersionedBloom(mergeBlooms(bloom.filter, bf),
+        bloom.storeRows + row.getAs[Long]("n"))
+    }
+  }
+
   /** Sharded [[storeBloom]]: one filter per hash shard, removing the
     * single-filter conf ceiling (`spark.sql.optimizer.runtime
     * .bloomFilter.maxNumBits`, default 64M bits ≈ 8M docs at 8

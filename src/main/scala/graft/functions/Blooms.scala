@@ -36,6 +36,12 @@ object Blooms {
       "built-in")
   }
 
+  /** Convenience fallback for the one-session case; same off-thread and
+    * MULTI-SESSION caveats as `Texts.ensureRegistered` (the thread's
+    * active session may not be the session that analyzes the Column —
+    * the gate entry points call `register(batch.sparkSession)`
+    * explicitly instead of relying on this).
+    */
   private def ensureRegistered(): Unit =
     SparkSession.getActiveSession.foreach(register)
 

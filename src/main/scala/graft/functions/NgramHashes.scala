@@ -102,6 +102,18 @@ object Texts {
     * write per function). Column construction without ANY active session
     * (possible off-thread) still needs an explicit `register(spark)` /
     * `GraftExtensions` before analysis.
+    *
+    * MULTI-SESSION caveat: `getActiveSession` is the thread's current
+    * session, which in an application juggling several sessions may not
+    * be the one that later analyzes the Column — registration then lands
+    * in the wrong registry and analysis still fails with "undefined
+    * function". This fallback is a convenience for the common one-session
+    * case only; the operator entry points (Dedup / TextAnalysis /
+    * Similarity) don't rely on it — they call `register(df.sparkSession)`
+    * explicitly, resolving the session from the DataFrame they operate
+    * on — and multi-session callers composing Columns directly should do
+    * the same (or install [[GraftExtensions]], which registers into
+    * every session at session build time).
     */
   def ensureRegistered(): Unit =
     SparkSession.getActiveSession.foreach(register)

@@ -120,6 +120,42 @@ class BloomGateSpec extends SparkSpec {
     assert(plain == (1L until 200L by 2).toSet)
   }
 
+  test("exactGateBloomChecked throws on a stale filter, gates on a maintained one") {
+    val docs = graft.Tables(spark, sf, "documents").limit(200)
+      .select("doc_id", "text").localCheckpoint()
+    val (table, path) = freshStore("checked")
+    Dedup.exactIncremental(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", table, path)
+    var vb = Dedup.storeBloomVersioned(spark, table, expectedItems = 10000).get
+    // fresh filter: gates, and output matches the raw gate
+    val batch = docs.filter(col("doc_id") >= 100)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val expected = Dedup.exactGate(batch, "doc_id", "text", table)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val checked = Dedup.exactGateBloomChecked(batch, "doc_id", "text",
+        table, vb)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(checked == expected)
+    // append WITHOUT folding: the checked gate must fail loudly instead
+    // of silently admitting duplicates around the verify join
+    val appended = checked // survivors of the batch
+    Dedup.appendHashStore(
+      Dedup.exactGate(batch, "doc_id", "text", table).localCheckpoint(),
+      table, path)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactGateBloomChecked(batch, "doc_id", "text", table, vb)
+    }
+    assert(e.getMessage.contains("stale store Bloom filter"))
+    // fold the appended keys in: stamp advances, gate works again
+    vb = Dedup.foldVersionedBloom(vb,
+      spark.table(table).filter(!col("doc_id").isin(
+        (0L until 100L): _*)), expectedItems = 10000)
+    assert(Dedup.exactGateBloomChecked(batch, "doc_id", "text", table, vb)
+      .count() == 0) // everything in the batch is now stored
+    assert(appended.nonEmpty)
+  }
+
   test("replayed bloom-gated append with a stale filter leaves no duplicate store rows") {
     val (table, path) = freshStore("replay")
     Dedup.exactIncremental(Seq((1L, "alpha")).toDF("doc_id", "text"),
