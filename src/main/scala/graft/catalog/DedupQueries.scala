@@ -338,17 +338,34 @@ object DedupQueries {
       "batch-vs-fingerprint-store novelty gate; 8 bytes of state per doc"),
 
     // ----- n-gram Jaccard near-dup, bounded candidate set -----
+    // The stop-shingle rule is ON (maxDocFrac = 0.8: a shingle in more
+    // than 80 of the 100 input docs is boilerplate and leaves the
+    // similarity space) and the oracle applies the IDENTICAL rule —
+    // recall loss is a declared parameter both engines agree on, not a
+    // silent cap side-effect. 0.8 fits this heavily TEMPLATED fixture:
+    // measured shingle document frequency runs to 83/100 with a 99th
+    // percentile of 77, so 0.8 strips exactly the template boilerplate
+    // (1227 -> 1024 result rows: the rule is demonstrably active)
+    // while tighter fractions would stop-list the near-dup signal
+    // itself (0.5 empties the result). Production corpora want ~0.1
+    // (see StoreAudit, where 0.1 zeroes the backstop cap's mass).
     "q36_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccard(
           Tables(s, dir, "documents").filter(col("doc_id") < 100),
-          "doc_id", "text", n = 5, minJaccard = 0.2)
+          "doc_id", "text", n = 5, minJaccard = 0.2, maxDocFrac = 0.8)
         .orderBy("id1", "id2"),
       Some(
-        """WITH sh AS (
+        """WITH sh0 AS (
           |  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(i AS INTEGER), 5) AS g
           |  FROM (SELECT doc_id, text,
           |          UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 4, 1))) AS i
           |        FROM documents WHERE doc_id < 100)),
+          |dfreq AS (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g),
+          |sh AS (
+          |  SELECT sh0.doc_id, sh0.g FROM sh0 JOIN dfreq USING (g)
+          |  WHERE df <= GREATEST(1, CAST(FLOOR(0.8 *
+          |    (SELECT COUNT(DISTINCT doc_id) FROM documents WHERE doc_id < 100)
+          |  ) AS BIGINT))),
           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
           |inter AS (
           |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS it
@@ -361,7 +378,7 @@ object DedupQueries {
           |JOIN sizes s2 ON id2 = s2.doc_id
           |WHERE it / (s1.sz + s2.sz - it) >= 0.2
           |ORDER BY id1, id2""".stripMargin),
-      "exact n-gram Jaccard via inverted shingle index"),
+      "exact n-gram Jaccard, declared stop-shingle rule mirrored by the oracle"),
 
     // ----- MinHash + LSH banding over the salted copy-seeded corpus -----
     // The REAL scale path (fused minhash_sig over every doc, LSH band

@@ -1176,20 +1176,47 @@ object Dedup {
     * shingle, scored |A∩B| / |A∪B|. Quadratic in posting-list size — use
     * after LSH pruning or on bounded candidate sets.
     *
-    * Stop-shingles with posting lists longer than `maxPosting` are dropped
-    * from the inverted index ([[capBuckets]]) — they are the quadratic
-    * blow-up and carry almost no discriminative signal. Per-doc sizes keep
-    * the full shingle set, so reported jaccard is then a lower bound for
-    * pairs whose overlap included a dropped stop-shingle.
+    * `maxDocFrac` is the PRINCIPLED stop-shingle rule (the IDF analog):
+    * shingles whose document frequency exceeds `floor(maxDocFrac × #docs)`
+    * are boilerplate, carrying ~zero discriminative signal while
+    * contributing the quadratic posting mass — they are removed from the
+    * similarity space entirely (index AND per-doc sizes), so the
+    * reported jaccard is EXACT over the declared kept-shingle space and
+    * recall loss is a parameter, not a side effect. Off by default
+    * (`>= 1.0`): on a tiny corpus a 10% rule would stop-list every
+    * shared shingle.
+    *
+    * `maxPosting` remains the scale BACKSTOP behind it: postings that
+    * survive the document-frequency rule but still exceed the cap are
+    * dropped from the inverted index only ([[capBuckets]]) — per-doc
+    * sizes keep those shingles, so jaccard is then a lower bound for
+    * pairs whose overlap included a capped shingle. With the
+    * document-frequency rule active the backstop should audit to ~zero
+    * mass ([[graft.tools.StoreAudit]]); a sustained non-zero means the
+    * rule is set looser than the cap.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, minJaccard: Double = 0.2,
-                   maxPosting: Int = 500): DataFrame = {
+                   maxPosting: Int = 500,
+                   maxDocFrac: Double = 1.0): DataFrame = {
     // The distinct shingle frame feeds four consumers (the cap's hot-bucket
     // stats action, per-doc sizes, and both sides of the self-join);
     // checkpoint it once so the explode+distinct shuffle runs once, not
     // per consumer.
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val raw = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxDocFrac >= 1.0) raw.localCheckpoint()
+      else {
+        // this tier is the offline verification path (see capBuckets) —
+        // the one distinct-count action for the doc total is in budget
+        val nDocs = df.select(col(idCol)).distinct().count()
+        val dfCap = math.max(1L, math.floor(maxDocFrac * nDocs).toLong)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shingle"))
+        raw.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= dfCap).drop("__df")
+          .localCheckpoint()
+      }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val idx = capBuckets(sh, Seq("shingle"), maxPosting, "ngramJaccard")
     val inter = idx.select(col(idCol).as("id1"), col("shingle"))

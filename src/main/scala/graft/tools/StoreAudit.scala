@@ -59,9 +59,26 @@ object StoreAudit {
         1000)
     }
     // the exact-Jaccard tier's inverted index caps on the shingle key
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 5).localCheckpoint()
     report("ngram postings", 500) {
+      Dedup.bucketCapAudit(sh, 500, Seq("shingle"))
+    }
+    // ... and with the declared stop-shingle rule (ngramJaccard's
+    // maxDocFrac = 0.1) applied first: the backstop cap should then
+    // audit to ~zero mass — sustained non-zero means the rule is set
+    // looser than the cap
+    val nDocs = docs.select("doc_id").distinct().count()
+    val dfCap = math.max(1L, math.floor(0.1 * nDocs).toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("shingle"))
+    report("ngram +df<=10%", 500) {
       Dedup.bucketCapAudit(
-        Dedup.shingles(docs, "doc_id", "text", n = 5), 500, Seq("shingle"))
+        sh.withColumn("__df",
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).over(w))
+          .filter(org.apache.spark.sql.functions.col("__df") <= dfCap)
+          .drop("__df"),
+        500, Seq("shingle"))
     }
     spark.stop()
   }

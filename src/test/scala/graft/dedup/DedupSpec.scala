@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((0L, 3L)))
   }
 
+  test("ngramJaccard stop-shingle rule: boilerplate leaves the similarity space") {
+    // 1000 identical docs: every one of their shingles has document
+    // frequency 1000 > floor(0.1 x 1002), so the DECLARED rule removes
+    // the flood from the similarity space entirely — no pairs at all,
+    // not even the capped lower-bound rows — while the two-member
+    // near-dup pair (df = 2) keeps its full shingle set and scores an
+    // EXACT 1.0 (sizes are computed post-filter, so the kept-space
+    // jaccard is exact, not a lower bound)
+    val flood = (0L until 1000L).map(i => (i, longA)) ++
+      Seq((1000L, longB), (1001L, longB))
+    val nj = Dedup.ngramJaccard(flood.toDF("doc_id", "text"), "doc_id",
+        "text", n = 5, minJaccard = 0.0, maxDocFrac = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(nj.toSeq == Seq((1000L, 1001L, 1.0)))
+  }
+
   test("hot-bucket cap: 1k identical docs complete without quadratic pairs") {
     // 1000 identical docs saturate every band bucket (sz 1000 > cap 500);
     // uncapped this is ~C(1000,2) x bands pair rows. The cap drops those
