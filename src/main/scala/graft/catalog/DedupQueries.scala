@@ -63,15 +63,15 @@ object DedupQueries {
     * REPEATED salt token would be useless for MinHash, contributing only
     * a handful of distinct shingles to a set-based similarity).
     * Previously-identical texts then share at most J ≈ 0.5 of their
-    * shingle set (measured at sf0.01: organic max est drops to 25/32 =
-    * 0.78125, far from the 32/32 the 0.99 threshold requires), and the
-    * salt tokens scatter organic SimHash fingerprints (measured organic
-    * minimum hamming 4 at sf0.01 > maxDist 3 — deterministic corpus,
-    * deterministic margin; the margins are sf0.01 claims, where the
-    * driver's correctness gate runs. At sf0.1 the q37 margin still
-    * holds (organic max 28/32) while q38 admits 32 organic pairs at
-    * hamming 2-3 — bench-only scales time the same plan over whatever
-    * rows qualify). Verbatim
+    * shingle set (measured via OracleMargins, re-runnable at any dir:
+    * organic max est 25/32 = 0.78125 at sf0.01 and 28/32 = 0.875 at
+    * sf0.1, both ≥ 4 signature positions from the 32/32 the 0.99
+    * threshold requires), and the salt tokens scatter organic SimHash
+    * fingerprints (organic minimum hamming 4 at sf0.01, 2 at sf0.1 —
+    * both ≥ 2 above q38's oracled maxDist 0; deterministic corpus,
+    * deterministic margin, asserted as a CI gate by OracleMarginSpec
+    * so corpus drift fails loudly, not as a silent hash mismatch).
+    * Verbatim
     * copies still share the exact salted TEXT, so the full real path —
     * xxhash shingling, banding, bounded-bucket candidates, verify join —
     * must emit exactly the copy pairs at est 1.0 / hamming 0. The salt
@@ -444,17 +444,22 @@ object DedupQueries {
     // ----- SimHash near-dup candidates, salted copy-seeded oracle -----
     // Same construction as q37 for the SimHash path: fused simhash64
     // over every salted doc, 16-bit banding, bounded-bucket candidates,
-    // bit_count(xor) verify. Copies share the exact salted text (hamming
-    // 0); the salt scatters organic fingerprints ~30 bits apart, so at
-    // maxDist = 3 exactly the 50 copy pairs survive. The organic
-    // hamming distribution stays exercised by q58's oracled fixture and
-    // q72's incremental gate.
+    // bit_count(xor) verify. Copies share the exact salted text, so
+    // they collide in every band and verify at hamming EXACTLY 0 — the
+    // oracled entry pins maxDist = 0, whose organic margin is
+    // SCALE-ROBUST: measured organic minimum hamming is 4 at sf0.01 and
+    // 2 at sf0.1 (OracleMargins; the old maxDist = 3 held only at
+    // sf0.01, where 32 organic hamming 2-3 pairs appear at sf0.1 —
+    // an SF bump in the harness would have flipped the entry red).
+    // The candidate path is identical at any maxDist (banding then
+    // verify filter), and the organic hamming DISTRIBUTION stays
+    // exercised by q58's oracled fixture and q72's incremental gate.
     "q38_simhash" -> Q(
       (s, dir) => Dedup.simhashCandidates(
           // materialized once: feeds both candidate join sides
           Dedup.simhash(saltedCopySeeded(s, dir), "doc_id", "text")
             .localCheckpoint(),
-          "doc_id", maxDist = 3)
+          "doc_id", maxDist = 0)
         .orderBy("id1", "id2"),
       Some(
         """SELECT doc_id AS id1, doc_id + 10000000 AS id2,

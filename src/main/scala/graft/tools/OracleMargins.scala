@@ -6,16 +6,52 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
 /** Audits the deterministic margins the q37/q38 copy-seed oracles rest
-  * on (see graft.catalog.DedupQueries.saltedCopySeeded): over the
-  * salted copy-seeded corpus, prints the organic (non-copy) maximum
-  * est_jaccard — must stay below the 0.99 oracle threshold — and the
-  * organic minimum SimHash hamming distance — must stay above
-  * maxDist 3 — plus the oracled output row counts (50 copy pairs
-  * each at sf0.01).
+  * on (see graft.catalog.DedupQueries.saltedCopySeeded), at ANY
+  * dataset dir — the margins must hold at every SF a harness might run,
+  * not just where the correctness gate happens to run today. Prints,
+  * over the salted copy-seeded corpus:
   *
-  * Run: `sbt "runMain graft.tools.OracleMargins /root/testdata/sf0.01"`.
+  *  - q37: oracled row count at the 0.99 threshold (the 50 seeded copy
+  *    pairs), the organic (non-copy) maximum est_jaccard, and the
+  *    margin in signature positions below the 32/32 the threshold
+  *    requires;
+  *  - q38: oracled row count at maxDist 0 (the copies, hamming exactly
+  *    0), the organic minimum hamming, and the margin in bits above
+  *    the threshold.
+  *
+  * The same invariants are asserted as a CI gate by OracleMarginSpec,
+  * so a corpus or fixture change that erodes a margin fails loudly in
+  * `sbt test` instead of surfacing as an inscrutable oracle hash
+  * mismatch.
+  *
+  * Run: `sbt "runMain graft.tools.OracleMargins /root/testdata/sf0.01"`
+  * (and again at sf0.1 — the README table records both).
   */
 object OracleMargins {
+
+  /** (q37 oracled rows, organic max matching positions of 32,
+    * q38 oracled rows, organic min hamming) over the salted corpus.
+    */
+  def measure(spark: SparkSession, dir: String): (Long, Int, Long, Int) = {
+    val shift = 10000000L
+    val corpus = graft.catalog.DedupQueries.saltedCopySeededForAudit(spark, dir)
+    val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", 32, 5)
+      .localCheckpoint()
+    val mh = Dedup.minhashJaccard(
+      Dedup.lshCandidates(sig, "doc_id", bands = 8), sig, "doc_id")
+      .localCheckpoint()
+    val q37Rows = mh.filter(col("est_jaccard") >= 0.99).count()
+    val organicEst = mh.filter(col("id2") < shift)
+      .agg(max("est_jaccard")).head().getDouble(0)
+    val sh = Dedup.simhash(corpus, "doc_id", "text").localCheckpoint()
+    val sc = Dedup.simhashCandidates(sh, "doc_id", maxDist = 64)
+      .localCheckpoint()
+    val q38Rows = sc.filter(col("hamming") <= 0).count()
+    val organicHam = sc.filter(col("id2") < shift)
+      .agg(min("hamming")).head().getInt(0)
+    (q37Rows, math.round(organicEst * 32).toInt, q38Rows, organicHam)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -26,22 +62,13 @@ object OracleMargins {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val shift = 10000000L
-    val corpus = graft.catalog.DedupQueries.saltedCopySeededForAudit(spark, dir)
-    val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", 32, 5)
-      .localCheckpoint()
-    val mh = Dedup.minhashJaccard(
-      Dedup.lshCandidates(sig, "doc_id", bands = 8), sig, "doc_id")
-    println("q37 oracled rows (est>=0.99): " +
-      mh.filter(col("est_jaccard") >= 0.99).count())
-    println("organic max est_jaccard: " + mh.filter(col("id2") < shift)
-      .agg(max("est_jaccard")).head().get(0))
-    val sh = Dedup.simhash(corpus, "doc_id", "text").localCheckpoint()
-    val sc = Dedup.simhashCandidates(sh, "doc_id", maxDist = 64)
-    println("q38 oracled rows (hamming<=3): " +
-      sc.filter(col("hamming") <= 3).count())
-    println("organic min hamming: " + sc.filter(col("id2") < shift)
-      .agg(min("hamming")).head().get(0))
+    val (q37Rows, organicPos, q38Rows, organicHam) = measure(spark, dir)
+    println(s"q37 oracled rows (est>=0.99): $q37Rows")
+    println(s"organic max est positions: $organicPos/32 " +
+      s"(margin ${32 - organicPos} below the 32 the threshold requires)")
+    println(s"q38 oracled rows (hamming<=0): $q38Rows")
+    println(s"organic min hamming: $organicHam " +
+      s"(margin $organicHam above the oracled maxDist 0)")
     spark.stop()
   }
 }
