@@ -45,15 +45,47 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline queries for the larger-scale point: the fact-table agg, the
-    * dedup pipelines (shuffle-heavy), the fingerprint + banded-LSH tiers,
-    * and the embedding top-k (codegen). Only queries whose input grows
-    * with SF belong here — fixture-capped entries (doc_id < 100 etc.)
-    * are scale-invariant and would just restate the sf0.1 number.
+  /** Headline queries for the larger-scale point, two tiers:
+    *
+    *  - SCALE-GROWING inputs (lineitem/orders/documents/embeddings,
+    *    which ScaleUp replicates): the fact-table aggs and windows
+    *    (q12/q06/q50/q51), the dedup pipelines (q37/q38/q45), and the
+    *    embedding top-k (q39/q43/q64) — these are the scaling story;
+    *  - fixture-capped EQUIVALENT-WORK queries (q36/q49/q57/q58, r10
+    *    broadening): their inputs don't grow with SF, but both engines
+    *    do identical work on them, so they widen the sf1 plan-quality
+    *    ratio's sample beyond three queries — the per-job floor they
+    *    carry is the same floor the sf0.1 one-shot ratio pays.
+    *
+    * The sf1 equivalent-work ratio (spark_oracle_total_sec vs
+    * duckdb_oneshot_total_sec) spans q12, q36, q06, q49, q50, q51,
+    * q57, q58, q39, q43 — ten queries. Because the fixture-capped
+    * members are pure per-job floor (their absolute times are flat
+    * from sf0.1 to sf1 while DuckDB answers them in milliseconds),
+    * the sf1 block ALSO reports the same ratio restricted to the
+    * scale-growing members (`spark_scalegrow_sec` /
+    * `duckdb_scalegrow_sec`) — the number that isolates plan quality
+    * from the floor the full-set ratio deliberately keeps visible.
     */
   private val headline = Seq("q12_pricing_summary", "q37_minhash_lsh",
     "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native",
-    "q38_simhash", "q64_embedding_neardup")
+    "q38_simhash", "q64_embedding_neardup",
+    "q06_top5_normalized", "q36_ngram_jaccard", "q49_asof_join",
+    "q50_percentiles", "q51_rank_topn",
+    "q57_lsh_bands_fixture", "q58_simhash_bands_fixture")
+
+  /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
+    * their input (`doc_id < 100/200`) and q49 caps its fact side
+    * (`l_orderkey < 2000`, and ScaleUp gives replica rows fresh
+    * orderkeys), so those four do identical work at every SF — they
+    * widen the equivalent-work sample but measure only the job floor
+    * at sf1. The rest scan lineitem/orders/documents/embeddings, which
+    * ScaleUp replicates 10x.
+    */
+  private val scaleGrowing = Set("q12_pricing_summary", "q37_minhash_lsh",
+    "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native",
+    "q38_simhash", "q64_embedding_neardup",
+    "q06_top5_normalized", "q50_percentiles", "q51_rank_topn")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -137,47 +169,91 @@ object Bench {
     None
   }
 
-  /** Measures the incremental exact-dedup GATE against store scale: the
-    * SAME fixed 1k-doc batch is gated (read-only anti-join, the
-    * recurring per-day cost) against a hash store seeded from the sf0.1
-    * corpus (~5k docs) and one seeded from the sf1 corpus (~50k docs).
-    * Store seeding is a one-time corpus build and runs UNTIMED; each
-    * timed rep is `Dedup.exactGate(...).count()`. The design claim this
-    * pins with a measurement (IncrementalDedupSpec pins it on the plan):
-    * the store side of the gate join is bucketed on the join key and
-    * never reshuffles, so per-batch cost scales with the batch — the
-    * 10x store should move the gate time by roughly its extra co-located
-    * scan, not 10x.
+  /** Measures the incremental novelty GATES against store scale: the
+    * SAME fixed 1k-doc batch is gated (read-only, the recurring per-day
+    * cost) against stores seeded from the sf0.1 corpus (~5k docs) and
+    * from the sf1 corpus (~50k docs) — for BOTH the exact hash gate
+    * (single-table anti-join) and the MinHash band gate (banded
+    * two-table store), so the flat-across-store claim is measured for a
+    * banded store too, not only the hash store. Store seeding and batch
+    * signing are one-time corpus builds and run UNTIMED; each timed rep
+    * is the gate alone. The design claim this pins with a measurement
+    * (IncrementalDedupSpec pins it on the plan): the store sides are
+    * bucketed on their join keys and never reshuffle, so per-batch cost
+    * scales with the batch — the 10x store should move gate time by
+    * roughly its extra co-located scan, not 10x.
+    *
+    * Every seeded catalog table and tmpdir store path is dropped in the
+    * finally block — bench runs must not leak warehouse entries or
+    * on-disk stores (r9 ADVICE).
     */
   private def incGateScale(spark: SparkSession, smallDir: String,
                            largeDir: String, reps: Int)
-      : Seq[(String, Double)] = try {
+      : Seq[(String, Double)] = {
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    def seed(tag: String, dir: String): String = {
+    val tables = mutable.Buffer.empty[String]
+    val dirs = mutable.Buffer.empty[java.io.File]
+    def storeFor(tag: String): (String, String) = {
       val t = s"graft_bench_gate_${nonce}_$tag"
-      graft.dedup.Dedup.exactIncremental(
-        Tables(spark, dir, "documents"), "doc_id", "text",
-        t, new java.io.File(sys.props("java.io.tmpdir"), t).getPath)
-      t
+      val d = new java.io.File(sys.props("java.io.tmpdir"), t)
+      dirs += d
+      (t, d.getPath)
     }
-    val small = seed("small", smallDir)
-    val large = seed("large", largeDir)
-    val batch = Tables(spark, smallDir, "documents")
-      .filter(org.apache.spark.sql.functions.col("doc_id") < 1000)
-    def gateSec(table: String): Double = {
-      graft.dedup.Dedup.exactGate(batch, "doc_id", "text", table).count() // warm
+    def timed(warmAndRep: () => Unit): Double = {
+      warmAndRep() // warm
       median((1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.dedup.Dedup.exactGate(batch, "doc_id", "text", table).count()
+        warmAndRep()
         (System.nanoTime() - t0) / 1e9
       })
     }
-    Seq("incgate1k_small_store_sec" -> gateSec(small),
-      "incgate1k_large_store_sec" -> gateSec(large))
-  } catch { case e: Throwable =>
-    System.err.println(s"[bench] incremental-gate scale check failed: " +
-      e.toString.take(200))
-    Nil
+    try {
+      def seedExact(tag: String, dir: String): String = {
+        val (t, p) = storeFor(tag)
+        tables += t
+        graft.dedup.Dedup.exactIncremental(
+          Tables(spark, dir, "documents"), "doc_id", "text", t, p)
+        t
+      }
+      val small = seedExact("small", smallDir)
+      val large = seedExact("large", largeDir)
+      val batch = Tables(spark, smallDir, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 1000)
+      def exactSec(table: String): Double = timed(() =>
+        graft.dedup.Dedup.exactGate(batch, "doc_id", "text", table).count())
+
+      def seedMinhash(tag: String, dir: String): String = {
+        val (t, p) = storeFor(tag)
+        tables += s"${t}_bands" += s"${t}_sigs"
+        graft.dedup.Dedup.minhashIncremental(
+          graft.dedup.Dedup.minhashSignatures(
+            Tables(spark, dir, "documents"), "doc_id", "text"),
+          "doc_id", t, p, bands = 4, minEstJaccard = 0.9)
+        t
+      }
+      val mhSmall = seedMinhash("mhsmall", smallDir)
+      val mhLarge = seedMinhash("mhlarge", largeDir)
+      // batch signing is fixture prep, not gate work — materialize once
+      val batchSig = graft.dedup.Dedup
+        .minhashSignatures(batch, "doc_id", "text").localCheckpoint()
+      def mhSec(table: String): Double = timed(() =>
+        graft.dedup.Dedup.minhashGate(batchSig, "doc_id", table,
+          bands = 4, minEstJaccard = 0.9).count())
+
+      Seq("incgate1k_small_store_sec" -> exactSec(small),
+        "incgate1k_large_store_sec" -> exactSec(large),
+        "mhgate1k_small_store_sec" -> mhSec(mhSmall),
+        "mhgate1k_large_store_sec" -> mhSec(mhLarge))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] incremental-gate scale check failed: " +
+        e.toString.take(200))
+      Nil
+    } finally {
+      tables.foreach(t => try spark.sql(s"DROP TABLE IF EXISTS $t")
+        catch { case _: Throwable => () })
+      dirs.foreach(d => try org.apache.commons.io.FileUtils.deleteDirectory(d)
+        catch { case _: Throwable => () })
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -220,16 +296,19 @@ object Bench {
     // Some oracles are ANSWER KEYS, not equivalent computations: q59/q61
     // run multi-round CC against constant-time closed forms, q68-q72 pay
     // per-rep store BUILDS whose oracle models only the final read, and
-    // the fixture pins q57/q58/q60/q64 enumerate their expected rows by
-    // modular/copy arithmetic instead of running bands/sketches/LSH.
+    // the q60/q64 fixture pins enumerate their expected rows by
+    // modular/copy arithmetic instead of computing them from the data.
     // Comparing those measures fixture design, not plan quality — the
     // one-shot ratio excludes them (from BOTH sides) and is reported
-    // next to the full ratio.
+    // next to the full ratio. q57/q58 are NOT excluded (r10): their
+    // oracle SQL computes the full result from the data — an all-pairs
+    // join plus per-pair band-agreement arithmetic, if anything MORE
+    // work than the banded Spark path — so comparing them measures plan
+    // quality, not enumeration.
     val answerKeyOracles = Set("q59_cc_fixture", "q61_cc_deep_fixture",
       "q68_dedup_incremental", "q69_minhash_incremental",
       "q70_embedding_incremental", "q72_simhash_incremental",
       "q73_dedup_bloom_gate",
-      "q57_lsh_bands_fixture", "q58_simhash_bands_fixture",
       "q60_kmv_fixture", "q64_embedding_neardup",
       // copy-seeded ANN closed forms (r8): real probe work, answer-key SQL
       "q40_ann_lsh", "q62_ann_indexed",
@@ -278,6 +357,17 @@ object Bench {
         : Option[Double] =
       d1.map(_._2.collect {
         case (k, v) if v >= 0 && !answerKeyOracles(k) => v }.sum)
+    // the scale-growing cut of the same equivalent-work comparison (see
+    // the `scaleGrowing` scaladoc): floor-only fixture members excluded
+    // from BOTH sides
+    def sf1SgSpark(m1: Seq[(String, Double)]): Double =
+      m1.filter(kv => kv._2 >= 0 && SparkEntry.oracleSql.contains(kv._1)
+        && !answerKeyOracles(kv._1) && scaleGrowing(kv._1)).map(_._2).sum
+    def sf1SgDuck(d1: Option[(Double, Seq[(String, Double)])])
+        : Option[Double] =
+      d1.map(_._2.collect {
+        case (k, v) if v >= 0 && !answerKeyOracles(k)
+          && scaleGrowing(k) => v }.sum)
     val sf1Full: String = sf1 match {
       case None => "null"
       case Some((m1, e1, d1, g1)) =>
@@ -289,6 +379,9 @@ object Bench {
           "spark_oracle_total_sec" -> jnum(sf1OracleSec(m1)),
           "duckdb_oneshot_total_sec" ->
             sf1DuckOneshot(d1).map(jnum).getOrElse("null"),
+          "spark_scalegrow_sec" -> jnum(sf1SgSpark(m1)),
+          "duckdb_scalegrow_sec" ->
+            sf1SgDuck(d1).map(jnum).getOrElse("null"),
           "duckdb_queries" -> d1.map(d =>
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")) ++
           g1.map { case (k, v) => k -> jnum(v) })
@@ -301,7 +394,10 @@ object Bench {
           "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
           "spark_oracle_total_sec" -> jnum3(sf1OracleSec(m1)),
           "duckdb_oneshot_total_sec" ->
-            sf1DuckOneshot(d1).map(jnum3).getOrElse("null")) ++
+            sf1DuckOneshot(d1).map(jnum3).getOrElse("null"),
+          "spark_scalegrow_sec" -> jnum3(sf1SgSpark(m1)),
+          "duckdb_scalegrow_sec" ->
+            sf1SgDuck(d1).map(jnum3).getOrElse("null")) ++
           g1.map { case (k, v) => k -> jnum3(v) } ++
           (if (e1.isEmpty) Nil else Seq("errors" -> jobj(
             e1.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))))
