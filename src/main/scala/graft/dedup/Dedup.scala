@@ -2,6 +2,8 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.text.TextAnalysis
 
@@ -20,6 +22,14 @@ import graft.text.TextAnalysis
   *
   * Everything is expression-level (codegen'd); the per-shingle hash fan-out
   * is the standard expand and runs as a narrow map + partial aggregate.
+  *
+  * Id contract: every batch operator here accepts an id column of ANY
+  * orderable type. The join/min-label tiers (ngramJaccard,
+  * canonicalClusters, exact) are type-agnostic natively; the
+  * bounded-bucket candidate stages (lshCandidates, simhashCandidates,
+  * embeddingNearDups) adapt non-bigint ids through the exact long
+  * surrogate in [[adaptIdType]] so [[graft.functions.BoundedIds]] keeps
+  * its flat-long aggregation buffer.
   */
 object Dedup {
 
@@ -718,9 +728,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Runs a bounded-bucket candidate stage for an id column of ANY
+    * orderable type, adapting to the bigint contract that keeps
+    * [[graft.functions.BoundedIds]]'s aggregation buffer a flat long
+    * array (the allocation-free property its hard state bound rests
+    * on). Three tiers, all EXACT:
+    *
+    *  - bigint ids: passthrough, zero cost;
+    *  - narrower integrals (tinyint/smallint/int): lossless widening
+    *    cast in, cast back on the pair output — least/greatest order
+    *    is unchanged under widening, so the pair set is identical;
+    *  - anything else orderable (string doc ids, dates, decimals,
+    *    timestamps): each DISTINCT id gets a dense long surrogate
+    *    (`monotonically_increasing_id` over the distinct ids,
+    *    localCheckpointed so re-evaluation cannot reassign), the stage
+    *    runs in surrogate space, and the pair OUTPUT joins back and
+    *    re-normalizes least/greatest in the ORIGINAL type's ordering
+    *    (surrogate order is arbitrary). Exact by construction — no
+    *    hash-collision caveat, unlike an xxhash64 surrogate, where a
+    *    collision inside one bucket would silently DROP a candidate
+    *    pair via the self-pair filter. Cost: one distinct exchange
+    *    over the id column plus two joins against the capped (small)
+    *    pair set. A duplicated input id maps to ONE surrogate,
+    *    preserving the bigint path's self-pair-exclusion contract.
+    *
+    * `carry` names symmetric pair-level columns (e.g. simhash's
+    * `hamming`) forwarded through the join-back unchanged.
+    */
+  private def adaptIdType(df: DataFrame, idCol: String,
+                          carry: Seq[String] = Nil)
+                         (run: DataFrame => DataFrame): DataFrame =
+    df.schema(idCol).dataType match {
+      case LongType => run(df)
+      case t @ (ByteType | ShortType | IntegerType) =>
+        run(df.withColumn(idCol, col(idCol).cast(LongType)))
+          .select(Seq(col("id1").cast(t).as("id1"),
+            col("id2").cast(t).as("id2")) ++ carry.map(col): _*)
+      case t if RowOrdering.isOrderable(t) =>
+        val mapping = df.select(col(idCol).as("__orig")).distinct()
+          .withColumn("__gid", monotonically_increasing_id())
+          .localCheckpoint()
+        val surrogate = df
+          .join(mapping, col(idCol) === col("__orig"))
+          .drop(idCol, "__orig")
+          .withColumnRenamed("__gid", idCol)
+        run(surrogate)
+          .join(mapping.select(col("__gid").as("id1"),
+            col("__orig").as("__o1")), "id1")
+          .join(mapping.select(col("__gid").as("id2"),
+            col("__orig").as("__o2")), "id2")
+          .select(Seq(least(col("__o1"), col("__o2")).as("id1"),
+            greatest(col("__o1"), col("__o2")).as("id2")) ++
+            carry.map(col): _*)
+      case other => throw new IllegalArgumentException(
+        s"candidate stages need an orderable id column; " +
+          s"got $idCol: ${other.simpleString}")
+    }
+
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
                     maxBucket: Int = 500): DataFrame =
-    boundedBucketPairs(bandRowsOf(sig, idCol, bands), idCol, maxBucket)
+    adaptIdType(sig, idCol) { s =>
+      boundedBucketPairs(bandRowsOf(s, idCol, bands), idCol, maxBucket)
+    }
 
   /** Audit for the bounded-bucket candidate stages' silent hot-bucket
     * drop: (hot bucket count, total rows they cover) above `maxBucket`,
@@ -783,7 +852,13 @@ object Dedup {
     * are dropped, exactly the old capBuckets semantics.
     */
   def simhashCandidates(sh: DataFrame, idCol: String, maxDist: Int = 3,
-                        maxBucket: Int = 500): DataFrame = {
+                        maxBucket: Int = 500): DataFrame =
+    adaptIdType(sh, idCol, carry = Seq("hamming")) { shL =>
+      simhashCandidatesLong(shL, idCol, maxDist, maxBucket)
+    }
+
+  private def simhashCandidatesLong(sh: DataFrame, idCol: String,
+                                    maxDist: Int, maxBucket: Int): DataFrame = {
     graft.functions.Texts.register(sh.sparkSession)
     sh.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(b =>
@@ -929,8 +1004,10 @@ object Dedup {
   def embeddingNearDups(bucketed: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double = 0.9, nPlanes: Int = 32,
                         bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val cands = boundedBucketPairs(
-      vectorBandRows(bucketed, idCol, nPlanes, bands), idCol, maxBucket)
+    val cands = adaptIdType(bucketed, idCol) { b =>
+      boundedBucketPairs(vectorBandRows(b, idCol, nPlanes, bands),
+        idCol, maxBucket)
+    }
     graft.functions.Vectors.register(bucketed.sparkSession)
     cands
       .join(bucketed.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")
@@ -1201,11 +1278,15 @@ object Dedup {
                    maxDocFrac: Double = 1.0): DataFrame = {
     // The distinct shingle frame feeds four consumers (the cap's hot-bucket
     // stats action, per-doc sizes, and both sides of the self-join);
-    // checkpoint it once so the explode+distinct shuffle runs once, not
-    // per consumer.
+    // persist it so the explode+distinct shuffle runs once, not per
+    // consumer. persist, NOT localCheckpoint: the cache materializes
+    // inside the hot-bucket stats action capBuckets runs anyway, where
+    // an eager checkpoint would spend one whole extra job on it first
+    // (shingling is deterministic, so a recompute-on-eviction is safe —
+    // checkpoint's frozen-content guarantee buys nothing here).
     val raw = shingles(df, idCol, textCol, n)
     val sh =
-      if (maxDocFrac >= 1.0) raw.localCheckpoint()
+      if (maxDocFrac >= 1.0) raw.persist()
       else {
         // this tier is the offline verification path (see capBuckets) —
         // the one distinct-count action for the doc total is in budget
@@ -1215,7 +1296,7 @@ object Dedup {
           .partitionBy(col("shingle"))
         raw.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= dfCap).drop("__df")
-          .localCheckpoint()
+          .persist()
       }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val idx = capBuckets(sh, Seq("shingle"), maxPosting, "ngramJaccard")

@@ -37,10 +37,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   *
   * Input contract: every collected column must be `bigint` (the buffer
   * is a flat long array — this is what keeps serialization and merge
-  * allocation-free), so the dedup operators built on it
+  * allocation-free). Direct callers with non-long columns fail analysis
+  * loudly; the dedup operators built on it
   * ([[graft.dedup.Dedup.lshCandidates]], `simhashCandidates`,
-  * `embeddingNearDups`) require a bigint id column; non-long ids fail
-  * analysis loudly (cast or hash them to long first). A tuple with ANY
+  * `embeddingNearDups`) accept any orderable atomic id column and adapt
+  * it EXACTLY to this contract (lossless widening for narrower
+  * integrals, a checkpointed dense long surrogate with pair-output
+  * join-back for strings/dates/decimals — `Dedup.adaptIdType`), so the
+  * flat-long buffer stays the only aggregation state. A tuple with ANY
   * null component is SKIPPED — it neither occupies buffer space nor
   * counts toward the cap (same row-drop semantics as `collect_list`
   * on a null input); callers who must keep null-keyed rows need to

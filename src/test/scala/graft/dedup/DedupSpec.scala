@@ -135,6 +135,100 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  // --- adaptIdType: the candidate stages' non-bigint id contract -------
+
+  private def longPairs: Set[(Long, Long)] = Dedup.lshCandidates(
+    Dedup.minhashSignatures(docs, "doc_id", "text", 32, 5), "doc_id", 8)
+    .as[(Long, Long)].collect().toSet
+
+  test("string doc ids flow through lshCandidates with the exact pair set") {
+    val sdocs = docs.selectExpr("concat('doc-', doc_id) as doc_id", "text")
+    val sig = Dedup.minhashSignatures(sdocs, "doc_id", "text", 32, 5)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", bands = 8)
+    assert(pairs.schema("id1").dataType.typeName == "string")
+    assert(pairs.as[(String, String)].collect().toSet ==
+      longPairs.map { case (a, b) => (s"doc-$a", s"doc-$b") })
+  }
+
+  test("narrower integral ids widen in and cast back losslessly") {
+    val idocs = docs.selectExpr("cast(doc_id as int) as doc_id", "text")
+    val sig = Dedup.minhashSignatures(idocs, "doc_id", "text", 32, 5)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", bands = 8)
+    assert(pairs.schema("id1").dataType.typeName == "integer")
+    assert(pairs.as[(Int, Int)].collect().toSet ==
+      longPairs.map { case (a, b) => (a.toInt, b.toInt) })
+  }
+
+  test("simhashCandidates carries hamming through the string-id adapter") {
+    val wantLong: Set[(Long, Long, Int)] = Dedup.simhashCandidates(
+        Dedup.simhash(docs, "doc_id", "text"), "doc_id", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = wantLong.map { case (a, b, h) => (s"d$a", s"d$b", h) }
+    val got = Dedup.simhashCandidates(
+        Dedup.simhash(docs.selectExpr("concat('d', doc_id) as doc_id", "text"),
+          "doc_id", "text"), "doc_id", maxDist = 3)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("embeddingNearDups accepts string vector ids") {
+    val vecs = Seq(
+      ("v-a", Array.tabulate(16)(i => (i + 1).toFloat)),
+      ("v-b", Array.tabulate(16)(i => (i + 1).toFloat + 0.01f)),
+      ("v-c", Array.tabulate(16)(i => if (i % 2 == 0) 5f else -5f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(
+        graft.similarity.Similarity.withBuckets(vecs, "embedding", nPlanes = 16),
+        "vec_id", "embedding", minCosine = 0.99, nPlanes = 16, bands = 4)
+      .select("id1", "id2").as[(String, String)].collect().toSet
+    assert(got == Set(("v-a", "v-b")))
+  }
+
+  test("pair normalization follows the original ordering, not the surrogate's") {
+    // surrogate assignment order is arbitrary, so run both lexical
+    // layouts: whichever surrogate order the shuffle picks, the emitted
+    // pair must be normalized by STRING order
+    val two = Seq(("z-doc", longA), ("a-doc", longA)).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(two, "doc_id", "text", 32, 5), "doc_id", 8)
+      .as[(String, String)].collect().toSet
+    assert(pairs == Set(("a-doc", "z-doc")))
+  }
+
+  test("duplicated string ids keep the self-pair-exclusion contract") {
+    // one surrogate per DISTINCT id: two rows sharing an id never emit
+    // an (id, id) pair, mirroring the bigint path
+    val dup = Seq(("x", longA), ("x", longA), ("y", longB)).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(dup, "doc_id", "text", 32, 5), "doc_id", 8)
+      .as[(String, String)].collect().toSet
+    assert(!pairs.contains(("x", "x")))
+  }
+
+  test("ngramJaccard and canonicalClusters take string ids natively") {
+    // these two are pure join/min-label expressions — no BoundedIds
+    // buffer — so they need no adapter; pin that the whole dedup tier
+    // accepts orderable ids end to end
+    val sdocs = docs.selectExpr("concat('doc-', doc_id) as doc_id", "text")
+    val nj = Dedup.ngramJaccard(sdocs, "doc_id", "text", n = 5,
+        minJaccard = 0.2)
+      .select("id1", "id2").as[(String, String)].collect().toSet
+    assert(nj.contains(("doc-0", "doc-1")))
+    val clusters = Dedup.canonicalClusters(sdocs.select("doc_id"),
+        Seq(("doc-0", "doc-1"), ("doc-1", "doc-2")).toDF("id1", "id2"),
+        "doc_id")
+      .as[(String, String)].collect().toMap
+    assert(clusters("doc-1") == "doc-0" && clusters("doc-2") == "doc-0")
+    assert(clusters("doc-3") == "doc-3")
+  }
+
+  test("non-orderable id types fail loudly at the operator boundary") {
+    val bad = docs.selectExpr("map('k', doc_id) as doc_id", "text")
+    val sig = Dedup.minhashSignatures(bad, "doc_id", "text", 32, 5)
+    assertThrows[IllegalArgumentException](
+      Dedup.lshCandidates(sig, "doc_id", bands = 8))
+  }
+
   test("canonicalClusters converges on diameter >> maxIter via pointer jumping") {
     // one chain of 200 consecutive ids: diameter 199. One-hop propagation
     // would need 199 rounds; pointer jumping covers 2^r - 1 hops after r
