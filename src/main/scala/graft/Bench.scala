@@ -306,6 +306,7 @@ object Bench {
     // work than the banded Spark path — so comparing them measures plan
     // quality, not enumeration.
     val answerKeyOracles = Set("q59_cc_fixture", "q61_cc_deep_fixture",
+      "q75_cc_string_ids", // iterative CC vs the same closed form as q59
       "q68_dedup_incremental", "q69_minhash_incremental",
       "q70_embedding_incremental", "q72_simhash_incremental",
       "q73_dedup_bloom_gate",

@@ -534,6 +534,74 @@ object DedupQueries {
           |ORDER BY id1, id2""".stripMargin),
       "SimHash banding + hamming verify stages under a real oracle"),
 
+    // ----- string-id adapter through the LSH band stage, oracled -------
+    // q57's modular-signature fixture re-run with STRING doc ids
+    // ('d' || doc_id): exercises Dedup.adaptIdType's dense-surrogate
+    // path end to end under a full-result oracle. The candidate set is
+    // q57's, but pair normalization must follow STRING ordering
+    // ('d10' < 'd2'), which the oracle mirrors with LEAST/GREATEST over
+    // the concatenated ids; est_jaccard is symmetric, so
+    // re-normalization cannot change it.
+    "q74_lsh_string_ids" -> Q(
+      (s, dir) => {
+        val sig = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(concat(lit("d"), col("doc_id")).as("doc_id"),
+            array((0 until 8).map(i =>
+              pmod(col("doc_id"), lit((i + 2).toLong))): _*).as("sig"))
+        Dedup.minhashJaccard(
+            Dedup.lshCandidates(sig, "doc_id", bands = 4), sig, "doc_id")
+          .orderBy("id1", "id2")
+      },
+      Some(
+        """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+          |pairs AS (
+          |  SELECT a.doc_id AS x, b.doc_id AS y
+          |  FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+          |  WHERE (a.doc_id%2 = b.doc_id%2 AND a.doc_id%3 = b.doc_id%3)
+          |     OR (a.doc_id%4 = b.doc_id%4 AND a.doc_id%5 = b.doc_id%5)
+          |     OR (a.doc_id%6 = b.doc_id%6 AND a.doc_id%7 = b.doc_id%7)
+          |     OR (a.doc_id%8 = b.doc_id%8 AND a.doc_id%9 = b.doc_id%9))
+          |SELECT
+          |  LEAST('d' || CAST(x AS VARCHAR), 'd' || CAST(y AS VARCHAR)) AS id1,
+          |  GREATEST('d' || CAST(x AS VARCHAR), 'd' || CAST(y AS VARCHAR)) AS id2,
+          |  ((CASE WHEN x%2=y%2 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%3=y%3 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%4=y%4 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%5=y%5 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%6=y%6 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%7=y%7 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%8=y%8 THEN 1 ELSE 0 END) +
+          |   (CASE WHEN x%9=y%9 THEN 1 ELSE 0 END)) / 8.0
+          |    AS est_jaccard
+          |FROM pairs ORDER BY id1, id2""".stripMargin),
+      "string-id surrogate adapter through LSH banding + verify, oracled"),
+
+    // ----- string-id connected components, oracled ---------------------
+    // q59's chain fixture with STRING ids: canonicalClusters'
+    // min-label propagation runs in string space, where the minimum
+    // label of each {5k..5k+4} chain is 'd' || 5k — a group of five
+    // never crosses a digit-count boundary (10 and 100 are multiples
+    // of 5, so they START groups), and equal-length digit strings
+    // compare lexicographically exactly as numbers, so the numeric
+    // closed form carries over verbatim.
+    "q75_cc_string_ids" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(concat(lit("d"), col("doc_id")).as("sid"),
+            col("doc_id").as("n"))
+        val pairs = docs.filter(pmod(col("n"), lit(5L)) < 4)
+          .select(col("sid").as("id1"),
+            concat(lit("d"), col("n") + 1).as("id2"))
+        graft.dedup.Dedup.canonicalClusters(
+            docs.select(col("sid").as("doc_id")), pairs, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_id,
+          |       'd' || CAST(doc_id - doc_id%5 AS VARCHAR) AS canonical_id
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      "min-label CC over string ids vs the string-order closed form"),
+
     // ----- connected components on a FIXED chain fixture -----
     // q45's clustering stage under a closed-form oracle: consecutive-id
     // chains inside groups of 5 make every component's minimum label
