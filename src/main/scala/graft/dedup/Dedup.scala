@@ -23,9 +23,10 @@ import graft.text.TextAnalysis
   * Everything is expression-level (codegen'd); the per-shingle hash fan-out
   * is the standard expand and runs as a narrow map + partial aggregate.
   *
-  * Id contract: every batch operator here accepts an id column of ANY
+  * Id contract: every operator here accepts an id column of ANY
   * orderable type. The join/min-label tiers (ngramJaccard,
-  * canonicalClusters, exact) are type-agnostic natively; the
+  * canonicalClusters, exact) and the incremental gates (pure joins and
+  * min-aggregates on the id) are type-agnostic natively; the
   * bounded-bucket candidate stages (lshCandidates, simhashCandidates,
   * embeddingNearDups) adapt non-bigint ids through the exact long
   * surrogate in [[adaptIdType]] so [[graft.functions.BoundedIds]] keeps

@@ -76,6 +76,45 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
   }
 
+  test("incremental gates are id-type agnostic: string ids end to end") {
+    // the gates are pure joins/min-aggregates on the id column (no
+    // BoundedIds buffer), so non-bigint ids need no adapter — pin that
+    // for the exact and MinHash gates across a store round trip,
+    // including the min-STRING-id in-batch winner ('a10' < 'a2')
+    val (table, path) = freshStore()
+    val b1 = Seq(("a2", "alpha"), ("a10", "alpha"), ("b1", "beta"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.exactIncremental(b1, "doc_id", "text", table, path)
+      .select("doc_id").as[String].collect().sorted
+    assert(s1.toSeq == Seq("a10", "b1")) // 'a10' < 'a2' lexicographically
+
+    val b2 = Seq(("c1", "beta"), ("c2", "gamma")).toDF("doc_id", "text")
+    val s2 = Dedup.exactIncremental(b2, "doc_id", "text", table, path)
+      .select("doc_id").as[String].collect().sorted
+    assert(s2.toSeq == Seq("c2")) // beta known from batch 1
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    val (mhTable, mhPath) = freshStore()
+    def sig(id: String, xs: Long*) = (id, xs.toArray)
+    val m1 = Seq(sig("x-1", 1, 2, 3, 4), sig("x-2", 5, 6, 7, 8))
+      .toDF("doc_id", "sig")
+    val g1 = Dedup.minhashIncremental(m1, "doc_id", mhTable, mhPath,
+      bands = 2, minEstJaccard = 0.9)
+      .select("doc_id").as[String].collect().sorted
+    assert(g1.toSeq == Seq("x-1", "x-2"))
+
+    val m2 = Seq(
+      sig("y-1", 1, 2, 3, 4), // near-dup of stored x-1 -> dropped
+      sig("y-2", 8, 7, 6, 5)  // no band collision -> survives
+    ).toDF("doc_id", "sig")
+    val g2 = Dedup.minhashIncremental(m2, "doc_id", mhTable, mhPath,
+      bands = 2, minEstJaccard = 0.9)
+      .select("doc_id").as[String].collect().sorted
+    assert(g2.toSeq == Seq("y-2"))
+    spark.sql(s"DROP TABLE IF EXISTS ${mhTable}_sigs")
+    spark.sql(s"DROP TABLE IF EXISTS ${mhTable}_bands")
+  }
+
   test("embeddingIncremental gates vector copies, passes novel vectors") {
     val (table, path) = freshStore()
     val b1 = Seq(
