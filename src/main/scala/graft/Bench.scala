@@ -71,7 +71,7 @@ object Bench {
     "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native",
     "q38_simhash", "q64_embedding_neardup",
     "q06_top5_normalized", "q36_ngram_jaccard", "q49_asof_join",
-    "q50_percentiles", "q51_rank_topn",
+    "q50_percentiles", "q51_rank_topn", "q76_repetition_stats",
     "q57_lsh_bands_fixture", "q58_simhash_bands_fixture")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
@@ -85,7 +85,8 @@ object Bench {
   private val scaleGrowing = Set("q12_pricing_summary", "q37_minhash_lsh",
     "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native",
     "q38_simhash", "q64_embedding_neardup",
-    "q06_top5_normalized", "q50_percentiles", "q51_rank_topn")
+    "q06_top5_normalized", "q50_percentiles", "q51_rank_topn",
+    "q76_repetition_stats")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -204,6 +204,56 @@ object TextQueries {
       },
       "lowercase + accent fold + whitespace collapse"),
 
+    // ----- word/bigram repetition quality signals (Gopher screens) -----
+    // The oracle recomputes every signal from scratch with
+    // unnest + GROUP BY (an equivalent-work job: DuckDB builds the same
+    // per-document word and bigram frequency tables the fused expression
+    // builds in its one scan). The corpus is single-space tokenized with
+    // no empty documents (asserted at generation), so string_split(' ')
+    // and the expression's whitespace-run tokenizer agree; the CASE
+    // guards mirror repetitionStats' null-not-error contract for
+    // too-short documents.
+    "q76_repetition_stats" -> Q(
+      (s, dir) => {
+        graft.functions.Texts.register(s)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.repetitionStats(col("text")).as("r"))
+          .select(col("doc_id"), col("r.n_words"), col("r.dup_word_frac"),
+            col("r.top_word_frac"), col("r.n_bigrams"),
+            col("r.dup_bigram_frac"), col("r.top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+          |              FROM documents),
+          |w AS (SELECT doc_id, unnest(ws) AS wd FROM base),
+          |wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM w GROUP BY 1, 2),
+          |wstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+          |                 COUNT(*) AS d_words, MAX(c) AS top_w
+          |          FROM wc GROUP BY 1),
+          |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+          |       FROM base, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+          |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+          |bstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          |                 COUNT(*) AS d_bigrams, MAX(c) AS top_b
+          |          FROM bc GROUP BY 1)
+          |SELECT wstat.doc_id, n_words,
+          |  CASE WHEN n_words > 0 THEN
+          |    ROUND(CAST(n_words - d_words AS DOUBLE) / n_words, 6) END
+          |    AS dup_word_frac,
+          |  CASE WHEN n_words > 0 THEN
+          |    ROUND(CAST(top_w AS DOUBLE) / n_words, 6) END AS top_word_frac,
+          |  COALESCE(n_bigrams, 0) AS n_bigrams,
+          |  CASE WHEN n_bigrams > 0 THEN
+          |    ROUND(CAST(n_bigrams - d_bigrams AS DOUBLE) / n_bigrams, 6) END
+          |    AS dup_bigram_frac,
+          |  CASE WHEN n_bigrams > 0 THEN
+          |    ROUND(CAST(top_b AS DOUBLE) / n_bigrams, 6) END AS top_bigram_frac
+          |FROM wstat LEFT JOIN bstat USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      "fused one-scan word/bigram repetition signals vs unnest+GROUP BY"),
+
     // ----- document fingerprint: min-hash over 8-char shingles -----
     "q34_fingerprint" -> Q(
       (s, dir) => {

@@ -144,6 +144,8 @@ object Texts {
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_counts", exprs => RepetitionCounts(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_ids",
       exprs => BoundedIds(exprs.init,
         exprs.last.eval().asInstanceOf[Number].intValue()),

@@ -142,4 +142,38 @@ object TextAnalysis {
     */
   def shingleStarts(c: Column, n: Int = 8): Column =
     sequence(lit(1), greatest(length(c) - (n - 1), lit(1)))
+
+  /** Raw repetition counts (see
+    * [[graft.functions.RepetitionCounts]]): one fused scan returning
+    * `[n_words, distinct_words, top_word, n_bigrams, distinct_bigrams,
+    * top_bigram]`.
+    */
+  def repetitionCounts(c: Column): Column =
+    graft.functions.RepetitionCounts.repetitionCounts(c)
+
+  /** Gopher-style repetition quality signals as a struct column:
+    * `n_words`, duplicate-word fraction (`1 - distinct/total`), top-word
+    * mass (`top/total`), `n_bigrams`, and the bigram analogues — the
+    * boilerplate/spam screens an LLM training-data pipeline thresholds
+    * on (e.g. drop documents with `dup_word_frac > 0.5` or
+    * `top_2gram` mass above a few percent at web scale). Ratios are
+    * null (not a division error) for documents too short to define
+    * them; counts surface as bigint. All six fields derive from ONE
+    * `repetition_counts` scan — whole-stage codegen's subexpression
+    * elimination evaluates it once per row.
+    */
+  def repetitionStats(c: Column): Column = {
+    val rc = repetitionCounts(c)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+    struct(
+      rc.getItem(0).cast("long").as("n_words"),
+      frac(rc.getItem(0) - rc.getItem(1), rc.getItem(0))
+        .as("dup_word_frac"),
+      frac(rc.getItem(2), rc.getItem(0)).as("top_word_frac"),
+      rc.getItem(3).cast("long").as("n_bigrams"),
+      frac(rc.getItem(3) - rc.getItem(4), rc.getItem(3))
+        .as("dup_bigram_frac"),
+      frac(rc.getItem(5), rc.getItem(3)).as("top_bigram_frac"))
+  }
 }
