@@ -72,6 +72,7 @@ object Bench {
     "q38_simhash", "q64_embedding_neardup",
     "q06_top5_normalized", "q36_ngram_jaccard", "q49_asof_join",
     "q50_percentiles", "q51_rank_topn", "q76_repetition_stats",
+    "q77_decontaminate",
     "q57_lsh_bands_fixture", "q58_simhash_bands_fixture")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
@@ -86,7 +87,11 @@ object Bench {
     "q45_curate_corpus", "q39_cosine_topk", "q43_cosine_topk_native",
     "q38_simhash", "q64_embedding_neardup",
     "q06_top5_normalized", "q50_percentiles", "q51_rank_topn",
-    "q76_repetition_stats")
+    "q76_repetition_stats",
+    // q77's CORPUS side scales (probes stay the fixed 20 docs): the
+    // Bloom-gated scan vs the oracle's full corpus unnest+join is the
+    // asymmetry the operator exists for
+    "q77_decontaminate")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

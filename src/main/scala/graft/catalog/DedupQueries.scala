@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 
 /** Deduplication coverage over `documents`. Every entry carries a DuckDB
   * oracle: the xxhash-derived surfaces (MinHash/SimHash/LSH, the full
@@ -379,6 +379,41 @@ object DedupQueries {
           |WHERE it / (s1.sz + s2.sz - it) >= 0.2
           |ORDER BY id1, id2""".stripMargin),
       "exact n-gram Jaccard, declared stop-shingle rule mirrored by the oracle"),
+
+    // ----- benchmark decontamination: corpus vs probe-set screen -------
+    // docs with doc_id < 20 stand in for the eval/test set; a corpus
+    // document is contaminated when it shares a 30-char shingle with
+    // any probe. The Spark side runs the full Bloom-gated path
+    // (bloom_any codegen scan -> exact verify join); the oracle rebuilds
+    // the same hit counts from SUBSTRING shingle sets — equivalent work,
+    // matching at string vs xxhash granularity (collisions at mod 2^61
+    // are the usual sketch-tier caveat; the 30-char width is calibrated
+    // so the split is non-trivial: ~22 contaminated of 500 at sf0.01).
+    "q77_decontaminate" -> Q(
+      (s, dir) => {
+        val real = Tables(s, dir, "documents")
+        Decontaminate.contaminationReport(real, "doc_id", "text",
+            real.filter(col("doc_id") < 20).select("text"), "text", n = 30)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH probe AS (
+          |  SELECT DISTINCT SUBSTRING(p.text, CAST(i AS INTEGER), 30) AS g
+          |  FROM documents p,
+          |       UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(p.text) - 29, 1)))
+          |         AS t(i)
+          |  WHERE p.doc_id < 20)
+          |SELECT d.doc_id,
+          |       COUNT(DISTINCT SUBSTRING(d.text, CAST(i AS INTEGER), 30))
+          |         AS n_hits
+          |FROM documents d,
+          |     UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(d.text) - 29, 1)))
+          |       AS t(i)
+          |WHERE SUBSTRING(d.text, CAST(i AS INTEGER), 30) IN
+          |        (SELECT g FROM probe)
+          |GROUP BY d.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
+      "Bloom-gated eval-set contamination screen vs substring-set oracle"),
 
     // ----- MinHash + LSH banding over the salted copy-seeded corpus -----
     // The REAL scale path (fused minhash_sig over every doc, LSH band

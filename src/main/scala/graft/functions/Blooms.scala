@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** SQL-callable surface over Spark's OWN Bloom filter Catalyst
   * expressions (`BloomFilterAggregate` / `BloomFilterMightContain` —
@@ -34,6 +40,8 @@ object Blooms {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_any", exprs => BloomAny(exprs(0), exprs(1)), "built-in")
   }
 
   /** Convenience fallback for the one-session case; same off-thread and
@@ -64,4 +72,81 @@ object Blooms {
     ensureRegistered()
     call_function("bloom_might_contain", filter, hash)
   }
+
+  /** `bloomAny(filter, hashes)` → boolean: does ANY element of an
+    * `array<long>` hash column hit the filter? The set-valued
+    * counterpart of [[bloomMightContain]] — see [[BloomAny]].
+    */
+  def bloomAny(filter: Column, hashes: Column): Column = {
+    ensureRegistered()
+    call_function("bloom_any", filter, hashes)
+  }
+}
+
+/** Codegen predicate: true iff ANY element of the `array<long>` hash
+  * column might be in the Bloom filter (false for an empty array). The
+  * alternative formulation — `exists(hashes, h ->
+  * bloom_might_contain(bf, h))` — puts the probe behind ArrayExists,
+  * which is CodegenFallback: one interpreted lambda dispatch per
+  * element per row. This stays inside whole-stage codegen and probes a
+  * filter deserialized ONCE per expression instance (the same lazy
+  * trick Spark's own BloomFilterMightContain uses), so a scan with
+  * hundreds of shingle hashes per document costs a tight loop, not an
+  * interpreter round trip. No false negatives: a `false` PROVES no
+  * element is in the filter — [[graft.dedup.Decontaminate]] hangs its
+  * exactness on this, paying the verify join only for `true` rows.
+  *
+  * `bloom` must be foldable (a driver-held filter as a literal); a null
+  * filter or null array yields null, mirroring `bloom_might_contain`.
+  */
+case class BloomAny(bloom: Expression, hashes: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = bloom
+  override def right: Expression = hashes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!bloom.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_any requires a foldable (driver-held) filter argument")
+    else (bloom.dataType, hashes.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (b, h) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_any requires (binary, array<bigint>), got " +
+          s"${b.simpleString}, ${h.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_any"
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = bloom.eval().asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Public so generated code calls the same loop as interpreted eval. */
+  def anyContain(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (filter.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(bf: Any, arr: Any): Any =
+    if (filter == null) null else anyContain(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomAnyExpr", this,
+      classOf[BloomAny].getName)
+    nullSafeCodeGen(ctx, ev, (_, arr) => s"${ev.value} = $ref.anyContain($arr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(bloom = newLeft, hashes = newRight)
 }
