@@ -254,6 +254,76 @@ object TextQueries {
           |ORDER BY doc_id""".stripMargin),
       "fused one-scan word/bigram repetition signals vs unnest+GROUP BY"),
 
+    // ----- PII detection + redaction over a seeded corpus -----
+    // The synthetic corpus is digit-free word soup, so PII is SEEDED by
+    // a closed-form construction both engines build identically (the
+    // q37/q38 salting trick): doc_id-derived emails on every 5th doc,
+    // dotted quads on every 7th, hyphenated phones on every 11th — so
+    // counts are non-trivial (docs divisible by 35/55/77 carry
+    // several types) and redaction rewrites real bytes. The patterns
+    // are interpolated from Pii's constants into the oracle SQL, so
+    // Spark's Java regex and DuckDB's RE2 run the SAME pattern text —
+    // the portability contract Pii documents (common subset, no
+    // lookaround). Counts AND the redacted text (hash + length) are
+    // both oracled; the redaction order is Pii.Patterns order on both
+    // sides.
+    "q78_pii_scrub" -> Q(
+      (s, dir) => {
+        import graft.text.Pii
+        val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(
+            col("text"),
+            when(pmod(col("doc_id"), lit(5L)) === 0, concat(
+              lit(" Contact user"), col("doc_id").cast("string"),
+              lit("@example.com soon."))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7L)) === 0, concat(
+              lit(" Origin 10."),
+              pmod(col("doc_id"), lit(200L)).cast("string"), lit(".0."),
+              pmod(col("doc_id"), lit(250L)).cast("string"),
+              lit(" noted."))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11L)) === 0, concat(
+              lit(" Call "),
+              (pmod(col("doc_id"), lit(900L)) + 100L).cast("string"),
+              lit("-555-"),
+              (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string"),
+              lit(" today."))).otherwise(lit(""))).as("text"))
+        seeded.select(col("doc_id"),
+            Pii.piiStats(col("text")).as("p"),
+            md5(Pii.redact(col("text"))).as("red_hash"),
+            length(Pii.redact(col("text"))).cast("long").as("red_len"))
+          .select(col("doc_id"), col("p.n_emails"), col("p.n_ipv4"),
+            col("p.n_phones"), col("red_hash"), col("red_len"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.text.Pii
+        val red = Pii.Patterns.foldLeft("text") { case (acc, (_, pat, tok)) =>
+          s"REGEXP_REPLACE($acc, '$pat', '$tok', 'g')"
+        }
+        s"""WITH seeded AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' Contact user'
+           |         || CAST(doc_id AS VARCHAR) || '@example.com soon.'
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 7 = 0 THEN ' Origin 10.'
+           |         || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+           |         || CAST(doc_id % 250 AS VARCHAR) || ' noted.'
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 11 = 0 THEN ' Call '
+           |         || CAST(100 + doc_id % 900 AS VARCHAR) || '-555-'
+           |         || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today.'
+           |       ELSE '' END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  LEN(REGEXP_EXTRACT_ALL(text, '${Pii.EmailRegex}')) AS n_emails,
+           |  LEN(REGEXP_EXTRACT_ALL(text, '${Pii.Ipv4Regex}')) AS n_ipv4,
+           |  LEN(REGEXP_EXTRACT_ALL(text, '${Pii.PhoneRegex}')) AS n_phones,
+           |  MD5($red) AS red_hash,
+           |  LENGTH($red) AS red_len
+           |FROM seeded ORDER BY doc_id""".stripMargin
+      },
+      "codegen regex PII counts + ordered redaction vs the same RE2 patterns"),
+
     // ----- document fingerprint: min-hash over 8-char shingles -----
     "q34_fingerprint" -> Q(
       (s, dir) => {
