@@ -342,6 +342,114 @@ object TextQueries {
           |        UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 7, 1))) AS i
           |      FROM documents)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "rolling-shingle min-hash fingerprint")
+      "rolling-shingle min-hash fingerprint"),
+
+    // ----- C4-style segment quality filter (fixed 16-token windows) ----
+    // Zero shuffle: segmentation, the per-segment distinct-token ratio,
+    // and the rebuild are one codegen'd map over the scan. The 0.75
+    // threshold compares an exact IEEE division on both engines.
+    "q79_segment_filter" -> Q(
+      (s, dir) => graft.ops.Segments
+        .filterSegments(Tables(s, dir, "documents"), 16, 0.75)
+        .select(col("doc_id"), col("n_segs").cast("long"),
+          col("n_kept").cast("long"), col("text_kept"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH segs AS (
+           |  SELECT doc_id, LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks)/16.0) AS INT)),
+           |                 i -> toks[i*16+1:(i+1)*16]) AS sl
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           |f AS (
+           |  SELECT doc_id, LEN(sl) AS n_segs,
+           |    LIST_FILTER(sl, s -> CAST(LEN(LIST_DISTINCT(s)) AS DOUBLE)/LEN(s) >= 0.75) AS kept
+           |  FROM segs)
+           |SELECT doc_id, n_segs, LEN(kept) AS n_kept,
+           |  COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(kept, s -> ARRAY_TO_STRING(s, ' ')), ' '), '') AS text_kept
+           |FROM f ORDER BY doc_id""".stripMargin),
+      "C4-style segment quality filter: drop low-distinct-ratio windows, rebuild text"),
+
+    // ----- corpus-wide exact segment dedup, first occurrence wins -----
+    // The Lee-et-al exact-substring-dedup shape at fixed-window
+    // granularity: one exchange partitioned by md5(segment) with a
+    // per-hash-group row_number (parallelism = distinct segments — NOT a
+    // global-order window), one exchange by doc_id to reassemble. The
+    // oracle recomputes the same first-occurrence rule with a window.
+    // (The corpus has no empty documents — asserted at generation — so
+    // the oracle's inner-explode form and posexplode_outer agree.)
+    "q80_segment_dedup" -> Q(
+      (s, dir) => graft.ops.Segments
+        .dedupSegments(Tables(s, dir, "documents"), 16)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH segrows AS (
+           |  SELECT doc_id, s.seg_no, s.seg FROM (
+           |    SELECT doc_id, LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks)/16.0) AS INT)),
+           |           i -> ARRAY_TO_STRING(toks[i*16+1:(i+1)*16], ' ')) AS segs
+           |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           |    LATERAL (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(segs)), i -> {'seg_no': i, 'seg': segs[i+1]}), recursive:=true)) s),
+           |r AS (
+           |  SELECT doc_id, seg_no, seg,
+           |    ROW_NUMBER() OVER (PARTITION BY MD5(seg) ORDER BY doc_id, seg_no) AS rn
+           |  FROM segrows)
+           |SELECT doc_id, COUNT(*) AS n_segs,
+           |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           |  COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1), '') AS text_dedup
+           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "global exact segment dedup (first occurrence wins), docs rebuilt"),
+
+    // ----- sequence packing: token-budget bins via two-phase cumsum ----
+    // The Spark side runs Packing.prefixSum (bucket partials + tiny
+    // offset window + per-bucket cumsum — no single-partition global
+    // window); the oracle IS the single-partition window form, so the
+    // hash match proves the scalable decomposition exact.
+    "q81_pack_chunks" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
+            .as("n_tok"))
+        graft.ops.Packing.packBins(docs, "doc_id", "n_tok",
+            budget = 512L, bucketWidth = 64L)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("bin")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, LEN($toksSql) AS n_tok FROM documents),
+           |c AS (SELECT doc_id, n_tok,
+           |        SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM t)
+           |SELECT CAST((cum - n_tok) // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY bin""".stripMargin),
+      "concat-then-chunk packing over a scalable two-phase prefix sum"),
+
+    // ----- top-5 characteristic terms per source by TF-IDF -----
+    // Linear idf (N/df, not ln) keeps every arithmetic op IEEE-exact
+    // cross-engine (see Tfidf scaladoc); both sides build the same df
+    // and tf tables from scratch — a real equivalent-work oracle.
+    "q82_tfidf_topk" -> Q(
+      (s, dir) => graft.text.Tfidf
+        .topTermsBySource(Tables(s, dir, "documents"), 5)
+        .select(col("source"), col("rnk").cast("long"), col("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("source", "rnk"),
+      Some(
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+           |tfc AS (SELECT source, term, COUNT(*) AS tf
+           |        FROM (SELECT source, UNNEST(t) AS term FROM toks) GROUP BY 1,2),
+           |dfc AS (SELECT term, COUNT(*) AS df
+           |        FROM (SELECT DISTINCT doc_id, UNNEST(t) AS term FROM toks) GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |scored AS (SELECT source, term, tf, df,
+           |   CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE)) AS score
+           |   FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rnk
+           |      FROM scored)
+           |SELECT source, rnk, term, tf, df, score FROM r WHERE rnk <= 5
+           |ORDER BY source, rnk""".stripMargin),
+      "top-k terms per source, linear-idf TF-IDF, tie-broken by term")
   )
 }

