@@ -73,7 +73,8 @@ object Bench {
     "q06_top5_normalized", "q36_ngram_jaccard", "q49_asof_join",
     "q50_percentiles", "q51_rank_topn", "q76_repetition_stats",
     "q77_decontaminate",
-    "q57_lsh_bands_fixture", "q58_simhash_bands_fixture")
+    "q57_lsh_bands_fixture", "q58_simhash_bands_fixture",
+    "q80_segment_dedup", "q81_pack_chunks", "q82_tfidf_topk")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -91,7 +92,9 @@ object Bench {
     // q77's CORPUS side scales (probes stay the fixed 20 docs): the
     // Bloom-gated scan vs the oracle's full corpus unnest+join is the
     // asymmetry the operator exists for
-    "q77_decontaminate")
+    "q77_decontaminate",
+    // the r10 segment/packing/tfidf tier scans the full documents table
+    "q80_segment_dedup", "q81_pack_chunks", "q82_tfidf_topk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -179,9 +182,10 @@ object Bench {
     * SAME fixed 1k-doc batch is gated (read-only, the recurring per-day
     * cost) against stores seeded from the sf0.1 corpus (~5k docs) and
     * from the sf1 corpus (~50k docs) — for BOTH the exact hash gate
-    * (single-table anti-join) and the MinHash band gate (banded
-    * two-table store), so the flat-across-store claim is measured for a
-    * banded store too, not only the hash store. Store seeding and batch
+    * (single-table anti-join), the MinHash band gate (banded two-table
+    * store), and (r10) the embedding sign-LSH gate (banded vector
+    * store + codegen cosine verify), so the flat-across-store claim is
+    * measured for every gate family, not only the hash store. Store seeding and batch
     * signing are one-time corpus builds and run UNTIMED; each timed rep
     * is the gate alone. The design claim this pins with a measurement
     * (IncrementalDedupSpec pins it on the plan): the store sides are
@@ -246,10 +250,29 @@ object Bench {
         graft.dedup.Dedup.minhashGate(batchSig, "doc_id", table,
           bands = 4, minEstJaccard = 0.9).count())
 
+      def seedEmb(tag: String, dir: String): String = {
+        val (t, p) = storeFor(tag)
+        tables += s"${t}_bands" += s"${t}_vecs"
+        graft.dedup.Dedup.embeddingIncremental(
+          Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+          t, p, minCosine = 0.95)
+        t
+      }
+      val embSmall = seedEmb("embsmall", smallDir)
+      val embLarge = seedEmb("emblarge", largeDir)
+      val vecBatch = Tables(spark, smallDir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 1000)
+        .localCheckpoint()
+      def embSec(table: String): Double = timed(() =>
+        graft.dedup.Dedup.embeddingGate(vecBatch, "vec_id", "embedding",
+          table, minCosine = 0.95).count())
+
       Seq("incgate1k_small_store_sec" -> exactSec(small),
         "incgate1k_large_store_sec" -> exactSec(large),
         "mhgate1k_small_store_sec" -> mhSec(mhSmall),
-        "mhgate1k_large_store_sec" -> mhSec(mhLarge))
+        "mhgate1k_large_store_sec" -> mhSec(mhLarge),
+        "embgate1k_small_store_sec" -> embSec(embSmall),
+        "embgate1k_large_store_sec" -> embSec(embLarge))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] incremental-gate scale check failed: " +
         e.toString.take(200))
@@ -327,7 +350,10 @@ object Bench {
       "q54_kmv_sample",
       // the codec round trip: the SQL recomputes length/md5 from the
       // SOURCE text — it never runs the deflate/inflate work
-      "q71_media_decode")
+      "q71_media_decode",
+      // copy-seeded SemDeDup closed form: Spark fits the quantizer and
+      // runs the within-cell search, the SQL lists the original table
+      "q83_semantic_dedup")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !answerKeyOracles(k) => v }.sum

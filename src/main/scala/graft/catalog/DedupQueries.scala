@@ -736,6 +736,30 @@ object DedupQueries {
           |FROM dots JOIN n n1 ON id1 = n1.vec_id JOIN n n2 ON id2 = n2.vec_id
           |WHERE dot/(n1.nrm*n2.nrm) >= 0.42
           |ORDER BY id1, id2""".stripMargin),
-      "band join + cosine verify stages value-for-value vs DuckDB")
+      "band join + cosine verify stages value-for-value vs DuckDB"),
+
+    // ----- SemDeDup: KMeans-cell semantic dedup, lowest id survives ----
+    // Copy-seeded answer key (the q37/q38 construction, but with a far
+    // wider margin): every vec_id % 10 == 0 gains an IDENTICAL copy at
+    // vec_id + 100000. A copy always lands in its original's cell (same
+    // vector -> same nearest centroid, for ANY centroids — the oracle
+    // is insensitive to KMeans nondeterminism) at cosine ~1.0 >= 0.95,
+    // so every copy is dropped; the organic max pairwise cosine anywhere
+    // in the table is 0.513 at sf0.01 and 0.601 at sf0.1 (measured over
+    // ALL pairs, which upper-bounds any within-cell pair), so no
+    // organic vector is ever dropped at minCosine = 0.95 at either SF —
+    // survivors are exactly the original table.
+    "q83_semantic_dedup" -> Q(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select("vec_id", "embedding")
+        val copies = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        graft.dedup.SemDedup.semanticDedup(emb.unionByName(copies),
+            "vec_id", "embedding", nClusters = 8, minCosine = 0.95)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("SELECT vec_id FROM embeddings ORDER BY vec_id"),
+      "KMeans-cell SemDeDup; copy-seeded closed form, 0.35+ cosine margin")
   )
 }

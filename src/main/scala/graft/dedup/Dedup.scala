@@ -708,7 +708,7 @@ object Dedup {
     * stats job this shape removes) — operators audit the dropped mass on
     * their own cadence with [[bucketCapAudit]] over the same band rows.
     */
-  private def boundedBucketPairs(bandRows: DataFrame, idCol: String,
+  private[dedup] def boundedBucketPairs(bandRows: DataFrame, idCol: String,
                                  maxBucket: Int): DataFrame = {
     graft.functions.Texts.register(bandRows.sparkSession)
     bandRows
@@ -756,7 +756,7 @@ object Dedup {
     * `carry` names symmetric pair-level columns (e.g. simhash's
     * `hamming`) forwarded through the join-back unchanged.
     */
-  private def adaptIdType(df: DataFrame, idCol: String,
+  private[dedup] def adaptIdType(df: DataFrame, idCol: String,
                           carry: Seq[String] = Nil)
                          (run: DataFrame => DataFrame): DataFrame =
     df.schema(idCol).dataType match {

@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ivf
+
+/** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication"): a learned coarse quantizer (the [[Ivf]] KMeans
+  * model) partitions the corpus into cells, pairwise cosine runs ONLY
+  * within a cell, and of every near-duplicate pair the lower id
+  * survives. The learned-centroid complement to the data-independent
+  * sign-LSH banding in [[Dedup.embeddingNearDups]] — on clustered
+  * real-world embeddings the cells align with semantic groups, so the
+  * within-cell search finds cross-document paraphrases the random
+  * hyperplanes may band apart.
+  *
+  * Scale shape, per the paper's own O(N²/k) design:
+  *  - the KMeans fit runs on a bounded seeded sample (never the corpus)
+  *    and assignment is one narrow map — [[Ivf.build]];
+  *  - candidate pairs come from the same capped bounded-aggregation
+  *    stage as every other dedup tier ([[Dedup.boundedBucketPairs]]:
+  *    per-cell id lists with a hard `maxCluster` state bound, one
+  *    exchange, never an uncapped self-join);
+  *  - expected pair count is Σ|cell|² ≈ N²/k — hold k ∝ N (the paper
+  *    uses k = N/⟨cluster⟩) to keep per-cell work constant as the
+  *    corpus grows, and `maxCluster` bounds the degenerate-cell worst
+  *    case;
+  *  - the cosine verify is the codegen'd
+  *    [[graft.functions.Vectors.cosineSim]] over a late vector join —
+  *    only candidate ids ride the candidate exchange, vectors join in
+  *    at the end.
+  *
+  * Drop rule: a vector is removed iff SOME lower-id vector in its cell
+  * has cosine >= `minCosine` with it (the paper keeps one exemplar per
+  * ε-group; lowest-id is the deterministic exemplar choice, matching
+  * the first-occurrence convention of the text dedup tiers).
+  */
+object SemDedup {
+
+  /** Returns the surviving rows of `vecs` (all original columns).
+    *
+    * Determinism note: KMeans centroids depend on the seed and input
+    * partitioning, but the SURVIVOR SET is stable for any clustering
+    * when near-duplicates are tight (cosine >= minCosine) and everything
+    * else is far below the threshold: identical/near-identical vectors
+    * land in the same cell by construction (same nearest centroid), so
+    * their pair is always generated and always verified.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, minCosine: Double,
+                    maxCluster: Int = 10000, seed: Long = 42L): DataFrame = {
+    require(nClusters >= 2, "MLlib KMeans requires nClusters >= 2")
+    val clustered = Ivf.build(vecs, vecCol, nClusters, seed).indexed
+    // reuse the (band, bkey) bounded-bucket contract: one band, cell key
+    val cellRows = clustered.select(col(idCol),
+      lit(0).as("band"), col("cell").cast("long").as("bkey"))
+    val cands = Dedup.adaptIdType(cellRows, idCol) { rows =>
+      Dedup.boundedBucketPairs(rows, idCol, maxCluster)
+    }
+    graft.functions.Vectors.register(vecs.sparkSession)
+    val dropped = cands
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+      .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
+        >= minCosine)
+      .select(col("id2").as(idCol))
+      .distinct()
+    vecs.join(dropped, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight groups far apart, plus a lone vector
+  private def fixture = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.001f, 0.0f)),   // near-dup of 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.001f, 1.0f, 0.0f)),   // near-dup of 3
+    (5L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("near-duplicates collapse to the lowest id; distinct vectors survive") {
+    for (k <- Seq(2, 3)) {
+      val out = SemDedup.semanticDedup(fixture, "vec_id", "embedding",
+        nClusters = k, minCosine = 0.999)
+        .select("vec_id").as[Long].collect().sorted
+      // 2 and 4 are within 0.999 cosine of a lower id IN THE SAME CELL
+      // whenever the quantizer co-locates them — which it must, since
+      // they are ~identical to their originals. 1, 3, 5 always survive.
+      assert(out.toSeq == Seq(1L, 3L, 5L), s"k=$k")
+    }
+  }
+
+  test("identical copies are dropped for any cluster count") {
+    val copies = fixture.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val out = SemDedup.semanticDedup(fixture.unionByName(copies),
+      "vec_id", "embedding", nClusters = 2, minCosine = 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("threshold above every pairwise cosine keeps everything") {
+    val out = SemDedup.semanticDedup(fixture, "vec_id", "embedding",
+      nClusters = 2, minCosine = 1.1)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("survivors keep all original columns") {
+    val withLabel = fixture.withColumn("label", col("vec_id") * 10)
+    val out = SemDedup.semanticDedup(withLabel, "vec_id", "embedding",
+      nClusters = 2, minCosine = 0.999)
+    assert(out.columns.toSet == Set("vec_id", "embedding", "label"))
+    assert(out.filter(col("vec_id") === 3L).select("label")
+      .as[Long].head() == 30L)
+  }
+}
