@@ -760,6 +760,52 @@ object DedupQueries {
           .select("vec_id").orderBy("vec_id")
       },
       Some("SELECT vec_id FROM embeddings ORDER BY vec_id"),
-      "KMeans-cell SemDeDup; copy-seeded closed form, 0.35+ cosine margin")
+      "KMeans-cell SemDeDup; copy-seeded closed form, 0.35+ cosine margin"),
+
+    // ----- incremental segment-granular dedup (C4 dedup, daily form) ---
+    // Even docs seed a persisted segment-hash store (their novel-segment
+    // hashes — which, against an empty store, are exactly their DISTINCT
+    // segment hashes), odd docs gate against it. FULL-WORK oracle: the
+    // SQL recomputes both the store membership set and the in-batch
+    // first-occurrence rule from the raw text. Store side is bucketed on
+    // the hash, so the probe join reads it co-located — per-batch cost
+    // scales with the batch, not the corpus.
+    "q84_segment_incremental" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val table = ensureStore(s, s"segstore:$dir") { (t, p) =>
+          graft.ops.Segments.dedupSegmentsIncremental(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), 16, t, p)
+        }
+        graft.ops.Segments.segmentGate(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), 16, table)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> LEN(x) > 0) AS t
+          |  FROM documents),
+          |segs AS (
+          |  SELECT doc_id, LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(t)/16.0) AS INT)),
+          |         i -> ARRAY_TO_STRING(t[i*16+1:(i+1)*16], ' ')) AS sl
+          |  FROM toks),
+          |aset AS (
+          |  SELECT DISTINCT UNNEST(sl) AS seg FROM segs WHERE doc_id % 2 = 0),
+          |b AS (
+          |  SELECT doc_id, s.seg_no, s.seg FROM (SELECT doc_id, sl FROM segs WHERE doc_id % 2 = 1),
+          |    LATERAL (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(sl)), i -> {'seg_no': i, 'seg': sl[i+1]}), recursive:=true)) s),
+          |r AS (
+          |  SELECT doc_id, seg_no, seg,
+          |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+          |  FROM b),
+          |k AS (
+          |  SELECT doc_id, seg_no, seg,
+          |    (rn = 1 AND seg NOT IN (SELECT seg FROM aset)) AS kept
+          |  FROM r)
+          |SELECT doc_id, COUNT(*) AS n_segs,
+          |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+          |  COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_no) FILTER (WHERE kept), '') AS text_dedup
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "batch segments vs persisted segment-hash store; C4 dedup in daily-batch form")
   )
 }

@@ -450,6 +450,34 @@ object TextQueries {
            |      FROM scored)
            |SELECT source, rnk, term, tf, df, score FROM r WHERE rnk <= 5
            |ORDER BY source, rnk""".stripMargin),
-      "top-k terms per source, linear-idf TF-IDF, tie-broken by term")
+      "top-k terms per source, linear-idf TF-IDF, tie-broken by term"),
+
+    // ----- mixture resampling to a per-source token budget -----
+    // Data-mixing: each source downsampled so its expected token mass
+    // is 3000 (sources under budget kept whole). The keep rate is
+    // derived from an EXACT long token sum + one IEEE division (a
+    // double sum would be summation-order-dependent cross-engine), and
+    // membership is the md5 hash bucket — reproducible under
+    // repartitioning, retries, and appends.
+    "q85_mixture_budget" -> Q(
+      (s, dir) => graft.ops.Sampling.sampleToBudget(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", budget = 3000.0, salt = "v1")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("keep_rate"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, source, CAST(LEN($toksSql) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |tot AS (
+           |  SELECT source,
+           |    LEAST(1.0, 3000.0 / CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)) AS keep_rate
+           |  FROM t GROUP BY source)
+           |SELECT doc_id, source, n_tok, keep_rate
+           |FROM t JOIN tot USING (source)
+           |WHERE ${bucketSql("doc_id", "v1")} < keep_rate
+           |ORDER BY doc_id""".stripMargin),
+      "per-source budget-targeted downsampling; exact-sum rate, hash-keyed membership")
   )
 }

@@ -46,4 +46,34 @@ object Sampling {
     }
     df.filter(b < frac)
   }
+
+  /** Mixture resampling to a per-stratum BUDGET (training-data mixing):
+    * downsample each stratum so its expected `valCol` mass is `budget`
+    * (strata already under budget are kept whole). The keep rate is
+    * derived from the data — `min(1, budget / stratum_total)` via one
+    * partial-aggregated groupBy broadcast back onto the rows — and
+    * membership is hash-keyed per [[hashBucket]], so the sample is
+    * reproducible under repartitioning, retries, and appends, and no
+    * row ever flips strata between runs. Adds `keep_rate`.
+    *
+    * The stratum totals are summed in the column's own type — pass an
+    * INTEGRAL `valCol` (token counts are) so the sum is exact and the
+    * rate is a single IEEE division, bit-identical cross-engine; a
+    * double-typed `valCol` would make the rate depend on summation
+    * order. Expected-mass (not exact-knapsack) targeting is the
+    * standard mixture-weights contract — at corpus scale the realized
+    * mass concentrates tightly around the budget.
+    */
+  def sampleToBudget(df: DataFrame, strataCol: String, idCol: String,
+                     valCol: String, budget: Double,
+                     salt: String = ""): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(valCol)).as("_tot"))
+      .withColumn("keep_rate",
+        least(lit(1.0), lit(budget) / col("_tot").cast("double")))
+      .select(col(strataCol), col("keep_rate"))
+    df.join(broadcast(totals), Seq(strataCol))
+      .filter(hashBucket(col(idCol), salt) < col("keep_rate"))
+  }
 }

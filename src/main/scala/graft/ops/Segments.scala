@@ -31,39 +31,55 @@ object Segments {
   /** Non-overlapping windows of `w` whitespace tokens, each re-joined
     * with single spaces; a short tail window is kept. Empty/blank text
     * gives an empty array (no phantom "" segment).
+    *
+    * Convenience/spec form. The OPERATORS below do not call this on the
+    * raw text column: higher-order functions are interpreted and
+    * re-evaluate their argument expression per reference, so the
+    * `wsTokens` regex split inside this tree runs 3-4 times per row
+    * (measured 3x slower end-to-end at sf1). They pre-project the token
+    * array as an attribute and use [[segmentsFromTokens]] instead —
+    * attribute references are row reads, and `CollapseProject` keeps
+    * non-cheap multiply-referenced aliases in their own Project.
     */
-  def segmentsCol(text: Column, w: Int): Column = {
-    val toks = TextAnalysis.wsTokens(text)
-    val nSeg = ceil(size(toks).cast("double") / w).cast("int")
-    when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
-  }
+  def segmentsCol(text: Column, w: Int): Column =
+    segmentsFromTokens(TextAnalysis.wsTokens(text), w)
 
-  /** Per-segment distinct-token ratio — the repetition screen used by the
-    * quality filter. Exact IEEE division (deterministic cross-engine).
-    */
-  private def distinctRatio(seg: Column): Column = {
-    val t = split(seg, " ")
-    size(array_distinct(t)).cast("double") / size(t)
+  /** Windows (as re-joined strings) from a pre-bound token-array column. */
+  private def segmentsFromTokens(toks: Column, w: Int): Column =
+    transform(tokenSlices(toks, w), t => array_join(t, " "))
+
+  /** Windows as token-array slices from a pre-bound token-array column. */
+  private def tokenSlices(toks: Column, w: Int): Column = {
+    val nSeg = ceil(size(toks).cast("double") / w).cast("int")
+    when(size(toks) === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(sequence(lit(0), nSeg - 1),
+        i => slice(toks, i * w + 1, lit(w))))
   }
 
   /** C4-style segment quality filter: drop segments whose distinct-token
-    * ratio is below `minDistinctRatio`, rebuild the document from the
-    * kept segments (original order). Returns
-    * `(doc_id, n_segs, n_kept, text_kept)`. Zero shuffle — a single
-    * codegen'd map stage; at 100 TB this runs at scan speed.
+    * ratio (exact IEEE division, deterministic cross-engine) is below
+    * `minDistinctRatio`, rebuild the document from the kept segments
+    * (original order). Returns `(doc_id, n_segs, n_kept, text_kept)`.
+    * Zero shuffle — a chain of narrow projections; each non-cheap
+    * intermediate (tokens, slices, kept slices) is bound ONCE as an
+    * attribute, and the ratio runs on the lambda-bound slice, never
+    * re-splitting the joined segment text.
     */
   def filterSegments(docs: DataFrame, w: Int,
-                     minDistinctRatio: Double): DataFrame = {
-    val segs = segmentsCol(col("text"), w)
-    val kept = filter(segs, s => distinctRatio(s) >= minDistinctRatio)
-    docs.select(
-      col("doc_id"),
-      size(segs).as("n_segs"),
-      size(kept).as("n_kept"),
-      array_join(kept, " ").as("text_kept"))
-  }
+                     minDistinctRatio: Double): DataFrame =
+    docs
+      .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("__slices", tokenSlices(col("__toks"), w))
+      .select(col("doc_id"), size(col("__slices")).as("n_segs"),
+        filter(col("__slices"), t =>
+          size(array_distinct(t)).cast("double") / size(t)
+            >= minDistinctRatio).as("__kept"))
+      .select(
+        col("doc_id"),
+        col("n_segs"),
+        size(col("__kept")).as("n_kept"),
+        array_join(transform(col("__kept"), t => array_join(t, " ")), " ")
+          .as("text_kept"))
 
   /** Corpus-wide exact segment dedup, first occurrence wins (ordered by
     * (doc_id, seg_no)): every later exact copy of a segment is removed
@@ -79,18 +95,33 @@ object Segments {
     * Returns `(doc_id, n_segs, n_kept, text_dedup)`.
     */
   def dedupSegments(docs: DataFrame, w: Int): DataFrame = {
-    val segRows = docs
-      .select(col("doc_id"), posexplode_outer(segmentsCol(col("text"), w))
-        .as(Seq("seg_no", "seg")))
     val firstWin = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("seg_no"))
     // empty docs survive posexplode_outer as a single (null, null) row;
     // `isKept` excludes it so they report n_segs = n_kept = 0, text "".
-    val keptRows = segRows
-      .withColumn("h", md5(col("seg")))
+    val keptRows = segmentRows(docs, w)
       .withColumn("rn", row_number().over(firstWin))
       .withColumn("isKept", col("seg").isNotNull && col("rn") === 1)
-    val perDoc = keptRows
+    reassemble(keptRows)
+  }
+
+  /** Exploded (doc_id, seg_no, seg, h) rows; `h` is the segment md5 as
+    * 16 raw bytes (the hash-store convention — half the state of the
+    * hex string). Empty docs contribute one (null, null) row.
+    */
+  private def segmentRows(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+      .select(col("doc_id"),
+        posexplode_outer(segmentsFromTokens(col("__toks"), w))
+          .as(Seq("seg_no", "seg")))
+      .withColumn("h", unhex(md5(col("seg"))))
+
+  /** Rebuild `(doc_id, n_segs, n_kept, text_dedup)` from flagged
+    * segment rows (requires seg_no, seg, isKept).
+    */
+  private def reassemble(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col("doc_id"))
       .agg(
         count(col("seg")).as("n_segs"),
@@ -101,7 +132,58 @@ object Segments {
               struct(col("seg_no"), col("seg"))))),
             s => s.getField("seg")),
           " ").as("text_dedup"))
-    perDoc.select(col("doc_id"), col("n_segs"), col("n_kept"),
-      col("text_dedup"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        col("text_dedup"))
+
+  /** Row-level incremental gate: a segment is kept iff it is the first
+    * occurrence WITHIN the batch (by (doc_id, seg_no)) and its hash is
+    * not in the persisted store. The store side is bucketed on the
+    * hash ([[graft.dedup.Dedup.appendHashStore]] layout), so the probe
+    * join reads it co-located — only the batch's segment rows shuffle.
+    */
+  private def gateRows(batch: DataFrame, w: Int,
+                       storeTable: String): DataFrame = {
+    val s = batch.sparkSession
+    val firstWin = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("seg_no"))
+    val rows = segmentRows(batch, w)
+      .withColumn("rn", row_number().over(firstWin))
+    val marked =
+      if (!s.catalog.tableExists(storeTable))
+        rows.withColumn("inStore", lit(false))
+      else rows.join(
+        s.table(storeTable).hint("merge")
+          .select(col("text_hash").as("h"), lit(true).as("inStore")),
+        Seq("h"), "left_outer")
+    marked.withColumn("isKept",
+      col("seg").isNotNull && col("rn") === 1 &&
+        coalesce(col("inStore"), lit(false)) === false)
+  }
+
+  /** The read-only half of [[dedupSegmentsIncremental]]: every batch
+    * document rebuilt from its corpus-new segments. No writes.
+    */
+  def segmentGate(batch: DataFrame, w: Int, storeTable: String): DataFrame =
+    reassemble(gateRows(batch, w, storeTable))
+
+  /** Incremental segment-granular dedup against a persisted segment-hash
+    * store — the C4/Lee-et-al exact substring dedup in daily-batch form:
+    * "which windows of today's documents are corpus-new", answered
+    * without rescanning the corpus. Batch documents are rebuilt from
+    * their novel segments (first-in-batch occurrence wins, as in
+    * [[dedupSegments]]); the novel segments' hashes are appended so
+    * tomorrow's batch sees them. Store state is 16 bytes per distinct
+    * segment; per-batch cost scales with the batch plus the store's
+    * co-located scan, never with corpus size.
+    */
+  def dedupSegmentsIncremental(batch: DataFrame, w: Int,
+                               storeTable: String, storePath: String,
+                               nBuckets: Int = 8): DataFrame = {
+    // materialized once: reassembled for the caller and appended below
+    val rows = gateRows(batch, w, storeTable).localCheckpoint()
+    graft.dedup.Dedup.appendHashStore(
+      rows.filter(col("isKept")).select(col("h").as("text_hash")).distinct(),
+      storeTable, storePath, nBuckets)
+    reassemble(rows)
   }
 }

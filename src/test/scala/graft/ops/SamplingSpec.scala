@@ -48,4 +48,33 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(a != b)
   }
+
+  test("sampleToBudget: under-budget strata kept whole, over-budget downsampled") {
+    val rows = ((0L until 100L).map(i => (i, "big", 10L)) ++
+      (100L until 105L).map(i => (i, "small", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Sampling.sampleToBudget(rows, "source", "doc_id", "n_tok",
+      budget = 500.0, salt = "v1")
+    // "small" total 50 <= 500: every row kept at rate 1.0
+    assert(out.filter($"source" === "small").count() == 5)
+    assert(out.filter($"source" === "small").select("keep_rate")
+      .distinct().as[Double].head() == 1.0)
+    // "big" total 1000 > 500: rate 0.5, kept count near expectation
+    val kept = out.filter($"source" === "big").count()
+    assert(kept > 25 && kept < 75, s"kept=$kept")
+  }
+
+  test("sampleToBudget membership is append-stable") {
+    val base = (0L until 80L).map(i => (i, "s", 10L))
+      .toDF("doc_id", "source", "n_tok")
+    val keptBase = Sampling.sampleToBudget(base, "source", "doc_id", "n_tok",
+      budget = 400.0, salt = "v1").select("doc_id").as[Long].collect().toSet
+    // appending rows halves the rate — survivors of the new run must be
+    // a SUBSET of the old ones (hash below a smaller cut), never a swap
+    val more = (0L until 160L).map(i => (i, "s", 10L))
+      .toDF("doc_id", "source", "n_tok")
+    val keptMore = Sampling.sampleToBudget(more, "source", "doc_id", "n_tok",
+      budget = 400.0, salt = "v1").select("doc_id").as[Long].collect().toSet
+    assert(keptMore.filter(_ < 80L).subsetOf(keptBase))
+  }
 }
