@@ -74,7 +74,8 @@ object Bench {
     "q50_percentiles", "q51_rank_topn", "q76_repetition_stats",
     "q77_decontaminate",
     "q57_lsh_bands_fixture", "q58_simhash_bands_fixture",
-    "q80_segment_dedup", "q81_pack_chunks", "q82_tfidf_topk")
+    "q80_segment_dedup", "q81_pack_chunks", "q82_tfidf_topk",
+    "q84_segment_incremental", "q85_mixture_budget")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -94,7 +95,12 @@ object Bench {
     // asymmetry the operator exists for
     "q77_decontaminate",
     // the r10 segment/packing/tfidf tier scans the full documents table
-    "q80_segment_dedup", "q81_pack_chunks", "q82_tfidf_topk")
+    "q80_segment_dedup", "q81_pack_chunks", "q82_tfidf_topk",
+    // q84's batch AND store both scale with the corpus (odd/even split);
+    // its oracle recomputes the store-membership set from raw text each
+    // rep while Spark reads the pre-seeded bucketed store — the
+    // incremental operator's asymmetry, like q77's
+    "q84_segment_incremental", "q85_mixture_budget")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
