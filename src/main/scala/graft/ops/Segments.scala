@@ -102,7 +102,7 @@ object Segments {
     val keptRows = segmentRows(docs, w)
       .withColumn("rn", row_number().over(firstWin))
       .withColumn("isKept", col("seg").isNotNull && col("rn") === 1)
-    reassemble(keptRows)
+    reassembleRows(keptRows)
   }
 
   /** Exploded (doc_id, seg_no, seg, h) rows; `h` is the segment md5 as
@@ -118,9 +118,11 @@ object Segments {
       .withColumn("h", unhex(md5(col("seg"))))
 
   /** Rebuild `(doc_id, n_segs, n_kept, text_dedup)` from flagged
-    * segment rows (requires seg_no, seg, isKept).
+    * segment rows (requires seg_no, seg, isKept). Public half for
+    * callers that must sequence the sink before the store append (the
+    * streaming gate) — pair with [[segmentGateRows]]/[[novelHashes]].
     */
-  private def reassemble(flagged: DataFrame): DataFrame =
+  def reassembleRows(flagged: DataFrame): DataFrame =
     flagged
       .groupBy(col("doc_id"))
       .agg(
@@ -141,8 +143,8 @@ object Segments {
     * hash ([[graft.dedup.Dedup.appendHashStore]] layout), so the probe
     * join reads it co-located — only the batch's segment rows shuffle.
     */
-  private def gateRows(batch: DataFrame, w: Int,
-                       storeTable: String): DataFrame = {
+  def segmentGateRows(batch: DataFrame, w: Int,
+                      storeTable: String): DataFrame = {
     val s = batch.sparkSession
     val firstWin = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("seg_no"))
@@ -164,7 +166,13 @@ object Segments {
     * document rebuilt from its corpus-new segments. No writes.
     */
   def segmentGate(batch: DataFrame, w: Int, storeTable: String): DataFrame =
-    reassemble(gateRows(batch, w, storeTable))
+    reassembleRows(segmentGateRows(batch, w, storeTable))
+
+  /** The store-append keys of a gated batch: the kept segments' distinct
+    * hashes, in the [[graft.dedup.Dedup.appendHashStore]] column contract.
+    */
+  def novelHashes(flagged: DataFrame): DataFrame =
+    flagged.filter(col("isKept")).select(col("h").as("text_hash")).distinct()
 
   /** Incremental segment-granular dedup against a persisted segment-hash
     * store — the C4/Lee-et-al exact substring dedup in daily-batch form:
@@ -180,10 +188,9 @@ object Segments {
                                storeTable: String, storePath: String,
                                nBuckets: Int = 8): DataFrame = {
     // materialized once: reassembled for the caller and appended below
-    val rows = gateRows(batch, w, storeTable).localCheckpoint()
+    val rows = segmentGateRows(batch, w, storeTable).localCheckpoint()
     graft.dedup.Dedup.appendHashStore(
-      rows.filter(col("isKept")).select(col("h").as("text_hash")).distinct(),
-      storeTable, storePath, nBuckets)
-    reassemble(rows)
+      novelHashes(rows), storeTable, storePath, nBuckets)
+    reassembleRows(rows)
   }
 }

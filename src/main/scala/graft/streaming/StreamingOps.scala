@@ -274,6 +274,49 @@ object StreamingOps {
       storePath, nBuckets = nBuckets, dedupAgainstStore = replay)
   }
 
+  /** The segment-granular member of the streaming novelty-gate family:
+    * each micro-batch document is REBUILT from its corpus-new 16-token
+    * windows against the persisted segment-hash store
+    * ([[graft.ops.Segments.dedupSegmentsIncremental]] semantics — the
+    * C4 exact substring dedup running continuously). Unlike the
+    * document-level gates the sink rows are not a subset of the batch
+    * but derived `(doc_id, n_segs, n_kept, text_dedup)` rebuilds, so
+    * the replay union is PRIOR-WINS by doc_id: a replayed batch re-gates
+    * against the possibly-advanced store (its own segments may have
+    * reached the store before the crash), and the original attempt's
+    * rebuilds — already sunk — are the correct output for those docs.
+    * The store append stays idempotent via `dedupAgainstStore` on
+    * replay, and re-appended hashes are a no-op set-union.
+    */
+  def segmentNoveltyGateEachBatch(w: Int, storeTable: String,
+                                  storePath: String, outPath: String,
+                                  nBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Segments
+    val spark = batch.sparkSession
+    val rows = Segments.segmentGateRows(batch, w, storeTable)
+      .localCheckpoint() // one materialization feeds the sink AND the store
+    val rebuilt = Segments.reassembleRows(rows)
+    val partDir = new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replay = fs.exists(partDir)
+    val out =
+      if (!replay) rebuilt
+      else {
+        val prior = spark.read.schema(rebuilt.schema).parquet(partDir.toString)
+        rebuilt.join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(prior)
+          // eager: the overwrite below targets the path being read
+          .localCheckpoint()
+      }
+    out.withColumn("__batch_id", lit(batchId))
+      .write.partitionBy("__batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outPath)
+    graft.dedup.Dedup.appendHashStore(Segments.novelHashes(rows),
+      storeTable, storePath, nBuckets, dedupAgainstStore = replay)
+  }
+
   /** Replay-idempotent survivor write shared by the novelty gates: the
     * batch's surviving full rows land under a `__batch_id=<id>` partition
     * with dynamic partition-overwrite. The write is ADDITIVE under

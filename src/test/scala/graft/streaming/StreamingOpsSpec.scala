@@ -465,4 +465,67 @@ class StreamingOpsSpec extends SparkSpec {
         s.contains("completed"), s)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("segmentNoveltyGateEachBatch: docs rebuilt from corpus-new segments") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-segnovelty")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"segnovelty_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.segmentNoveltyGateEachBatch(
+          2, table, storePath, outPath) _)
+        .outputMode("update").start()
+      // batch 1: doc 2's "a b" window is claimed in-batch by doc 1
+      input.addData((1L, "a b c d"), (2L, "a b x y"))
+      query.processAllAvailable()
+      // batch 2: "c d" is corpus-known; "e f" is new
+      input.addData((10L, "c d e f"))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "n_segs", "n_kept", "text_dedup", "__batch_id")
+        .as[(Long, Long, Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, 2L, 2L, "a b c d", 0L),
+        (2L, 2L, 1L, "x y", 0L),
+        (10L, 2L, 1L, "e f", 1L)))
+      // store: "a b","c d","x y" from batch 1 + "e f" from batch 2
+      assert(spark.table(table).count() == 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("segmentNoveltyGateEachBatch: replay after store advance is prior-wins") {
+    val base = Files.createTempDirectory("graft-segnovelty-replay")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"segnovelty_replay_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val gate = StreamingOps.segmentNoveltyGateEachBatch(
+        2, table, storePath, outPath) _
+      val b0 = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      gate(b0, 0L)
+      // replay batch 0: the store now already holds doc 1's segments, so
+      // a fresh gate would rebuild doc 1 as empty — the sink must keep
+      // the original attempt's rebuild (prior-wins), and the store must
+      // not grow
+      gate(b0, 0L)
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "n_kept", "text_dedup")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got == Seq((1L, 2L, "a b c d")))
+      assert(spark.table(table).count() == 2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
 }
