@@ -478,6 +478,28 @@ object TextQueries {
            |FROM t JOIN tot USING (source)
            |WHERE ${bucketSql("doc_id", "v1")} < keep_rate
            |ORDER BY doc_id""".stripMargin),
-      "per-source budget-targeted downsampling; exact-sum rate, hash-keyed membership")
+      "per-source budget-targeted downsampling; exact-sum rate, hash-keyed membership"),
+
+    // ----- boilerplate report: most-repeated segments corpus-wide -----
+    // The analysis that tells a curation pipeline WHAT its dedup and
+    // filters should target. Full-work oracle; top-k is tie-broken by
+    // segment text so the limit is deterministic on both engines.
+    "q86_boilerplate" -> Q(
+      (s, dir) => graft.ops.Segments
+        .topSegments(Tables(s, dir, "documents"), 16, 20)
+        .orderBy(col("n_occurrences").desc, col("seg")),
+      Some(
+        s"""WITH segrows AS (
+           |  SELECT doc_id, unnest(LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks)/16.0) AS INT)),
+           |         i -> ARRAY_TO_STRING(toks[i*16+1:(i+1)*16], ' '))) AS seg
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           |perdoc AS (
+           |  SELECT seg, doc_id, COUNT(*) AS n_in_doc
+           |  FROM segrows GROUP BY 1, 2)
+           |SELECT seg, CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+           |  COUNT(*) AS n_docs
+           |FROM perdoc GROUP BY seg
+           |ORDER BY n_occurrences DESC, seg LIMIT 20""".stripMargin),
+      "top-k most-repeated segments (boilerplate analysis), tie-broken by text")
   )
 }

@@ -174,6 +174,24 @@ object Segments {
   def novelHashes(flagged: DataFrame): DataFrame =
     flagged.filter(col("isKept")).select(col("h").as("text_hash")).distinct()
 
+  /** Boilerplate report: the `k` most-repeated segments corpus-wide —
+    * `(seg, n_occurrences, n_docs)`, ordered by occurrences desc then
+    * segment text (the C4/RefinedWeb boilerplate analysis that decides
+    * what the dedup/filters should target). Two partial-aggregated
+    * exchanges (the distinct-(seg, doc) pre-step and the count rollup)
+    * and a `TakeOrderedAndProject` top-k — no global sort.
+    */
+  def topSegments(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    val rows = segmentRows(docs, w).filter(col("seg").isNotNull)
+    val perDoc = rows.groupBy(col("seg"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    perDoc.groupBy(col("seg"))
+      .agg(sum(col("n_in_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("seg").asc)
+      .limit(k)
+  }
+
   /** Incremental segment-granular dedup against a persisted segment-hash
     * store — the C4/Lee-et-al exact substring dedup in daily-batch form:
     * "which windows of today's documents are corpus-new", answered

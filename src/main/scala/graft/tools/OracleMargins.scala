@@ -52,6 +52,25 @@ object OracleMargins {
     (q37Rows, math.round(organicEst * 32).toInt, q38Rows, organicHam)
   }
 
+  /** Maximum ORGANIC pairwise cosine anywhere in the embeddings table —
+    * the margin the q83 SemDeDup copy-seed oracle rests on (the whole-
+    * table maximum upper-bounds any within-cell pair, so the invariant
+    * is insensitive to the KMeans clustering). Audit-only all-pairs
+    * scan (the fused codegen cosine runs ~4M pairs/0.5s at sf0.1) —
+    * operators never do this; the q83 threshold 0.95 needs this value
+    * to stay well below it.
+    */
+  def embeddingMargin(spark: SparkSession, dir: String): Double = {
+    graft.functions.Vectors.register(spark)
+    val v = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    v.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .crossJoin(v.select(col("vec_id").as("id2"), col("embedding").as("v2")))
+      .filter(col("id1") < col("id2"))
+      .agg(max(graft.functions.Vectors.cosineSim(col("v1"), col("v2"))))
+      .head().getDouble(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -69,6 +88,9 @@ object OracleMargins {
     println(s"q38 oracled rows (hamming<=0): $q38Rows")
     println(s"organic min hamming: $organicHam " +
       s"(margin $organicHam above the oracled maxDist 0)")
+    val maxCos = embeddingMargin(spark, dir)
+    println(f"q83 organic max pairwise cosine: $maxCos%.6f " +
+      f"(margin ${0.95 - maxCos}%.3f below the 0.95 threshold)")
     spark.stop()
   }
 }

@@ -28,4 +28,13 @@ class OracleMarginSpec extends SparkSpec {
     assert(q38Rows == 50L) // exactly the copies at hamming 0
     assert(organicHam >= 2) // margin >= 2 bits above the oracled maxDist 0
   }
+
+  test("q83 embedding copy-seed cosine margin holds at the correctness-gate SF") {
+    val maxCos = graft.tools.OracleMargins
+      .embeddingMargin(spark, "/root/testdata/sf0.01")
+    // observed 0.513 at sf0.01 / 0.601 at sf0.1 vs the 0.95 threshold;
+    // assert a generous buffer so embedding-fixture drift fails here,
+    // not as a q83 hash mismatch
+    assert(maxCos <= 0.85, f"organic max cosine $maxCos%.4f")
+  }
 }
