@@ -291,10 +291,55 @@ object StreamingOps {
   def segmentNoveltyGateEachBatch(w: Int, storeTable: String,
                                   storePath: String, outPath: String,
                                   nBuckets: Int = 8)(
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): Unit =
+    segmentSinkAppend(
+      graft.ops.Segments.segmentGateRows(batch, w, storeTable),
+      storeTable, storePath, outPath, nBuckets, batchId)
+
+  /** [[segmentNoveltyGateEachBatch]] with the SEGMENT-store Bloom
+    * pre-filter held across micro-batches ([[graft.ops.Segments
+    * .segmentGateRowsBloom]]). Same lifecycle as [[bloomNoveltyGate]] —
+    * the segment store shares the doc store's `text_hash` layout, so
+    * seed/fold reuse [[graft.dedup.Dedup.storeBloom]] /
+    * [[graft.dedup.Dedup.bloomOfHashes]] unchanged, with
+    * [[graft.ops.Segments.novelHashes]] as the per-batch fold input.
+    * `expectedItems` sizes the filter in SEGMENTS, not documents
+    * (~`tokens/w` per doc — the segment store is the largest in the
+    * pipeline, which is exactly why the pre-filter matters here).
+    * After a restart the first batch rebuilds the filter from the
+    * store, so crash recovery needs no filter persistence.
+    */
+  def bloomSegmentNoveltyGate(w: Int, storeTable: String, storePath: String,
+                              outPath: String, expectedItems: Long,
+                              nBuckets: Int = 8): (DataFrame, Long) => Unit = {
     import graft.ops.Segments
-    val spark = batch.sparkSession
-    val rows = Segments.segmentGateRows(batch, w, storeTable)
+    var bloom: Option[Array[Byte]] = None // driver-held, batches sequential
+    (batch: DataFrame, batchId: Long) => {
+      if (bloom.isEmpty)
+        bloom = graft.dedup.Dedup.storeBloom(batch.sparkSession, storeTable,
+          expectedItems)
+      val rows = bloom match {
+        case Some(bf) => Segments.segmentGateRowsBloom(batch, w, storeTable,
+          bf)
+        case None => Segments.segmentGateRows(batch, w, storeTable)
+      }
+      val flagged = segmentSinkAppend(rows, storeTable, storePath, outPath,
+        nBuckets, batchId)
+      bloom = foldBloom(bloom, graft.dedup.Dedup.bloomOfHashes(
+        Segments.novelHashes(flagged), expectedItems))
+    }
+  }
+
+  /** Shared sink + store-append half of the segment novelty gates:
+    * materializes the flagged rows once (returned for filter folds),
+    * writes the prior-wins rebuilds, appends the novel hashes.
+    */
+  private def segmentSinkAppend(gateRows: DataFrame, storeTable: String,
+                                storePath: String, outPath: String,
+                                nBuckets: Int, batchId: Long): DataFrame = {
+    import graft.ops.Segments
+    val spark = gateRows.sparkSession
+    val rows = gateRows
       .localCheckpoint() // one materialization feeds the sink AND the store
     val rebuilt = Segments.reassembleRows(rows)
     val partDir = new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
@@ -315,6 +360,7 @@ object StreamingOps {
       .mode("overwrite").parquet(outPath)
     graft.dedup.Dedup.appendHashStore(Segments.novelHashes(rows),
       storeTable, storePath, nBuckets, dedupAgainstStore = replay)
+    rows
   }
 
   /** Replay-idempotent survivor write shared by the novelty gates: the

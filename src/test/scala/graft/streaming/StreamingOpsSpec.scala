@@ -502,6 +502,65 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomSegmentNoveltyGate: batch N's dup segments of batch N-1 gate through the merged filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-bloom-segnovelty")
+    val outPath = base.resolve("sink").toString
+    val plainOut = base.resolve("plainsink").toString
+    val storePath = base.resolve("store").toString
+    val plainStorePath = base.resolve("plainstore").toString
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = s"bloom_segnovelty_spec_$nonce"
+    val plainTable = s"plain_segnovelty_spec_$nonce"
+    try {
+      // pre-seed both stores so batch 0 builds a non-empty filter
+      val seed = Seq((1L, "a b")).toDF("doc_id", "text")
+      graft.ops.Segments.dedupSegmentsIncremental(seed, 2, table, storePath)
+      graft.ops.Segments.dedupSegmentsIncremental(seed, 2, plainTable,
+        plainStorePath)
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.bloomSegmentNoveltyGate(
+          2, table, storePath, outPath, expectedItems = 10000))
+        .outputMode("update").start()
+      val batches = Seq(
+        // batch 0: "a b" is a store dup (pre-seeded); "c d" is novel
+        Seq((10L, "a b c d")),
+        // batch 1: "c d" is in the store ONLY via batch 0's append, so
+        // gating it requires the MERGED filter (a stale filter would
+        // prove it "definitely new" and leak it around the verify join)
+        Seq((20L, "c d e f")),
+        // batch 2: dup of batch-1's "e f", same reasoning one merge later
+        Seq((30L, "e f g h")))
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "n_segs", "n_kept", "text_dedup", "__batch_id")
+        .as[(Long, Long, Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (10L, 2L, 1L, "c d", 0L),
+        (20L, 2L, 1L, "e f", 1L),
+        (30L, 2L, 1L, "g h", 2L)))
+      // output identical to the PLAIN segment gate over the same batches
+      val plain = StreamingOps.segmentNoveltyGateEachBatch(
+        2, plainTable, plainStorePath, plainOut) _
+      batches.zipWithIndex.foreach { case (b, i) =>
+        plain(b.toDF("doc_id", "text"), i.toLong) }
+      val plainGot = spark.read.parquet(plainOut)
+        .select("doc_id", "n_segs", "n_kept", "text_dedup", "__batch_id")
+        .as[(Long, Long, Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == plainGot.toSeq)
+      // both stores: "a b" seed + "c d","e f","g h" — one hash per segment
+      assert(spark.table(table).count() == 4)
+      assert(spark.table(plainTable).count() == 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $plainTable")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("segmentNoveltyGateEachBatch: replay after store advance is prior-wins") {
     val base = Files.createTempDirectory("graft-segnovelty-replay")
     val outPath = base.resolve("sink").toString
