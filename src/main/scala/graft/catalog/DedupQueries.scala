@@ -755,8 +755,13 @@ object DedupQueries {
           .select("vec_id", "embedding")
         val copies = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        // auto-k (nClusters <= 0): k = ceil(N / 1000) keeps average cell
+        // population ~constant as the SF grows (the paper's k ∝ N rule) —
+        // a FIXED k would let cells grow linearly with the corpus until
+        // one passed the maxCluster cap, where the operator's over-cap
+        // guard aborts loudly rather than letting copies silently survive
         graft.dedup.SemDedup.semanticDedup(emb.unionByName(copies),
-            "vec_id", "embedding", nClusters = 8, minCosine = 0.95)
+            "vec_id", "embedding", nClusters = 0, minCosine = 0.95)
           .select("vec_id").orderBy("vec_id")
       },
       Some("SELECT vec_id FROM embeddings ORDER BY vec_id"),

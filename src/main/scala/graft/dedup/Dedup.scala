@@ -64,12 +64,12 @@ object Dedup {
     */
   private val MaxBroadcastHotBuckets = 4L * 1000 * 1000
 
-  /** Action-free variant of [[capBuckets]] for the incremental gates'
+  /** Action-free bucket cap for the incremental gates'
     * BATCH side: a window count over the bucket key filters over-cap
     * buckets inline, with no driver-side stats job. The window's
     * exchange hash-partitions the rows on exactly the key the store
     * join shuffles them to anyway, so the join reuses it — the cap is
-    * effectively free, where the count+anti-join form paid a separate
+    * effectively free, where a count+anti-join form would pay a separate
     * aggregate job per micro-batch. Silent like [[boundedBucketPairs]]'
     * cap; [[bucketCapAudit]] is the monitoring-cadence counterpart.
     */
@@ -80,38 +80,6 @@ object Dedup {
     rows.withColumn("__bsz", count(lit(1)).over(w))
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
-  }
-
-  /** NOTE: this form pays a DRIVER-SIDE STATS ACTION (`.head()`) per
-    * call. Its one remaining consumer is the offline [[ngramJaccard]]
-    * verification tier, where the logged dropped-mass warning is worth a
-    * job; per-batch / hot paths must use [[capBucketsInline]] (window
-    * cap, action-free) or [[boundedBucketPairs]] (cap inside the
-    * gathering aggregate) instead — do not migrate this back onto them.
-    */
-  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int,
-                         what: String): DataFrame = {
-    val hot = rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-    // Stats first, checkpoint after: the common case is NO hot bucket,
-    // where checkpointing would materialize an empty frame with an eager
-    // job for nothing. When hot buckets exist, the checkpoint (which
-    // re-runs the aggregate once) lets the anti-join reuse the
-    // materialized keys instead of recomputing the full aggregate.
-    val stats = hot.agg(count(lit(1)).as("nb"),
-      coalesce(sum(col("__bsz")), lit(0L)).as("mass")).head()
-    if (stats.getAs[Long]("nb") == 0L) rows
-    else {
-      log.warn(s"$what: dropping ${stats.getAs[Long]("nb")} hot bucket(s) " +
-        s"covering ${stats.getAs[Long]("mass")} rows (bucket cap $maxBucket)")
-      val hotKeys = hot.localCheckpoint().select(keys.map(col): _*)
-      rows.join(
-        if (stats.getAs[Long]("nb") <= MaxBroadcastHotBuckets)
-          broadcast(hotKeys)
-        else hotKeys,
-        keys, "left_anti")
-    }
   }
 
   /** Exact dedup: canonical (minimum) id per identical text.
@@ -676,8 +644,9 @@ object Dedup {
     * of r rows, pairs with Jaccard j collide w.p. 1-(1-j^r)^b.
     *
     * Buckets larger than `maxBucket` are dropped before the self-join
-    * ([[capBuckets]]): one boilerplate-saturated bucket would otherwise
-    * contribute C(sz,2) pairs and dominate the whole job at scale.
+    * ([[boundedBucketPairs]]' in-aggregate cap): one boilerplate-saturated
+    * bucket would otherwise contribute C(sz,2) pairs and dominate the
+    * whole job at scale.
     */
   /** (id, band, bkey) rows of a signature frame: each signature splits
     * into `bands` equal slices, keyed by the slice hash.
@@ -695,8 +664,8 @@ object Dedup {
   /** In-bucket candidate pairs from (…, band, bkey) rows in ONE
     * aggregation pass: graft.functions.BoundedIds gathers each bucket's
     * ids with hard-bounded state (a bucket past `maxBucket` evaluates to
-    * null and is filtered — identical drop semantics to the old
-    * count-then-anti-join capBuckets, minus its separate count job),
+    * null and is filtered — identical drop semantics to a
+    * count-then-anti-join cap, minus its separate count job),
     * then pairs expand WITHIN each bucket row: posexplode picks each id,
     * slice takes its later neighbors. vs the previous self-join form
     * this is one exchange instead of three (count agg + both join sides)
@@ -850,7 +819,7 @@ object Dedup {
     * with the fingerprint carried through the bucket as a tuple payload
     * (hamming is symmetric, so the least/greatest id normalization needs
     * no payload swap); buckets above `maxBucket` evaluate to null and
-    * are dropped, exactly the old capBuckets semantics.
+    * are dropped, exactly the count-then-anti-join cap semantics.
     */
   def simhashCandidates(sh: DataFrame, idCol: String, maxDist: Int = 3,
                         maxBucket: Int = 500): DataFrame =
@@ -1266,41 +1235,79 @@ object Dedup {
     *
     * `maxPosting` remains the scale BACKSTOP behind it: postings that
     * survive the document-frequency rule but still exceed the cap are
-    * dropped from the inverted index only ([[capBuckets]]) — per-doc
+    * dropped from the inverted index only — per-doc
     * sizes keep those shingles, so jaccard is then a lower bound for
     * pairs whose overlap included a capped shingle. With the
     * document-frequency rule active the backstop should audit to ~zero
     * mass ([[graft.tools.StoreAudit]]); a sustained non-zero means the
     * rule is set looser than the cap.
+    *
+    * Plan shape: ONE `groupBy(shingle)` document-frequency aggregate
+    * (map-side combined, output one row per distinct shingle) classifies
+    * shingles for BOTH tiers — stop-rule (`__df > floor(maxDocFrac·N)`)
+    * and cap backstop (`__df > maxPosting`) — replacing the previous
+    * window count over the full exploded frame plus a dedicated
+    * `distinct().count()` driver job for the doc total. The doc total is
+    * now an in-plan 1-row `countDistinct` scalar (column-pruned scan,
+    * broadcast cross join), and the flagged-key frame is filtered BEFORE
+    * the one stats action this offline tier budgets, so the common
+    * no-flagged-shingle case pays the aggregate job once and nothing
+    * else. Flagged keys apply as broadcast anti-joins over the persisted
+    * shingle frame — map-side, no extra exchange before the self-join.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, minJaccard: Double = 0.2,
                    maxPosting: Int = 500,
                    maxDocFrac: Double = 1.0): DataFrame = {
-    // The distinct shingle frame feeds four consumers (the cap's hot-bucket
-    // stats action, per-doc sizes, and both sides of the self-join);
-    // persist it so the explode+distinct shuffle runs once, not per
-    // consumer. persist, NOT localCheckpoint: the cache materializes
-    // inside the hot-bucket stats action capBuckets runs anyway, where
-    // an eager checkpoint would spend one whole extra job on it first
-    // (shingling is deterministic, so a recompute-on-eviction is safe —
-    // checkpoint's frozen-content guarantee buys nothing here).
-    val raw = shingles(df, idCol, textCol, n)
-    val sh =
-      if (maxDocFrac >= 1.0) raw.persist()
+    // The distinct shingle frame feeds several consumers (the combined
+    // frequency-stats action, per-doc sizes, and both sides of the
+    // self-join); persist it so the explode+distinct shuffle runs once,
+    // not per consumer. persist, NOT localCheckpoint: the cache
+    // materializes inside the frequency-stats action that runs anyway,
+    // where an eager checkpoint would spend one whole extra job on it
+    // first (shingling is deterministic, so a recompute-on-eviction is
+    // safe — checkpoint's frozen-content guarantee buys nothing here).
+    val raw = shingles(df, idCol, textCol, n).persist()
+    val ruleOn = maxDocFrac < 1.0
+    val freq = raw.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val flaggedPlan = (if (ruleOn) {
+        // doc total as an in-plan scalar: a 1-row countDistinct over the
+        // pruned id column, broadcast into the frequency frame — no
+        // dedicated driver-side distinct().count() job
+        val nTbl = df.agg(countDistinct(col(idCol)).as("__nd"))
+        freq.crossJoin(broadcast(nTbl))
+          .withColumn("__stop", col("__df") >
+            greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
+      } else freq.withColumn("__stop", lit(false)))
+      .withColumn("__hot", !col("__stop") && col("__df") > lit(maxPosting))
+      .filter(col("__stop") || col("__hot"))
+      .select(col("shingle"), col("__stop"), col("__hot"), col("__df"))
+    // Stats first, checkpoint after (same pattern the old per-call cap
+    // used): the common case is NO flagged shingle, where checkpointing
+    // would materialize an empty frame with an eager job for nothing.
+    val stats = flaggedPlan.agg(
+      coalesce(sum(when(col("__stop"), 1L).otherwise(0L)), lit(0L)).as("ns"),
+      coalesce(sum(when(col("__hot"), 1L).otherwise(0L)), lit(0L)).as("nh"),
+      coalesce(sum(when(col("__hot"), col("__df")).otherwise(0L)), lit(0L))
+        .as("hotMass")).head()
+    val (nStop, nHot) = (stats.getAs[Long]("ns"), stats.getAs[Long]("nh"))
+    if (nHot > 0L)
+      log.warn(s"ngramJaccard: dropping $nHot hot posting(s) covering " +
+        s"${stats.getAs[Long]("hotMass")} rows (posting cap $maxPosting) " +
+        "that survived the stop-shingle rule")
+    val flagged =
+      if (nStop + nHot == 0L) null else flaggedPlan.localCheckpoint()
+    def dropKeys(base: DataFrame, stop: Boolean, nKeys: Long): DataFrame =
+      if (nKeys == 0L) base
       else {
-        // this tier is the offline verification path (see capBuckets) —
-        // the one distinct-count action for the doc total is in budget
-        val nDocs = df.select(col(idCol)).distinct().count()
-        val dfCap = math.max(1L, math.floor(maxDocFrac * nDocs).toLong)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shingle"))
-        raw.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= dfCap).drop("__df")
-          .persist()
+        val keys = flagged.filter(col("__stop") === stop).select("shingle")
+        base.join(
+          if (nKeys <= MaxBroadcastHotBuckets) broadcast(keys) else keys,
+          Seq("shingle"), "left_anti")
       }
+    val sh = dropKeys(raw, stop = true, nStop)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val idx = capBuckets(sh, Seq("shingle"), maxPosting, "ngramJaccard")
+    val idx = dropKeys(sh, stop = false, nHot)
     val inter = idx.select(col(idCol).as("id1"), col("shingle"))
       .join(idx.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))

@@ -47,15 +47,45 @@ object SemDedup {
     * else is far below the threshold: identical/near-identical vectors
     * land in the same cell by construction (same nearest centroid), so
     * their pair is always generated and always verified.
+    *
+    * `nClusters <= 0` selects k automatically as `ceil(N / targetCell)`
+    * (clamped to ≥ 2) — the paper's k ∝ N rule, so average cell
+    * population stays ~`targetCell` as the corpus grows instead of
+    * growing linearly with it under a fixed k. The count this costs is
+    * the same column-pruned count [[Ivf.build]] already performs for its
+    * fit sample.
+    *
+    * Over-cap guard: [[Dedup.boundedBucketPairs]] drops a cell past
+    * `maxCluster` SILENTLY (its gathering aggregate evaluates null) —
+    * for the hot incremental gates that is the right trade, but here a
+    * dropped cell means duplicates inside it silently SURVIVE. This
+    * offline tier budgets one extra count-aggregate job
+    * ([[Dedup.bucketCapAudit]] over the cell assignment) and, with
+    * `failOnOverCap` (default), raises with the cell count/mass instead
+    * — re-run with larger k (or auto-k) rather than weakening the cap.
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, minCosine: Double,
-                    maxCluster: Int = 10000, seed: Long = 42L): DataFrame = {
-    require(nClusters >= 2, "MLlib KMeans requires nClusters >= 2")
-    val clustered = Ivf.build(vecs, vecCol, nClusters, seed).indexed
+                    maxCluster: Int = 10000, seed: Long = 42L,
+                    targetCell: Int = 1000,
+                    failOnOverCap: Boolean = true): DataFrame = {
+    require(targetCell > 0, "targetCell must be positive")
+    val k =
+      if (nClusters > 0) nClusters
+      else math.max(2L, (vecs.count() + targetCell - 1) / targetCell).toInt
+    require(k >= 2, "MLlib KMeans requires nClusters >= 2")
+    val clustered = Ivf.build(vecs, vecCol, k, seed).indexed
     // reuse the (band, bkey) bounded-bucket contract: one band, cell key
     val cellRows = clustered.select(col(idCol),
       lit(0).as("band"), col("cell").cast("long").as("bkey"))
+    if (failOnOverCap) {
+      val (nb, mass) = Dedup.bucketCapAudit(cellRows, maxCluster)
+      if (nb > 0L) throw new IllegalStateException(
+        s"semanticDedup: $nb KMeans cell(s) covering $mass vectors exceed " +
+          s"maxCluster=$maxCluster; their pairs would be dropped and " +
+          "duplicates inside them would silently survive. Increase k " +
+          s"(nClusters, currently $k) or use auto-k (nClusters <= 0).")
+    }
     val cands = Dedup.adaptIdType(cellRows, idCol) { rows =>
       Dedup.boundedBucketPairs(rows, idCol, maxCluster)
     }

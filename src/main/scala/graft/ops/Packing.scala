@@ -28,11 +28,20 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Inclusive prefix sum of `valCol` in `orderCol` order (must be a
-    * unique non-negative numeric id). Adds column `cum`.
+    * unique non-negative numeric id — if `orderCol` has duplicate values,
+    * the inner window's order ties and each tied row's `cum` is
+    * partitioning-dependent; uniqueness is the caller's contract, as a
+    * distributed check would cost the very aggregate pass this operator
+    * exists to avoid duplicating). Adds column `cum`.
+    *
+    * Fails fast (not silently-overwrites) if the input schema already
+    * contains the output or scratch columns: `withColumn` REPLACES an
+    * existing column of the same name, which would corrupt caller data.
     */
   def prefixSum(df: DataFrame, orderCol: String, valCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireFreeColumns(df, Seq("cum", "_psb", "_pso", "_pst"))
     val withB = df.withColumn("_psb",
       expr(s"$orderCol div $bucketWidth"))
     val offsets = withB
@@ -63,8 +72,24 @@ object Packing {
   def packBins(df: DataFrame, orderCol: String, valCol: String,
                budget: Long, bucketWidth: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    requireFreeColumns(df, Seq("bin"))
     prefixSum(df, orderCol, valCol, bucketWidth)
       .withColumn("bin",
         expr(s"(cum - cast($valCol as bigint)) div $budget"))
+  }
+
+  /** Guard for the output/scratch column names these operators add:
+    * `withColumn` silently replaces an existing same-named column, so a
+    * collision must be an error at plan time, not data corruption at run
+    * time. (Spark column names are case-insensitive by default — compare
+    * lowercased.)
+    */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit = {
+    val present = df.columns.map(_.toLowerCase)
+    val clash = names.filter(n => present.contains(n.toLowerCase))
+    require(clash.isEmpty,
+      s"Packing: input already has column(s) ${clash.mkString(", ")} — " +
+        "these names are reserved for the operator's output/scratch; " +
+        "rename them before calling")
   }
 }

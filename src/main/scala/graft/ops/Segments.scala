@@ -229,18 +229,28 @@ object Segments {
     * `(seg, n_occurrences, n_docs)`, ordered by occurrences desc then
     * segment text (the C4/RefinedWeb boilerplate analysis that decides
     * what the dedup/filters should target). Two partial-aggregated
-    * exchanges (the distinct-(seg, doc) pre-step and the count rollup)
+    * exchanges (the per-(segment, doc) pre-step and the count rollup)
     * and a `TakeOrderedAndProject` top-k — no global sort.
+    *
+    * Both aggregations key on `h`, the 16-byte md5 every other segment
+    * op here shuffles by — never on the raw segment text. One exemplar
+    * text rides along as a `min(seg)` partial aggregate (all rows in an
+    * `h`-group carry the identical segment, the usual md5-identity
+    * caveat), so map-side combine reduces the second exchange to one
+    * text copy per (h, map partition) of digests+counts rather than
+    * shipping segment bytes per row.
     */
   def topSegments(docs: DataFrame, w: Int, k: Int): DataFrame = {
     val rows = segmentRows(docs, w).filter(col("seg").isNotNull)
-    val perDoc = rows.groupBy(col("seg"), col("doc_id"))
-      .agg(count(lit(1)).as("n_in_doc"))
-    perDoc.groupBy(col("seg"))
+    val perDoc = rows.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"), min(col("seg")).as("seg"))
+    perDoc.groupBy(col("h"))
       .agg(sum(col("n_in_doc")).as("n_occurrences"),
-        count(lit(1)).as("n_docs"))
+        count(lit(1)).as("n_docs"),
+        min(col("seg")).as("seg"))
       .orderBy(col("n_occurrences").desc, col("seg").asc)
       .limit(k)
+      .select(col("seg"), col("n_occurrences"), col("n_docs"))
   }
 
   /** Incremental segment-granular dedup against a persisted segment-hash

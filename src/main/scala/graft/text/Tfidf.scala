@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: one explode of distinct per-doc terms → partial-agg
   * `groupBy(term)` for df; one explode of all tokens → partial-agg
-  * `groupBy(source, term)` for tf; broadcast the (small, vocab-sized)
-  * df table into the tf side; per-source top-k via `row_number` over
-  * partitions keyed by source (parallel, tiny groups). N is a 1-row
-  * scalar cross join, not a driver `.count()`.
+  * `groupBy(source, term)` for tf; a term-keyed shuffle join of the
+  * two partial-aggregated frames (the df table is vocabulary-sized —
+  * 10⁸–10⁹ terms on a web corpus — so it is deliberately NOT
+  * broadcast: collecting an unbounded aggregate to the driver is a
+  * scale-killer; both join inputs are already reduced to one row per
+  * (key, term), so the shuffle ships aggregates, not tokens, and AQE
+  * may still pick a broadcast at small SF on its own evidence);
+  * per-source top-k via `row_number` over partitions keyed by source
+  * (parallel, tiny groups). N is a 1-row scalar cross join, not a
+  * driver `.count()`.
   */
 object Tfidf {
 
@@ -38,7 +44,7 @@ object Tfidf {
       .agg(count(lit(1)).as("tf"))
     val nTbl = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tfTbl
-      .join(broadcast(dfTbl), Seq("term"))
+      .join(dfTbl, Seq("term"))
       .crossJoin(broadcast(nTbl))
       .withColumn("score",
         col("tf").cast("double") *

@@ -44,6 +44,48 @@ class SemDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("auto-k (nClusters <= 0) scales k with N and dedups identically") {
+    val copies = fixture.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    // 10 rows, targetCell 3 -> k = ceil(10/3) = 4 clusters; every
+    // IDENTICAL copy must still collapse (a copy shares its original's
+    // nearest centroid for ANY centroid set). Organic near-dups (2, 4)
+    // only collapse when the quantizer co-locates them with their
+    // original — not guaranteed at this k, so not asserted.
+    val out = SemDedup.semanticDedup(fixture.unionByName(copies),
+      "vec_id", "embedding", nClusters = 0, minCosine = 0.95,
+      targetCell = 3)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out.forall(_ <= 5L), s"copies survived: ${out.mkString(",")}")
+    assert(Set(1L, 3L, 5L).subsetOf(out.toSet))
+  }
+
+  test("a cell past maxCluster fails loudly instead of silently keeping dups") {
+    // k=2 over 10 rows with maxCluster=3: some cell must exceed the cap
+    val copies = fixture.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val ex = intercept[IllegalStateException] {
+      SemDedup.semanticDedup(fixture.unionByName(copies),
+        "vec_id", "embedding", nClusters = 2, minCosine = 0.95,
+        maxCluster = 3)
+    }
+    assert(ex.getMessage.contains("maxCluster"))
+  }
+
+  test("failOnOverCap=false reproduces the silent drop (audit escape hatch)") {
+    val copies = fixture.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val out = SemDedup.semanticDedup(fixture.unionByName(copies),
+      "vec_id", "embedding", nClusters = 2, minCosine = 0.95,
+      maxCluster = 3, failOnOverCap = false)
+      .select("vec_id").as[Long].collect().sorted
+    // a correct (uncapped) dedup returns exactly 5 survivors; with 10
+    // rows in 2 cells at cap 3, at least one over-cap cell holds an
+    // original+copy pair whose drop is silently skipped — the failure
+    // mode the default guard exists to catch
+    assert(out.length > 5)
+  }
+
   test("survivors keep all original columns") {
     val withLabel = fixture.withColumn("label", col("vec_id") * 10)
     val out = SemDedup.semanticDedup(withLabel, "vec_id", "embedding",
