@@ -36,34 +36,16 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Drop rows belonging to buckets larger than `maxBucket` before a
-    * bucket self-join. A single degenerate bucket (boilerplate docs,
-    * stop-shingles) makes the join genuinely quadratic in that bucket —
-    * pair count C(sz,2) — and no AQE skew-split can fix a quadratic pair
-    * count, so the only scale-safe move is to cap.
-    *
-    * Hot buckets are found with one map-side-combined count aggregate; if
-    * any exist, the hot frame is localCheckpointed (so the anti-join below
-    * reuses the materialized result instead of recomputing the aggregate)
-    * and applied as an anti-join on the KEYS only. A broadcast anti-join still ships
-    * the hot keys through the driver to build the broadcast table, so the
-    * broadcast hint is applied only while the hot-bucket COUNT (already
-    * in hand from the stats aggregate) is under a size guard; an
-    * adversarial corpus with millions of just-over-cap buckets falls back
-    * to a plain shuffled anti-join instead of blowing the driver or the
-    * broadcast size limit. The dropped mass is logged from one scalar
-    * aggregate over the checkpointed frame.
-    * Members of a dropped bucket still pair up in every other band/bucket
-    * they share — with b bands, near-dups have b chances to collide — and
-    * the exact-dedup tier catches the pathological all-identical case
-    * that saturates buckets in the first place.
+  /** Bucket-cap rationale (shared by every capped candidate stage): a
+    * single degenerate bucket (boilerplate docs, stop-shingles) makes a
+    * bucket self-join genuinely quadratic in that bucket — pair count
+    * C(sz,2) — and no AQE skew-split can fix a quadratic pair count, so
+    * the only scale-safe move is to cap. Members of a dropped bucket
+    * still pair up in every other band/bucket they share — with b bands,
+    * near-dups have b chances to collide — and the exact-dedup tier
+    * catches the pathological all-identical case that saturates buckets
+    * in the first place.
     */
-  /** Above this many hot buckets the key set is too big to sensibly pass
-    * through the driver as a broadcast table (~4M keys ≈ tens of MB);
-    * the anti-join then runs as a plain shuffled join.
-    */
-  private val MaxBroadcastHotBuckets = 4L * 1000 * 1000
-
   /** Action-free bucket cap for the incremental gates'
     * BATCH side: a window count over the bucket key filters over-cap
     * buckets inline, with no driver-side stats job. The window's
@@ -1242,72 +1224,64 @@ object Dedup {
     * mass ([[graft.tools.StoreAudit]]); a sustained non-zero means the
     * rule is set looser than the cap.
     *
-    * Plan shape: ONE `groupBy(shingle)` document-frequency aggregate
-    * (map-side combined, output one row per distinct shingle) classifies
-    * shingles for BOTH tiers — stop-rule (`__df > floor(maxDocFrac·N)`)
-    * and cap backstop (`__df > maxPosting`) — replacing the previous
-    * window count over the full exploded frame plus a dedicated
-    * `distinct().count()` driver job for the doc total. The doc total is
-    * now an in-plan 1-row `countDistinct` scalar (column-pruned scan,
-    * broadcast cross join), and the flagged-key frame is filtered BEFORE
-    * the one stats action this offline tier budgets, so the common
-    * no-flagged-shingle case pays the aggregate job once and nothing
-    * else. Flagged keys apply as broadcast anti-joins over the persisted
-    * shingle frame — map-side, no extra exchange before the self-join.
+    * Plan shape: the exploded shingle frame is exchanged ONCE, hash-
+    * partitioned on `shingle` — the key every downstream consumer needs.
+    * Under that single exchange, one sort serves two stacked windows:
+    * `row_number` over (shingle, id) is the per-doc-distinct rule (the
+    * raw expression emits one hash per CHAR POSITION, so in-doc repeats
+    * must collapse before counting), and `count` over (shingle) is the
+    * document frequency annotated onto every surviving row —
+    * `HashPartitioning(shingle)` satisfies both windows' clustering, so
+    * neither re-exchanges. Both the stop-rule (`__df > floor(maxDocFrac
+    * ·N)`, doc total as an in-plan 1-row `countDistinct` scalar, no
+    * driver count job) and the cap backstop (`__df > maxPosting`,
+    * index-only) are then per-row FILTERS: no stats job, no checkpoint,
+    * no anti-join — this call runs exactly one ACTION (AQE still
+    * schedules one job per shuffle stage under it). The persisted
+    * frame keeps the shingle partitioning AND (shingle, id) sort order,
+    * so the inverted-index self-join needs no exchange and no re-sort.
+    * The cap drop is silent here like [[boundedBucketPairs]]' (the old
+    * logged-stats form cost a dedicated driver job per call);
+    * [[graft.tools.StoreAudit]] is the monitoring-cadence audit of the
+    * dropped mass.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, minJaccard: Double = 0.2,
                    maxPosting: Int = 500,
                    maxDocFrac: Double = 1.0): DataFrame = {
-    // The distinct shingle frame feeds several consumers (the combined
-    // frequency-stats action, per-doc sizes, and both sides of the
-    // self-join); persist it so the explode+distinct shuffle runs once,
-    // not per consumer. persist, NOT localCheckpoint: the cache
-    // materializes inside the frequency-stats action that runs anyway,
-    // where an eager checkpoint would spend one whole extra job on it
-    // first (shingling is deterministic, so a recompute-on-eviction is
-    // safe — checkpoint's frozen-content guarantee buys nothing here).
-    val raw = shingles(df, idCol, textCol, n).persist()
-    val ruleOn = maxDocFrac < 1.0
-    val freq = raw.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    val flaggedPlan = (if (ruleOn) {
-        // doc total as an in-plan scalar: a 1-row countDistinct over the
-        // pruned id column, broadcast into the frequency frame — no
-        // dedicated driver-side distinct().count() job
-        val nTbl = df.agg(countDistinct(col(idCol)).as("__nd"))
-        freq.crossJoin(broadcast(nTbl))
-          .withColumn("__stop", col("__df") >
-            greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
-      } else freq.withColumn("__stop", lit(false)))
-      .withColumn("__hot", !col("__stop") && col("__df") > lit(maxPosting))
-      .filter(col("__stop") || col("__hot"))
-      .select(col("shingle"), col("__stop"), col("__hot"), col("__df"))
-    // Stats first, checkpoint after (same pattern the old per-call cap
-    // used): the common case is NO flagged shingle, where checkpointing
-    // would materialize an empty frame with an eager job for nothing.
-    val stats = flaggedPlan.agg(
-      coalesce(sum(when(col("__stop"), 1L).otherwise(0L)), lit(0L)).as("ns"),
-      coalesce(sum(when(col("__hot"), 1L).otherwise(0L)), lit(0L)).as("nh"),
-      coalesce(sum(when(col("__hot"), col("__df")).otherwise(0L)), lit(0L))
-        .as("hotMass")).head()
-    val (nStop, nHot) = (stats.getAs[Long]("ns"), stats.getAs[Long]("nh"))
-    if (nHot > 0L)
-      log.warn(s"ngramJaccard: dropping $nHot hot posting(s) covering " +
-        s"${stats.getAs[Long]("hotMass")} rows (posting cap $maxPosting) " +
-        "that survived the stop-shingle rule")
-    val flagged =
-      if (nStop + nHot == 0L) null else flaggedPlan.localCheckpoint()
-    def dropKeys(base: DataFrame, stop: Boolean, nKeys: Long): DataFrame =
-      if (nKeys == 0L) base
+    graft.functions.Texts.register(df.sparkSession)
+    val exploded = df.select(col(idCol),
+      explode(graft.functions.Texts.ngramHashes(col(textCol), n,
+        ShingleHashMod)).as("shingle"))
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"), col(idCol)).orderBy(col(idCol))
+    val dfW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    val withDf = exploded
+      .repartition(col("shingle"))
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1)
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .drop("__rn")
+    // The annotated frame feeds three consumers (per-doc sizes and both
+    // sides of the self-join); persist so the explode+window pipeline
+    // runs once. persist, NOT localCheckpoint: the cache materializes
+    // inside the action this call runs (shingling is deterministic, so
+    // recompute-on-eviction is safe — checkpoint's frozen-content
+    // guarantee buys nothing, and its eager job would be pure overhead).
+    val sh = (if (maxDocFrac >= 1.0) withDf
       else {
-        val keys = flagged.filter(col("__stop") === stop).select("shingle")
-        base.join(
-          if (nKeys <= MaxBroadcastHotBuckets) broadcast(keys) else keys,
-          Seq("shingle"), "left_anti")
-      }
-    val sh = dropKeys(raw, stop = true, nStop)
+        // doc total as an in-plan scalar: a 1-row countDistinct over the
+        // pruned id column, broadcast-cross-joined — no dedicated
+        // driver-side distinct().count() job
+        val nTbl = df.agg(countDistinct(col(idCol)).as("__nd"))
+        withDf.crossJoin(broadcast(nTbl))
+          .filter(col("__df") <=
+            greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
+          .drop("__nd")
+      }).persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val idx = dropKeys(sh, stop = false, nHot)
+    val idx = sh.filter(col("__df") <= maxPosting)
     val inter = idx.select(col(idCol).as("id1"), col("shingle"))
       .join(idx.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
