@@ -199,6 +199,76 @@ object StreamingOps {
     }
   }
 
+  /** [[simhashNoveltyGateEachBatch]] with the band-store Bloom
+    * pre-filter held across micro-batches ([[graft.dedup.Dedup
+    * .simhashGate]]'s `bandBloom` — the `_bands` layout and (band, bkey)
+    * key are shared across the banded stores, so seed/fold reuse
+    * [[graft.dedup.Dedup.bandStoreBloom]] / `bloomOfKeys` unchanged).
+    * Same lifecycle and staleness contract as [[bloomMinhashNoveltyGate]]:
+    * a stale band filter would DROP batch band rows whose only store
+    * match is a newly appended fingerprint — missed duplicates — so the
+    * fold runs inside the batch loop. `expectedItems` sizes the filter
+    * in BAND ROWS (4 per stored fingerprint), not documents.
+    */
+  def bloomSimhashNoveltyGate(idCol: String, textCol: String,
+                              storeTable: String, storePath: String,
+                              outPath: String, expectedItems: Long,
+                              maxDist: Int = 3, maxBucket: Int = 500,
+                              nBuckets: Int = 8): (DataFrame, Long) => Unit = {
+    var bloom: Option[Array[Byte]] = None // driver-held, batches sequential
+    (batch: DataFrame, batchId: Long) => {
+      if (bloom.isEmpty)
+        bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
+          storeTable, expectedItems)
+      val fp = graft.dedup.Dedup.simhash(batch, idCol, textCol)
+      val fresh = graft.dedup.Dedup
+        .simhashGate(fp, idCol, storeTable, maxDist, maxBucket,
+          bandBloom = bloom)
+        .localCheckpoint()
+      val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+      graft.dedup.Dedup.appendFpStore(fresh, idCol, storeTable, storePath,
+        nBuckets, dedupAgainstStore = replay)
+      bloom = foldBloom(bloom, graft.dedup.Dedup.bloomOfKeys(
+        graft.dedup.Dedup.simhashBandRows(fresh, idCol),
+        Seq("band", "bkey"), expectedItems))
+    }
+  }
+
+  /** [[embeddingNoveltyGateEachBatch]] with the band-store Bloom
+    * pre-filter held across micro-batches ([[graft.dedup.Dedup
+    * .embeddingGate]]'s `bandBloom`). Same lifecycle and staleness
+    * contract as [[bloomMinhashNoveltyGate]]; the fold input is the
+    * survivors' sign-LSH band rows, recomputed exactly as the store
+    * append computes them. `expectedItems` sizes the filter in BAND
+    * ROWS (`bands` per stored vector), not documents.
+    */
+  def bloomEmbeddingNoveltyGate(idCol: String, vecCol: String,
+                                storeTable: String, storePath: String,
+                                outPath: String, expectedItems: Long,
+                                minCosine: Double, nPlanes: Int = 32,
+                                bands: Int = 4, maxBucket: Int = 1000,
+                                nBuckets: Int = 8): (DataFrame, Long) => Unit = {
+    var bloom: Option[Array[Byte]] = None // driver-held, batches sequential
+    (batch: DataFrame, batchId: Long) => {
+      if (bloom.isEmpty)
+        bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
+          storeTable, expectedItems)
+      val fresh = graft.dedup.Dedup
+        .embeddingGate(batch, idCol, vecCol, storeTable, minCosine,
+          nPlanes, bands, maxBucket, bandBloom = bloom)
+        .localCheckpoint()
+      val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
+      graft.dedup.Dedup.appendVecStore(fresh, idCol, vecCol, storeTable,
+        storePath, nPlanes, bands, nBuckets, dedupAgainstStore = replay)
+      bloom = foldBloom(bloom, graft.dedup.Dedup.bloomOfKeys(
+        graft.dedup.Dedup.vectorBandRows(
+          graft.similarity.Similarity.withBuckets(
+            fresh.select(col(idCol), col(vecCol)), vecCol, nPlanes),
+          idCol, nPlanes, bands),
+        Seq("band", "bkey"), expectedItems))
+    }
+  }
+
   /** OR-merge a batch's filter into the held one; either side may be
     * absent (store not seeded yet / empty batch).
     */

@@ -253,6 +253,122 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomSimhashNoveltyGate: merged band filter gates cross-batch dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-bloom-sh")
+    val outPath = base.resolve("sink").toString
+    val plainOut = base.resolve("plainsink").toString
+    val storePath = base.resolve("store").toString
+    val plainStorePath = base.resolve("plainstore").toString
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = s"bloom_sh_spec_$nonce"
+    val plainTable = s"plain_sh_spec_$nonce"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs before the dawn comes"
+    val textC = "sphinx of black quartz judge my vow under the evening stars"
+    try {
+      // pre-seed both fingerprint stores so batch 0 builds a band filter
+      for ((t, p) <- Seq((table, storePath), (plainTable, plainStorePath)))
+        graft.dedup.Dedup.simhashIncremental(
+          graft.dedup.Dedup.simhash(
+            Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text"),
+          "doc_id", t, p)
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.bloomSimhashNoveltyGate(
+          "doc_id", "text", table, storePath, outPath,
+          expectedItems = 10000))
+        .outputMode("update").start()
+      // batch 0: a copy of the seeded text (hamming 0, gated) + novel textB
+      input.addData((10L, textA), (11L, textB))
+      query.processAllAvailable()
+      // batch 1: copy of batch-0's textB — its band rows are in the store
+      // only via batch 0's append, so the MERGED band filter must keep
+      // them flowing into the candidate join (a stale filter would drop
+      // them pre-join and admit the duplicate)
+      input.addData((20L, textB), (21L, textC))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((11L, textB, 0L), (21L, textC, 1L)))
+      // output identical to the PLAIN gate run over the same batches
+      val plain = StreamingOps.simhashNoveltyGateEachBatch(
+        "doc_id", "text", plainTable, plainStorePath, plainOut) _
+      plain(Seq((10L, textA), (11L, textB)).toDF("doc_id", "text"), 0L)
+      plain(Seq((20L, textB), (21L, textC)).toDF("doc_id", "text"), 1L)
+      val plainGot = spark.read.parquet(plainOut)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == plainGot.toSeq)
+    } finally {
+      for (t <- Seq(table, plainTable)) {
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_fps")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("bloomEmbeddingNoveltyGate: merged band filter gates cross-batch dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-bloom-emb")
+    val outPath = base.resolve("sink").toString
+    val plainOut = base.resolve("plainsink").toString
+    val storePath = base.resolve("store").toString
+    val plainStorePath = base.resolve("plainstore").toString
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = s"bloom_emb_spec_$nonce"
+    val plainTable = s"plain_emb_spec_$nonce"
+    val vA = Array(1f, 0f, 0f, 0f)
+    val vB = Array(0f, 1f, 0f, 0f)
+    val vC = Array(0f, 0f, 1f, 0f)
+    try {
+      // pre-seed both vector stores so batch 0 builds a band filter
+      for ((t, p) <- Seq((table, storePath), (plainTable, plainStorePath)))
+        graft.dedup.Dedup.embeddingIncremental(
+          Seq((1L, vA)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", t, p, minCosine = 0.95)
+      val input = MemoryStream[(Long, Array[Float])]
+      val query = input.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch(StreamingOps.bloomEmbeddingNoveltyGate(
+          "vec_id", "embedding", table, storePath, outPath,
+          expectedItems = 10000, minCosine = 0.95))
+        .outputMode("update").start()
+      // batch 0: a copy of the seeded vA (cosine 1.0, gated) + novel vB
+      input.addData((10L, vA), (11L, vB))
+      query.processAllAvailable()
+      // batch 1: copy of batch-0's vB — store membership via batch 0's
+      // append only, so gating it requires the MERGED band filter
+      input.addData((20L, vB), (21L, vC))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("vec_id", "__batch_id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((11L, 0L), (21L, 1L)))
+      // output identical to the PLAIN gate run over the same batches
+      val plain = StreamingOps.embeddingNoveltyGateEachBatch(
+        "vec_id", "embedding", plainTable, plainStorePath, plainOut,
+        minCosine = 0.95) _
+      plain(Seq((10L, vA), (11L, vB)).toDF("vec_id", "embedding"), 0L)
+      plain(Seq((20L, vB), (21L, vC)).toDF("vec_id", "embedding"), 1L)
+      val plainGot = spark.read.parquet(plainOut)
+        .select("vec_id", "__batch_id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == plainGot.toSeq)
+    } finally {
+      for (t <- Seq(table, plainTable)) {
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_vecs")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("minhashNoveltyGateEachBatch: near-dup stream docs are gated by the store") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-mh-novelty")
