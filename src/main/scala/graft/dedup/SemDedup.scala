@@ -68,23 +68,51 @@ object SemDedup {
                     nClusters: Int, minCosine: Double,
                     maxCluster: Int = 10000, seed: Long = 42L,
                     targetCell: Int = 1000,
-                    failOnOverCap: Boolean = true): DataFrame = {
+                    failOnOverCap: Boolean = true): DataFrame =
+    semanticDedupAssigned(vecs,
+      assignCells(vecs, idCol, vecCol, nClusters, seed, targetCell),
+      idCol, vecCol, minCosine, maxCluster, failOnOverCap)
+
+  /** The fit + assignment stage alone: `(idCol, cell)` for every row of
+    * `vecs`. Split out of [[semanticDedup]] because the KMeans fit is an
+    * INDEXING job a pipeline pays once per corpus snapshot (the same
+    * reasoning as [[Ivf.build]] for the ANN probes): persist or
+    * checkpoint this frame and feed it to [[semanticDedupAssigned]] to
+    * re-run the dedup search — or gate fresh batches — without refitting
+    * the quantizer.
+    */
+  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+                  nClusters: Int, seed: Long = 42L,
+                  targetCell: Int = 1000): DataFrame = {
     require(targetCell > 0, "targetCell must be positive")
     val k =
       if (nClusters > 0) nClusters
       else math.max(2L, (vecs.count() + targetCell - 1) / targetCell).toInt
     require(k >= 2, "MLlib KMeans requires nClusters >= 2")
-    val clustered = Ivf.build(vecs, vecCol, k, seed).indexed
+    Ivf.build(vecs, vecCol, k, seed).indexed
+      .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
+
+  /** The within-cell dedup search over a precomputed `cells` assignment
+    * (`(idCol, cell)` rows, one per vector — [[assignCells]] output).
+    * All scale and determinism notes of [[semanticDedup]] apply; the
+    * over-cap guard here names the assignment, since k was chosen when
+    * the cells were.
+    */
+  def semanticDedupAssigned(vecs: DataFrame, cells: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCosine: Double, maxCluster: Int = 10000,
+                            failOnOverCap: Boolean = true): DataFrame = {
     // reuse the (band, bkey) bounded-bucket contract: one band, cell key
-    val cellRows = clustered.select(col(idCol),
+    val cellRows = cells.select(col(idCol),
       lit(0).as("band"), col("cell").cast("long").as("bkey"))
     if (failOnOverCap) {
       val (nb, mass) = Dedup.bucketCapAudit(cellRows, maxCluster)
       if (nb > 0L) throw new IllegalStateException(
         s"semanticDedup: $nb KMeans cell(s) covering $mass vectors exceed " +
           s"maxCluster=$maxCluster; their pairs would be dropped and " +
-          "duplicates inside them would silently survive. Increase k " +
-          s"(nClusters, currently $k) or use auto-k (nClusters <= 0).")
+          "duplicates inside them would silently survive. Refit with a " +
+          "larger cluster count (or auto-k, nClusters <= 0).")
     }
     val cands = Dedup.adaptIdType(cellRows, idCol) { rows =>
       Dedup.boundedBucketPairs(rows, idCol, maxCluster)

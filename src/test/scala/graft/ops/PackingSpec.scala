@@ -37,6 +37,23 @@ class PackingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
   }
 
+  test("reserved output/scratch column names fail fast, not corrupt") {
+    // `withColumn` silently REPLACES a same-named column — the guard
+    // turns that data corruption into a plan-time error
+    for (bad <- Seq("cum", "_psb", "CUM")) {
+      val df = Seq((1L, 2L)).toDF("id", bad)
+      val ex = intercept[IllegalArgumentException] {
+        Packing.prefixSum(df, "id", "id", 8L)
+      }
+      assert(ex.getMessage.contains("reserved"), s"col=$bad")
+    }
+    val withBin = Seq((1L, 2L)).toDF("id", "bin")
+    val ex = intercept[IllegalArgumentException] {
+      Packing.packBins(withBin, "id", "id", budget = 4L, bucketWidth = 8L)
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("packBins: bins are contiguous and overflow-bounded") {
     val df = (0L until 100L).map(i => (i, (i % 17) + 1)).toDF("id", "v")
     val out = Packing.packBins(df, "id", "v", budget = 50L, bucketWidth = 8L)
