@@ -500,6 +500,53 @@ object TextQueries {
            |  COUNT(*) AS n_docs
            |FROM perdoc GROUP BY seg
            |ORDER BY n_occurrences DESC, seg LIMIT 20""".stripMargin),
-      "top-k most-repeated segments (boilerplate analysis), tie-broken by text")
+      "top-k most-repeated segments (boilerplate analysis), tie-broken by text"),
+
+    // ----- stop-segment tier: the q86 analysis turned into action ------
+    // Segments in more than maxDocFrac of documents are dropped
+    // CORPUS-WIDE (first copies included — boilerplate has no canonical
+    // copy worth keeping) and documents rebuilt. The fixture's organic
+    // max segment df is ~1% of docs (measured at both SFs), so the rule
+    // needs SEEDED boilerplate to be demonstrably active: every third
+    // document gains an identical 16-token prefix — exactly one window,
+    // so the seeded docs' remaining windows are their ORIGINAL windows —
+    // giving that one segment df = ~33% of docs > the 20% rule on both
+    // engines, while every organic segment stays far below it. The
+    // oracle recomputes the seeding, the df rule, and the rebuild from
+    // raw text: full work, like q79/q80.
+    "q87_stop_segments" -> Q(
+      (s, dir) => {
+        val bp = (1 to 16).map(i => f"bp$i%02d").mkString(" ")
+        val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(bp + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.ops.Segments.dropStopSegments(corpus, 16, maxDocFrac = 0.2)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bp = (1 to 16).map(i => f"bp$i%02d").mkString(" ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN '$bp ' || text ELSE text END AS text
+           |  FROM documents),
+           |segrows AS (
+           |  SELECT doc_id, s.seg_no, s.seg FROM (
+           |    SELECT doc_id, LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks)/16.0) AS INT)),
+           |           i -> ARRAY_TO_STRING(toks[i*16+1:(i+1)*16], ' ')) AS segs
+           |    FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+           |    LATERAL (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(segs)), i -> {'seg_no': i, 'seg': segs[i+1]}), recursive:=true)) s),
+           |dfreq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segrows GROUP BY 1),
+           |nd AS (SELECT COUNT(*) AS n FROM corpus),
+           |flagged AS (
+           |  SELECT r.doc_id, r.seg_no, r.seg,
+           |    df <= GREATEST(1, CAST(FLOOR(0.2 * (SELECT n FROM nd)) AS BIGINT)) AS kept
+           |  FROM segrows r JOIN dfreq USING (seg))
+           |SELECT doc_id, COUNT(*) AS n_segs,
+           |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+           |  COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_no) FILTER (WHERE kept), '') AS text_dedup
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "stop-segment removal: seeded boilerplate dropped corpus-wide by the declared df rule")
   )
 }

@@ -253,6 +253,50 @@ object Segments {
       .select(col("seg"), col("n_occurrences"), col("n_docs"))
   }
 
+  /** Stop-segment removal: drop every segment occurring in more than
+    * `maxDocFrac` of the corpus' documents and rebuild each document
+    * from the survivors — the ANALYSIS→ACTION half of [[topSegments]]
+    * (the report measures segment document frequency; this tier enforces
+    * a declared df rule on it, the segment-level analog of
+    * [[graft.dedup.Dedup.ngramJaccard]]'s `maxDocFrac` stop-shingle
+    * rule: recall/retention loss is a parameter both engines agree on,
+    * not a side effect). A segment is dropped CORPUS-WIDE — including
+    * its first occurrence, unlike [[dedupSegments]]: boilerplate is
+    * noise everywhere, there is no canonical copy to keep.
+    *
+    * Plan: the [[dedupSegments]] shape — explode → ONE exchange
+    * hash-partitioned by the 16-byte md5 with two stacked windows
+    * (`row_number` over (h, doc_id) marks each document's first copy,
+    * so the df count over h counts DISTINCT documents without a second
+    * aggregation pass) → reassembly exchange by doc_id. The document
+    * total enters as a 1-row broadcast scalar, never a driver action —
+    * the same in-plan form the stop-shingle rule uses. Parallelism is
+    * the number of distinct segments; a boilerplate segment's group is
+    * as large as its occurrence count, but the window computes only a
+    * running count over it (no state beyond the sort), so a hot segment
+    * is a large sorted run, not driver or memory pressure.
+    *
+    * Returns `(doc_id, n_segs, n_kept, text_dedup)` like
+    * [[dedupSegments]].
+    */
+  def dropStopSegments(docs: DataFrame, w: Int,
+                       maxDocFrac: Double): DataFrame = {
+    require(maxDocFrac > 0.0, "maxDocFrac must be positive")
+    val docWin = Window.partitionBy(col("h"), col("doc_id"))
+      .orderBy(col("seg_no"))
+    val dfWin = Window.partitionBy(col("h"))
+    val nTbl = docs.agg(count(lit(1)).as("__nd"))
+    val flagged = segmentRows(docs, w)
+      .repartition(col("h"))
+      .withColumn("__rn", row_number().over(docWin))
+      .withColumn("__df", count(when(col("__rn") === 1, 1)).over(dfWin))
+      .crossJoin(broadcast(nTbl))
+      .withColumn("isKept",
+        col("seg").isNotNull && col("__df") <=
+          greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
+    reassembleRows(flagged)
+  }
+
   /** Incremental segment-granular dedup against a persisted segment-hash
     * store — the C4/Lee-et-al exact substring dedup in daily-batch form:
     * "which windows of today's documents are corpus-new", answered

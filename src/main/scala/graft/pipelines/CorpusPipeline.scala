@@ -21,13 +21,25 @@ import graft.text.TextAnalysis
   */
 object CorpusPipeline {
 
+  /** `stopSegmentFrac` (off by default) enables the stop-segment tier:
+    * segments of `segmentW` tokens occurring in more than that fraction
+    * of the exact-deduped corpus are removed corpus-wide and documents
+    * rebuilt before the near-dup tier — the [[graft.ops.Segments
+    * .topSegments]] boilerplate ANALYSIS turned into enforcement (same
+    * declared-df-rule contract as the n-gram stop-shingle rule). It runs
+    * after exact dedup (boilerplate frequency should count distinct
+    * documents, not verbatim copies) and before MinHash (signatures
+    * should fingerprint content, not template chrome).
+    */
   final case class Config(
       langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3,
       minhashBits: Int = 32,
       shingleN: Int = 5,
       lshBands: Int = 8,
-      minEstJaccard: Double = 0.5)
+      minEstJaccard: Double = 0.5,
+      stopSegmentFrac: Option[Double] = None,
+      segmentW: Int = 16)
 
   /** Returns the curated corpus: one row per surviving document with
     * `tokens` added. Survivor = canonical (minimum doc_id) member of its
@@ -57,18 +69,31 @@ object CorpusPipeline {
       .select(col("__doc.*"))
       .localCheckpoint()
 
+    // optional tier 2.5: corpus-wide stop-segment removal (see Config).
+    // The rebuilt frame replaces `text` and is materialized because the
+    // near-dup tier consumes it from several branches, like exactKept.
+    val deboiled = cfg.stopSegmentFrac match {
+      case None => exactKept
+      case Some(frac) =>
+        val rebuilt = graft.ops.Segments
+          .dropStopSegments(exactKept, cfg.segmentW, frac)
+          .select(col("doc_id"), col("text_dedup").as("text"))
+        exactKept.drop("text").join(rebuilt, Seq("doc_id"))
+          .localCheckpoint()
+    }
+
     // tier 3: near-dup clusters -> canonical survivor per cluster
     // (signatures feed both the band join and the verify join; pairs feed
     // the iterative CC — materialize each once)
-    val sig = Dedup.minhashSignatures(exactKept, "doc_id", "text",
+    val sig = Dedup.minhashSignatures(deboiled, "doc_id", "text",
       cfg.minhashBits, cfg.shingleN).localCheckpoint()
     val nearPairs = Dedup.minhashJaccard(
         Dedup.lshCandidates(sig, "doc_id", cfg.lshBands), sig, "doc_id")
       .filter(col("est_jaccard") >= cfg.minEstJaccard)
       .localCheckpoint()
     val clusters = Dedup.canonicalClusters(
-      exactKept.select("doc_id"), nearPairs, "doc_id")
-    val survivors = exactKept.join(
+      deboiled.select("doc_id"), nearPairs, "doc_id")
+    val survivors = deboiled.join(
       clusters.filter(col("doc_id") === col("canonical_id"))
         .select("doc_id"),
       Seq("doc_id"), "left_semi")

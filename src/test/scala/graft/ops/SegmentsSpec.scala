@@ -76,6 +76,44 @@ class SegmentsSpec extends SparkSpec {
     assert(out(1) == Row(2L, 1L, 1L, "a b"))
   }
 
+  test("dropStopSegments: over-frac segments vanish corpus-wide, first copies included") {
+    // "b p" appears in 3 of 4 docs (75%); the 0.5 rule drops it from ALL
+    // of them — unlike dedupSegments there is no surviving first copy
+    val docs = Seq(
+      (1L, "b p a b"),   // segs: "b p", "a b"
+      (2L, "b p c d"),
+      (3L, "b p e f"),
+      (4L, "g h i j")
+    ).toDF("doc_id", "text")
+    val out = Segments.dropStopSegments(docs, 2, maxDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 2L, 1L, "a b"))
+    assert(out(1) == Row(2L, 2L, 1L, "c d"))
+    assert(out(2) == Row(3L, 2L, 1L, "e f"))
+    assert(out(3) == Row(4L, 2L, 2L, "g h i j"))
+  }
+
+  test("dropStopSegments: df counts distinct docs, not occurrences") {
+    // "x y" occurs 3 times but in ONE doc of four: in-doc repetition must
+    // not push a segment over a document-fraction rule
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "a b"), (3L, "c d"), (4L, "e f")
+    ).toDF("doc_id", "text")
+    val out = Segments.dropStopSegments(docs, 2, maxDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 3L, 3L, "x y x y x y"))
+  }
+
+  test("dropStopSegments: rule at 1.0 keeps everything; empty doc reports zero") {
+    val docs = Seq((1L, ""), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = Segments.dropStopSegments(docs, 2, maxDocFrac = 1.0)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 0L, 0L, ""))
+    assert(out(1) == Row(2L, 1L, 1L, "a b"))
+    assert(out(2) == Row(3L, 1L, 1L, "a b"))
+  }
+
   test("dedupSegmentsIncremental: day-2 segments gate against day 1") {
     val table = s"spec_segstore_${System.nanoTime()}"
     val path = java.nio.file.Files

@@ -34,6 +34,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(tokens > 0)
   }
 
+  test("curate: stop-segment tier strips seeded boilerplate before the near-dup tier") {
+    // every doc carries the same 8-token boilerplate prefix (one w=8
+    // window); bodies are distinct. With the tier OFF the shared prefix
+    // stays in the text; with it ON (>50% of docs) the prefix segment is
+    // stripped corpus-wide and the bodies survive intact.
+    val bp = "the standard header text of the main site"   // 8 tokens
+    val bodies = Seq(
+      (1L, "the quick brown fox jumps over the dog and the cat runs far away now"),
+      (2L, "the slow green turtle walks under the sun and the bird flies high above"),
+      (3L, "the large blue whale swims beneath the waves and the fish dart quickly past"))
+    val docs = bodies.map { case (id, b) => (id, s"$bp $b") }
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.0,
+      stopSegmentFrac = Some(0.5), segmentW = 8)
+    val out = CorpusPipeline.curate(docs, cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    bodies.foreach { case (id, b) =>
+      assert(out(id) == b, s"doc $id should keep its body, lose the prefix")
+    }
+    // tier off: texts unchanged
+    val off = CorpusPipeline.curate(docs,
+        CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.0))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(off(1L) == s"$bp ${bodies.head._2}")
+  }
+
   test("curateIncremental: day-2 batch gated against day-1 state") {
     val table = s"spec_curinc_${System.nanoTime()}"
     val path = java.nio.file.Files
