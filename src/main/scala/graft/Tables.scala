@@ -18,17 +18,43 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` is written with parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader only accepts as a raw long under
-    * `spark.sql.legacy.parquet.nanosAsLong`. We normalize to a proper
-    * microsecond NTZ timestamp column so downstream operators (windows,
-    * event-time grouping, streaming) see a regular timestamp. DuckDB reads
-    * the same file natively as TIMESTAMP (ns truncated to us), so both
-    * sides agree after the div-1000 truncation.
+  /** Schema-adaptive load of the `events` table.
+    *
+    * The harness has regenerated `events.parquet` across rounds with three
+    * physical encodings for `ts`, and the loader must tolerate all of them
+    * (the round-11 regression was exactly this drift):
+    *
+    *   - parquet TIMESTAMP(MICROS/MILLIS) — Spark infers a real timestamp
+    *     (NTZ or LTZ depending on isAdjustedToUTC); pass through unchanged.
+    *     Session timezone is pinned to UTC by every entrypoint, so NTZ vs
+    *     LTZ is value-identical downstream.
+    *   - plain INT64 epoch-nanos — surfaces as LongType; truncate to
+    *     microseconds (`ts div 1000`, matching DuckDB's ns→us truncation)
+    *     and convert with `timestamp_micros`.
+    *   - parquet TIMESTAMP(NANOS) — Spark's schema converter rejects the
+    *     footer outright unless `spark.sql.legacy.parquet.nanosAsLong` is
+    *     set, under which the column arrives as epoch-nanos LongType and
+    *     takes the same div-1000 path. The conf must stay set for the
+    *     lifetime of the returned plan (the vectorized reader re-reads it
+    *     from the session at execution), so it is mutated ONLY on this
+    *     branch — the common paths never touch session state.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val path = s"$dir/events.parquet"
+    val inferred =
+      try Some(spark.read.parquet(path).schema("ts").dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    inferred match {
+      case Some(LongType) =>
+        spark.read.parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(_) =>
+        spark.read.parquet(path) // real timestamp column — no rewrite needed
+      case None => // TIMESTAMP(NANOS) footer: legacy long-surfacing read
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 }

@@ -264,36 +264,59 @@ object Segments {
     * its first occurrence, unlike [[dedupSegments]]: boilerplate is
     * noise everywhere, there is no canonical copy to keep.
     *
-    * Plan: the [[dedupSegments]] shape — explode → ONE exchange
-    * hash-partitioned by the 16-byte md5 with two stacked windows
-    * (`row_number` over (h, doc_id) marks each document's first copy,
-    * so the df count over h counts DISTINCT documents without a second
-    * aggregation pass) → reassembly exchange by doc_id. The document
-    * total enters as a 1-row broadcast scalar, never a driver action —
-    * the same in-plan form the stop-shingle rule uses. Parallelism is
-    * the number of distinct segments; a boilerplate segment's group is
-    * as large as its occurrence count, but the window computes only a
-    * running count over it (no state beyond the sort), so a hot segment
-    * is a large sorted run, not driver or memory pressure.
+    * Plan (r12 rework — the r11 shape `repartition(h)` + df window sent
+    * every occurrence of a hot segment to ONE task, and hot segments
+    * are precisely what this operator targets: boilerplate appearing in
+    * 10-50% of documents is billions of rows through a single task at
+    * 100 TB): document frequency is computed by TWO-PHASE PARTIAL
+    * AGGREGATION — `(h, doc_id)` distinct (map-side combine collapses
+    * in-document repeats before anything moves, and the exchange key
+    * carries doc_id so a hot `h` still spreads over all tasks) →
+    * `groupBy(h)` count (after phase 1 each h holds at most one row per
+    * map partition at the exchange). The over-threshold STOP-SET is
+    * then broadcast back as a null-producing left join; the occurrence
+    * frame itself never shuffles on `h` at all — its only exchange is
+    * the doc_id reassembly that every segment op pays anyway (group
+    * size = segments per document, bounded by document length).
     *
-    * Returns `(doc_id, n_segs, n_kept, text_dedup)` like
-    * [[dedupSegments]].
+    * The stop-set is broadcastable by construction, independent of
+    * corpus size: a segment needs df > maxDocFrac·N docs to enter, and
+    * there are at most (distinct (h,doc) pairs)/(maxDocFrac·N) =
+    * avgDistinctSegsPerDoc / maxDocFrac such segments — e.g. 1000-seg
+    * documents at a 1% rule cap it at 100k hashes ≈ 1.6 MB of 16-byte
+    * md5s, at ANY corpus size. The bound degrades as 1/maxDocFrac, so
+    * degenerate tiny fractions (which turn the rule into "drop every
+    * repeated segment" — use [[dedupSegments]] for that) are the one
+    * misuse to avoid.
+    *
+    * The stop-set branch re-reads the documents scan (two tokenize
+    * passes) instead of persisting the exploded frame — caching the
+    * full occurrence frame is exactly the corpus-sized state this
+    * operator must not hold, and the second pass prunes to (h, doc_id)
+    * so it ships no segment text.
+    *
+    * The document total enters the threshold as a 1-row broadcast
+    * scalar, never a driver action. Returns
+    * `(doc_id, n_segs, n_kept, text_dedup)` like [[dedupSegments]].
     */
   def dropStopSegments(docs: DataFrame, w: Int,
                        maxDocFrac: Double): DataFrame = {
     require(maxDocFrac > 0.0, "maxDocFrac must be positive")
-    val docWin = Window.partitionBy(col("h"), col("doc_id"))
-      .orderBy(col("seg_no"))
-    val dfWin = Window.partitionBy(col("h"))
     val nTbl = docs.agg(count(lit(1)).as("__nd"))
-    val flagged = segmentRows(docs, w)
-      .repartition(col("h"))
-      .withColumn("__rn", row_number().over(docWin))
-      .withColumn("__df", count(when(col("__rn") === 1, 1)).over(dfWin))
+    val rows = segmentRows(docs, w)
+    val stopSet = rows
+      .filter(col("seg").isNotNull)
+      .select(col("h"), col("doc_id")).distinct()      // phase 1: per-doc
+      .groupBy(col("h")).agg(count(lit(1)).as("__df")) // phase 2: df
       .crossJoin(broadcast(nTbl))
+      .filter(col("__df") >
+        greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
+      .select(col("h").as("__stop_h"))
+    val flagged = rows
+      .join(broadcast(stopSet), col("h") === col("__stop_h"), "left_outer")
       .withColumn("isKept",
-        col("seg").isNotNull && col("__df") <=
-          greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
+        col("seg").isNotNull && col("__stop_h").isNull)
+      .drop("__stop_h")
     reassembleRows(flagged)
   }
 

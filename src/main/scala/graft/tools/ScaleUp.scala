@@ -43,7 +43,19 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, dst, factor)
+    spark.stop()
+  }
 
+  /** Build `dst` as a `factor`x replication of `src`, reusing the
+    * caller's session. Also callable from graft.Bench, which regenerates
+    * the sf1 point when `data/sf1` is missing (the round-11 official
+    * bench silently skipped the sf1 block because the dir was absent in
+    * the driver environment — the at-scale ratio must be measured every
+    * round, so absence now triggers a rebuild instead of a skip).
+    */
+  def build(spark: SparkSession, src: String, dst: String, factor: Int)
+      : Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
 
     def write(df: DataFrame, table: String): Unit =
@@ -92,7 +104,7 @@ object ScaleUp {
         java.nio.file.Paths.get(s"$dst/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"[scaleup] wrote $dst at ${factor}x $src")
-    spark.stop()
+    // stderr: Bench's stdout is a single machine-parsed JSON line
+    System.err.println(s"[scaleup] wrote $dst at ${factor}x $src")
   }
 }
