@@ -492,6 +492,53 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin),
       "filter -> exact dedup -> MinHash/LSH near-dup -> connected components -> token accounting, closed-form survivors"),
 
+    // ----- curation E2E WITH the stop-segment tier (r12: the combined
+    // exact-dedup -> de-boilerplate -> near-dup path measured under one
+    // oracle). Corpus: salted docs (q45's organic-pair suppression) with
+    // q87's seeded boilerplate — every third doc gains an identical
+    // 16-token prefix (= exactly one segment window, so remaining
+    // windows are the doc's own) — plus 50 verbatim copies made AFTER
+    // seeding so exact dedup still collapses them. The tiers interlock
+    // closed-form: exact dedup keeps the 500 min-id originals; the stop
+    // tier sees df(bp) = ~33% of the deduped corpus > the 20% rule and
+    // strips the prefix (organic window df tops out ~1%), rebuilding
+    // each seeded doc to its salted-only text; the near-dup tier then
+    // finds NO pair at threshold 0.9 (salted organic pairs top out
+    // 25/32); token accounting runs on the rebuilt text. The oracle is
+    // therefore UNIFORM over documents — original regex tokens + 4 per
+    // salt token — which pins both failure modes: a stop tier that
+    // misses the seeded boilerplate leaves +32 regex tokens on ~1/3 of
+    // docs; one that over-deletes organic segments shows a deficit.
+    "q88_curate_stop_segments" -> Q(
+      (s, dir) => {
+        val bp = (1 to 16).map(i => f"bp$i%02d").mkString(" ")
+        val nTok = greatest(lit(12), (length(col("text")) / 16).cast("int"))
+        val salted = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            array_join(transform(sequence(lit(1), nTok),
+              i => concat(lit("u"), col("doc_id"), lit("x"), i)), " "))
+            .as("text"))
+        val seeded = salted.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(bp + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        val corpus = seeded.unionByName(seeded.filter(col("doc_id") < 50)
+          .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
+        graft.pipelines.CorpusPipeline.curate(corpus,
+            graft.pipelines.CorpusPipeline.Config(
+              langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0,
+              minEstJaccard = 0.9, stopSegmentFrac = Some(0.2)))
+          .select(col("doc_id"), col("tokens").cast("long").as("tokens"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""SELECT doc_id,
+           |  LEN(REGEXP_EXTRACT_ALL(text, '${graft.text.TextAnalysis.TokenRegex}'))
+           |    + 4 * GREATEST(12, CAST(FLOOR(LENGTH(text)/16) AS INT)) AS tokens
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+      "curate with stopSegmentFrac: exact dedup -> stop-segment removal -> near-dup -> token accounting, uniform closed-form oracle"),
+
     // ----- SimHash near-dup candidates, salted copy-seeded oracle -----
     // Same construction as q37 for the SimHash path: fused simhash64
     // over every salted doc, 16-bit banding, bounded-bucket candidates,
