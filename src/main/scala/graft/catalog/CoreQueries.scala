@@ -139,6 +139,22 @@ object CoreQueries {
         // window ride ONE exchange: that pins every stage to 25
         // partitions, trading two cheap exchanges for a parallelism
         // ceiling that breaks at 100 TB.
+        //
+        // r12 finding (closes the r10/r11 stretch item): the 7 static
+        // exchanges decompose as ONE fact-scale shuffle — the (k, d)
+        // hash aggregate over orders⋈customer, running at full
+        // parallelism — plus six that move only aggregated or
+        // dimension-sized frames: the top-5 re-aggregate (≤ #nations
+        // rows post-partial-agg) and its 5-row broadcast, the
+        // population aggregate (25 rows) and its broadcast, the cumsum
+        // window input (#nations × #days rows — ~2.5e5 at a 10⁴-day
+        // 100 TB corpus, trivia next to the fact shuffle), and the
+        // final range sort of the same frame. Every collapse candidate
+        // requires keying the FACT aggregate by nation alone — the
+        // 25-partition ceiling declined above — so the count is
+        // irreducible without a parallelism cliff; the residual sf1
+        // equivalent-work gap vs DuckDB is per-job floor on those six
+        // tiny exchanges, not data movement.
         val daily = ordersNation(s, dir)
           .groupBy(col("nation").as("k"), col("d")).agg(count(lit(1)).as("n"))
           .localCheckpoint()

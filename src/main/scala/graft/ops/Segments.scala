@@ -86,22 +86,48 @@ object Segments {
     * and its document rebuilt from the survivors. The C4 "exact
     * substring dedup" shape at fixed-window granularity.
     *
-    * Plan: explode → ONE exchange hash-partitioned by md5(seg) with a
-    * per-group `row_number` (parallelism = distinct segments) → one
-    * exchange by doc_id to reassemble. Segment text rides the first
-    * exchange once; nothing is collected. Docs whose every segment was
-    * a copy survive with `n_kept = 0` and empty text.
+    * Plan (r12 rework, the [[dropStopSegments]] argument applied to the
+    * first-copy rule): the r11 shape — `row_number` over an h-keyed
+    * window — funneled every occurrence of a hot segment into one task,
+    * and at corpus scale the hottest exact-duplicate segments ARE
+    * boilerplate (10-50% document frequency). The first copy of each
+    * segment is really an aggregate, `min(struct(doc_id, seg_no))` per
+    * h — TWO-PHASE PARTIAL AGGREGATION (map-side combine leaves at most
+    * one candidate per (h, task) at the exchange, hot or not). The
+    * winner is then joined back on `(h, doc_id = first_doc)` — BOTH
+    * columns equi-keys, so the occurrence frame shuffles by
+    * (h, doc_id), under which a hot segment spreads across all its
+    * documents; per-key group size is bounded by in-document repeats of
+    * one segment, never by corpus-wide popularity. `isKept` = the row's
+    * seg_no equals the winner's. The min-key frame (one 28-byte row per
+    * distinct segment) is corpus-sized, so the join is a shuffle join,
+    * not a broadcast — but a uniformly-keyed one.
+    *
+    * Like [[dropStopSegments]], the aggregate branch re-reads the scan
+    * (two tokenize passes) rather than materializing the exploded
+    * corpus; the second pass prunes to (h, doc_id, seg_no) and ships no
+    * segment text. Docs whose every segment was a copy survive with
+    * `n_kept = 0` and empty text (empty docs' posexplode_outer
+    * (null, null) row misses the join and is excluded by `isKept`).
     *
     * Returns `(doc_id, n_segs, n_kept, text_dedup)`.
     */
   def dedupSegments(docs: DataFrame, w: Int): DataFrame = {
-    val firstWin = Window.partitionBy(col("h"))
-      .orderBy(col("doc_id"), col("seg_no"))
-    // empty docs survive posexplode_outer as a single (null, null) row;
-    // `isKept` excludes it so they report n_segs = n_kept = 0, text "".
-    val keptRows = segmentRows(docs, w)
-      .withColumn("rn", row_number().over(firstWin))
-      .withColumn("isKept", col("seg").isNotNull && col("rn") === 1)
+    val rows = segmentRows(docs, w)
+    val firstKeys = segmentRows(docs, w)
+      .filter(col("seg").isNotNull)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("__first"))
+      .select(col("h").as("__fh"), col("__first.doc_id").as("__fdoc"),
+        col("__first.seg_no").as("__fseg"))
+    val keptRows = rows
+      .join(firstKeys,
+        rows("h") === col("__fh") && rows("doc_id") === col("__fdoc"),
+        "left_outer")
+      .withColumn("isKept",
+        col("seg").isNotNull &&
+          coalesce(col("__fseg") === col("seg_no"), lit(false)))
+      .drop("__fh", "__fdoc", "__fseg")
     reassembleRows(keptRows)
   }
 
@@ -142,6 +168,14 @@ object Segments {
     * not in the persisted store. The store side is bucketed on the
     * hash ([[graft.dedup.Dedup.appendHashStore]] layout), so the probe
     * join reads it co-located — only the batch's segment rows shuffle.
+    *
+    * The first-in-batch rule keeps the h-keyed `row_number` window that
+    * [[dedupSegments]] dropped (r12): here the hot-group bound is a
+    * single BATCH's occurrences of one segment — a daily batch is
+    * orders of magnitude smaller than the corpus, and a boilerplate
+    * segment repeats at most once per batch document — so the skewed
+    * task is bounded by batch size by construction, where the
+    * corpus-wide form's was bounded by nothing.
     */
   def segmentGateRows(batch: DataFrame, w: Int,
                       storeTable: String): DataFrame = {

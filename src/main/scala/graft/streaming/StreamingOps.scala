@@ -42,6 +42,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("day.start").as("d"), col("n"))
 
+  /** Event-time session windows with watermark — the streaming sibling
+    * of the batch catalog's q28 sessionize shape (same
+    * `session_window(ts, gap)` grouping, so the two agree row-for-row on
+    * closed sessions; the spec pins that equivalence). A session becomes
+    * final in append mode once the watermark passes its close + gap.
+    * State is per OPEN session per key — bounded by the watermark, never
+    * by stream length; Spark merges adjacent windows under the hood, so
+    * a hot key holds one state row per concurrent session, not per
+    * event.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    lateness: String = "1 day"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("n"))
+
   /** Late-data correction: merge each micro-batch into a keyed parquet
     * sink (≡ the reference re-fetching "Under Investigation" rows and
     * updating them once resolved, cv.py:112-132). Use as

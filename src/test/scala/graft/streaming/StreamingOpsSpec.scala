@@ -38,6 +38,44 @@ class StreamingOpsSpec extends SparkSpec {
       (ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-02 00:00:00"), 1L)))
   }
 
+  test("sessionCounts: closed sessions match the batch session_window shape") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int)]
+    val query = StreamingOps.sessionCounts(
+        input.toDF().toDF("ts", "user_id"), "ts", "user_id")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // (new session); user 2: one event
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), 1), (ts("2024-01-01 10:10:00"), 1),
+      (ts("2024-01-01 10:50:00"), 1), (ts("2024-01-01 10:05:00"), 2))
+    input.addData(events: _*)
+    query.processAllAvailable()
+    // advance the watermark past every session close + lateness
+    input.addData((ts("2024-01-03 00:00:00"), 99))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-03 00:01:00"), 99))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("sessions")
+      .filter($"user_id" < 99).orderBy("user_id", "session_start")
+      .as[(Int, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, ts("2024-01-01 10:00:00"), 2L),
+      (1, ts("2024-01-01 10:50:00"), 1L),
+      (2, ts("2024-01-01 10:05:00"), 1L)))
+    // row-for-row agreement with the BATCH session_window shape (q28)
+    import org.apache.spark.sql.functions._
+    val batch = events.toDF("ts", "user_id")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("session_start"), $"n")
+      .orderBy("user_id", "session_start")
+      .as[(Int, Timestamp, Long)].collect().toSeq
+    assert(got == batch)
+  }
+
   test("dedupAppend: duplicate keys within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int)]
