@@ -151,4 +151,55 @@ class SegmentsSpec extends SparkSpec {
       .collect()
     assert(out.head == Row(1L, 2L, 1L, "a b"))
   }
+
+  // ---- plan-shape pins for the r12 de-skew reworks: a future edit that
+  // reintroduces an h-keyed window (or an h-only shuffle of the raw
+  // occurrence frame) over the corpus-wide ops fails here, not at 100 TB.
+  // An h-only exchange is legitimate ONLY directly above a partial
+  // aggregate — map-side combine has already collapsed a hot segment to
+  // one row per task before anything moves.
+  private def assertDeskewedPlan(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectWithSubqueries { case w: WindowExec => w }.isEmpty,
+      "corpus-wide segment ops must not use window functions")
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hOnly = plan.collectWithSubqueries {
+      case e: ShuffleExchangeExec if (e.outputPartitioning match {
+        case hp: HashPartitioning =>
+          hp.expressions.flatMap(_.references.map(_.name)).toSet == Set("h")
+        case _ => false
+      }) => e
+    }
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    @annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    hOnly.foreach { e =>
+      val top = unwrap(e.child)
+      assert(top.isInstanceOf[BaseAggregateExec],
+        s"h-only shuffle must sit above a partial aggregate, got: ${top.nodeName}")
+    }
+  }
+
+  test("dedupSegments plan is skew-free (no windows, h-shuffles pre-aggregated)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
+    assertDeskewedPlan(Segments.dedupSegments(docs, 2))
+  }
+
+  test("dropStopSegments plan is skew-free (no windows, h-shuffles pre-aggregated)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
+    assertDeskewedPlan(Segments.dropStopSegments(docs, 2, 0.4))
+  }
 }
