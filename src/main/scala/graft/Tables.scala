@@ -15,8 +15,25 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Column dtypes the engine's operators assume, pinned per table so a
+    * driver-side testdata regeneration that narrows or widens a physical
+    * type (the round-11 events `ts` drift, but for the volume tables)
+    * degrades to a free no-op cast instead of an AnalysisException or a
+    * silent semantic change. Casts to the already-scanned type are
+    * removed by Catalyst (`SimplifyCasts`), and upcast comparisons are
+    * still pushed to parquet (`UnwrapCastInBinaryComparison`), so the
+    * common path costs nothing.
+    */
+  private val pinnedTypes: Map[String, Seq[(String, String)]] = Map(
+    "documents" -> Seq("doc_id" -> "bigint", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    pinnedTypes.getOrElse(name, Nil).foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
+  }
 
   /** Schema-adaptive load of the `events` table.
     *

@@ -78,6 +78,38 @@ class TablesSpec extends SparkSpec {
     assert(df.count() == 20)
   }
 
+  test("volume tables: drifted integer/float widths normalize to the pinned dtypes") {
+    val dir = s"/tmp/graft-test-drift-${System.nanoTime()}"
+    // narrow doc_id/n_chars to int32 and widen the embedding to double —
+    // the classes of drift a regeneration could introduce
+    spark.range(10)
+      .select(col("id").cast("int").as("doc_id"), lit("t x").as("text"),
+        lit("en").as("lang"), lit("web").as("source"),
+        lit(3).cast("int").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(10)
+      .select(col("id").cast("int").as("vec_id"),
+        array(lit(1.0), lit(2.0)).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = Tables(spark, dir, "documents")
+    assert(docs.schema("doc_id").dataType.typeName == "long")
+    assert(docs.schema("n_chars").dataType.typeName == "long")
+    val emb = Tables(spark, dir, "embeddings")
+    assert(emb.schema("vec_id").dataType.typeName == "long")
+    assert(emb.schema("embedding").dataType.sql == "ARRAY<FLOAT>")
+  }
+
+  test("volume tables: already-pinned dtypes stay a plain pruned scan") {
+    val docs = Tables(spark, sf, "documents")
+    assert(docs.schema("doc_id").dataType.typeName == "long")
+    // the no-op cast must not block filter pushdown to the parquet scan
+    val plan = docs.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"expected pushed filter in:\n$plan")
+  }
+
   test("events: the common (timestamp) path never mutates session state") {
     withoutNanosConf {
       Tables.events(spark, sf).count()
