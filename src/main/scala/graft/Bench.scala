@@ -85,7 +85,12 @@ object Bench {
     // reworked from a skewed h-keyed window to two-phase partial agg +
     // broadcast stop-set (see Segments.dropStopSegments); its cost
     // shape at 10x is exactly what that rework is for.
-    "q87_stop_segments")
+    "q87_stop_segments",
+    // r12: grouped top-k A/B — q51 (window + WindowGroupLimit, sorts
+    // every map partition) vs q89 (bounded-buffer aggregate, no sort);
+    // identical output and oracle, so the sf1 delta isolates the
+    // physical contract.
+    "q89_rank_topn_agg")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -116,7 +121,9 @@ object Bench {
     "q83_semantic_dedup",
     // q87 scans the full documents table; its segment df distribution
     // (boilerplate = hot segments) is the skew the r12 rework targets
-    "q87_stop_segments")
+    "q87_stop_segments",
+    // q89 scans orders⋈customer like its window twin q51 (also a member)
+    "q89_rank_topn_agg")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -282,6 +282,40 @@ object ScalarQueries {
           |WHERE rk <= 3 ORDER BY nation, rk""".stripMargin),
       "per-group top-n via ranking window"),
 
+    // ----- q51's semantics as a bounded-buffer AGGREGATE (r12) -----
+    // Same output, same oracle — different physical contract: the window
+    // form (even with partial WindowGroupLimit) sorts every map
+    // partition's full frame; top_k_pairs streams it through a k-element
+    // buffer (O(n log k), no Sort operator) and ships <= k pairs per
+    // (group, task). The A/B pair (q51 vs q89) is measured at sf1 in the
+    // bench headline set.
+    "q89_rank_topn_agg" -> Q(
+      (s, dir) => {
+        graft.functions.TopK.register(s)
+        val joined = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("o_orderkey"),
+            col("o_totalprice"))
+        joined.groupBy(col("nation"))
+          .agg(graft.functions.TopK.topKPairs(
+            col("o_totalprice").cast("double"), col("o_orderkey"), 3).as("top"))
+          .select(col("nation"), posexplode(col("top")))
+          .select(col("nation"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+          .orderBy("nation", "rk")
+      },
+      Some(
+        """SELECT nation, rk, o_orderkey, o_totalprice FROM (
+          |  SELECT n_name AS nation, o_orderkey, o_totalprice,
+          |         ROW_NUMBER() OVER (PARTITION BY n_name
+          |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |              JOIN nation ON c_nationkey = n_nationkey)
+          |WHERE rk <= 3 ORDER BY nation, rk""".stripMargin),
+      "per-group top-n via bounded-buffer aggregate (no sort operator)"),
+
     // ----- semi-structured JSON column extraction (events.props) -----
     "q55_json_extract" -> Q(
       (s, dir) => Tables.events(s, dir)
