@@ -404,9 +404,14 @@ object TextQueries {
     // hash match proves the scalable decomposition exact.
     "q81_pack_chunks" -> Q(
       (s, dir) => {
+        // materialized once: prefixSum's bucket-offsets branch and its
+        // main branch both consume this frame, and re-tokenizing the
+        // corpus per branch costs more than checkpointing 16 bytes/doc
+        // (measured at sf1: 1.83s unmaterialized -> 1.10s)
         val docs = Tables(s, dir, "documents").select(col("doc_id"),
           graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
             .as("n_tok"))
+          .localCheckpoint()
         graft.ops.Packing.packBins(docs, "doc_id", "n_tok",
             budget = 512L, bucketWidth = 64L)
           .groupBy(col("bin"))
