@@ -134,6 +134,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => SimHash64(es(0))),
       ("shingle_fingerprint", classOf[ShingleFingerprint].getName,
         es => ShingleFingerprint(es(0), intArg(es(1)))),
+      ("repetition_counts", classOf[RepetitionCounts].getName,
+        es => RepetitionCounts(es(0))),
+      ("top_k_pairs", classOf[TopKPairs].getName,
+        es => TopKPairs(es(0), es(1), intArg(es(2)))),
+      ("vec_centroid", classOf[VecCentroidQ].getName,
+        es => VecCentroidQ(es(0), longArg(es(1)))),
+      ("bloom_any", classOf[BloomAny].getName,
+        es => BloomAny(es(0), es(1))),
       ("bounded_ids", classOf[BoundedIds].getName,
         es => BoundedIds(es.init, intArg(es.last))),
       ("lsh_bucket", classOf[LshBucket].getName,

@@ -23,9 +23,22 @@ object Sampling {
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
     */
   def assignSplit(df: DataFrame, idCol: String,
-                  splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+                  splits: Seq[(String, Double)], salt: String = ""): DataFrame =
+    assignSplitBy(df, col(idCol), splits, salt)
+
+  /** [[assignSplit]] keyed on an arbitrary column — the leakage-safe
+    * form: bucket on a duplicate-cluster REPRESENTATIVE id (from exact
+    * dedup or connected components) and every member of a cluster lands
+    * in the same split, so near-identical text can never straddle the
+    * train/eval boundary (the contamination a per-doc hash split cannot
+    * prevent). Pure column expression — the caller supplies the rep
+    * column however it was derived; no shuffle is added here.
+    */
+  def assignSplitBy(df: DataFrame, key: Column,
+                    splits: Seq[(String, Double)],
+                    salt: String = ""): DataFrame = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
-    val b = hashBucket(col(idCol), salt)
+    val b = hashBucket(key, salt)
     val cuts = splits.scanLeft(0.0)(_ + _._2).tail
     val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), rest) => when(b < cut, lit(name)).otherwise(rest)

@@ -25,15 +25,38 @@ object ExtCheck {
         size(minhash_sig('hello world', 8, 5, 2147483647)) AS ms,
         simhash64('hello world') AS sh,
         shingle_fingerprint('hello world', 8) AS fp,
-        lsh_bucket(array(1.0f, 0.0f), 4, 42) AS lb
+        lsh_bucket(array(1.0f, 0.0f), 4, 42) AS lb,
+        repetition_counts('a a b')[0] AS rc
     """).head()
     println(s"[extcheck] $out")
     val agg = spark.sql("""
       SELECT bounded_ids(x, 10) AS ids, kmv_sample(x, 3) AS kmv,
-             kmv_distinct(x, 16) AS kd
+             kmv_distinct(x, 16) AS kd,
+             top_k_pairs(CAST(x AS DOUBLE), x, 2) AS tk,
+             vec_centroid(array(CAST(x AS FLOAT)), 1000000L) AS vc
       FROM VALUES (1L), (2L), (3L) AS t(x)
     """).head()
     println(s"[extcheck] $agg")
+    // might_contain requires the filter as a constant/scalar subquery;
+    // bloom_any is stricter still — a driver-held FOLDABLE filter (its
+    // contract: the probe set is broadcast as a literal), so build the
+    // filter first and pass it as a lit.
+    val hit = spark.sql("""
+      SELECT bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(x), 3L, 8192L)
+                FROM VALUES (1L), (2L), (3L) AS t(x)),
+               xxhash64(1L)) AS hit
+    """).head()
+    val bf = spark.sql("""
+      SELECT bloom_agg(xxhash64(x), 3L, 8192L)
+      FROM VALUES (1L), (2L), (3L) AS t(x)
+    """).head().getAs[Array[Byte]](0)
+    val anyhit = spark.range(1).select(
+      org.apache.spark.sql.functions.call_function("bloom_any",
+        org.apache.spark.sql.functions.lit(bf),
+        org.apache.spark.sql.functions.expr(
+          "array(xxhash64(9L), xxhash64(2L))")).as("anyhit")).head()
+    println(s"[extcheck] $hit $anyhit")
     spark.stop()
   }
 }

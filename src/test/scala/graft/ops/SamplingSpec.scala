@@ -77,4 +77,28 @@ class SamplingSpec extends SparkSpec {
       budget = 400.0, salt = "v1").select("doc_id").as[Long].collect().toSet
     assert(keptMore.filter(_ < 80L).subsetOf(keptBase))
   }
+
+  test("assignSplitBy on a cluster rep: members never straddle splits") {
+    // clusters: {0,1000}, {1,1001}, ... {49,1049}; singletons 50..99
+    val members = ((0L until 100L).map(i => (i, i)) ++
+      (0L until 50L).map(i => (i + 1000L, i))).toDF("doc_id", "rep")
+    val out = Sampling.assignSplitBy(members, col("rep"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+    // one split per cluster
+    assert(out.groupBy("rep").agg(countDistinct("split").as("k"))
+      .filter($"k" =!= 1).count() == 0)
+    // and it is the rep's own assignSplit label, so copies inherit it
+    val repSplit = Sampling.assignSplit(
+        (0L until 100L).toDF("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val got = out.select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.forall { case (_, rep, s) => repSplit(rep) == s })
+    // a naive per-doc split would differ somewhere across the 50 pairs
+    val naive = Sampling.assignSplit(members, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.exists { case (id, _, s) => naive(id) != s })
+  }
 }
