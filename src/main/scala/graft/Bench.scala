@@ -90,7 +90,16 @@ object Bench {
     // every map partition) vs q89 (bounded-buffer aggregate, no sort);
     // identical output and oracle, so the sf1 delta isolates the
     // physical contract.
-    "q89_rank_topn_agg")
+    "q89_rank_topn_agg",
+    // r12: sliding-window chunking — zero-shuffle scan-side row
+    // expansion (~10x rows out); its sf1 time is the pure expansion
+    // throughput datum. q91 is the leakage-safe split: one h-keyed
+    // exchange serving both the rep aggregate and the member join.
+    "q90_chunk_overlap", "q91_leakage_safe_split",
+    // r12: q92 is the zero-shuffle hashed-classifier scoring scan; q93
+    // is the dense-buffer centroid aggregate over the full embeddings
+    // table — both pure scan-side cost shapes worth a 10x datum.
+    "q92_quality_classifier", "q93_embedding_centroids")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -123,7 +132,12 @@ object Bench {
     // (boilerplate = hot segments) is the skew the r12 rework targets
     "q87_stop_segments",
     // q89 scans orders⋈customer like its window twin q51 (also a member)
-    "q89_rank_topn_agg")
+    "q89_rank_topn_agg",
+    // q90 expands the full documents table ~10x; q91's exact-cluster
+    // split shuffles the full corpus once on the text hash
+    "q90_chunk_overlap", "q91_leakage_safe_split",
+    // q92 scores every document token; q93 folds every embedding row
+    "q92_quality_classifier", "q93_embedding_centroids")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -880,6 +880,51 @@ object DedupQueries {
           |  COUNT(*) FILTER (WHERE kept) AS n_kept,
           |  COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_no) FILTER (WHERE kept), '') AS text_dedup
           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "batch segments vs persisted segment-hash store; C4 dedup in daily-batch form")
+      "batch segments vs persisted segment-hash store; C4 dedup in daily-batch form"),
+
+    // ----- leakage-safe train/eval split (r12) -----
+    // A per-doc hash split (q52) lets two near-identical docs straddle
+    // the train/eval boundary — the train-on-test contamination the
+    // dedup tier exists to prevent. This entry keys the split on the
+    // duplicate-cluster REPRESENTATIVE (min doc_id over the exact
+    // md5-cluster; any dedup family's rep mapping plugs in the same
+    // way), so every member of a cluster lands in the same split.
+    // Corpus: saltedCopySeeded — organic docs are salted unique
+    // (singleton clusters, rep = self), the 50 verbatim copies cluster
+    // with their originals (rep = original id). The oracle rebuilds
+    // that structure closed-form and re-derives the md5 bucket on the
+    // rep, so BOTH failure modes pin: wrong clustering shows in `rep`,
+    // and bucketing on the member id instead of the rep flips `split`
+    // for (with near-certainty) some of the 50 pairs.
+    // Scale shape: one h-keyed exchange serves the rep aggregate and
+    // the member join (same key, partial agg first); the split itself
+    // is a pure column expression. No corpus-sized broadcast.
+    "q91_leakage_safe_split" -> Q(
+      (s, dir) => {
+        val keyed = saltedCopySeeded(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val reps = keyed.groupBy("h").agg(min("doc_id").as("rep"))
+        graft.ops.Sampling.assignSplitBy(
+            keyed.join(reps, "h"), col("rep"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+          .select(col("doc_id"), col("rep"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH m AS (
+           |  SELECT doc_id, doc_id AS rep FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $CopyShift AS doc_id, doc_id AS rep
+           |  FROM documents WHERE doc_id < 50),
+           |b AS (
+           |  SELECT doc_id, rep,
+           |    CAST(CAST('0x' || SUBSTRING(MD5(CAST(rep AS VARCHAR) || 'v1'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS b
+           |  FROM m)
+           |SELECT doc_id, rep,
+           |  CASE WHEN b < 0.8 THEN 'train'
+           |       WHEN b < 0.9 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin),
+      "duplicate-cluster-aware split: copies inherit their original's split assignment")
   )
 }

@@ -262,6 +262,43 @@ object SimilarityQueries {
           |       CAST(1.0 AS DOUBLE) AS cosine
           |FROM (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS i)
           |ORDER BY vec_id""".stripMargin),
-      "IVF partial probe (nProbe=1), copy-fixture closed-form oracle")
+      "IVF partial probe (nProbe=1), copy-fixture closed-form oracle"),
+
+    // ----- grouped embedding centroids via vec_centroid (r12) -----
+    // The mean-vector aggregation of IVF retraining / SemDeDup cell
+    // refresh, as a dense-buffer TypedImperativeAggregate: one
+    // long[dim]+count buffer per (group, task), map-side combine ships
+    // 8*dim+8 bytes per group — vs posexplode's dim-fold row blow-up
+    // into the partial agg (the oracle's plan, deliberately). Elements
+    // quantize to round(v*1e6) longs on update, so the sums are exact
+    // and order-independent: bit-identical under any partitioning,
+    // retry, or engine — float-sum order nondeterminism never reaches
+    // the result. Output exploded to (grp, pos, v) rows for the
+    // hash compare.
+    "q93_embedding_centroids" -> Q(
+      (s, dir) => {
+        graft.functions.VecCentroid.register(s)
+        val cent = Tables(s, dir, "embeddings")
+          .groupBy(pmod(col("vec_id"), lit(10L)).as("grp"))
+          .agg(graft.functions.VecCentroid.vecCentroid(col("embedding"))
+            .as("c"))
+        cent.select(col("grp"), posexplode(col("c")).as(Seq("p", "v0")))
+          .select(col("grp"), (col("p") + 1).cast("long").as("pos"),
+            round(col("v0"), 6).as("v"))
+          .orderBy("grp", "pos")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id % 10 AS grp,
+          |         generate_subscripts(embedding, 1) AS pos,
+          |         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+          |  FROM embeddings),
+          |n AS (SELECT vec_id % 10 AS grp, COUNT(*) AS cnt FROM embeddings GROUP BY 1)
+          |SELECT e.grp, CAST(e.pos AS BIGINT) AS pos,
+          |       ROUND(SUM(e.q) / (1000000.0 * MAX(n.cnt)), 6) AS v
+          |FROM e JOIN n USING (grp)
+          |GROUP BY e.grp, e.pos
+          |ORDER BY grp, pos""".stripMargin),
+      "grouped exact-quantized mean vectors: dense aggregate buffer vs the oracle's explode plan")
   )
 }

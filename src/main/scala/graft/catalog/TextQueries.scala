@@ -552,6 +552,55 @@ object TextQueries {
            |  COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_no) FILTER (WHERE kept), '') AS text_dedup
            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
-      "stop-segment removal: seeded boilerplate dropped corpus-wide by the declared df rule")
+      "stop-segment removal: seeded boilerplate dropped corpus-wide by the declared df rule"),
+
+    // ----- sliding-window chunking with overlap (RAG/embedding prep) -----
+    // size 256 / stride 200 chars => 56-char overlap; ~10x row expansion
+    // over the sf corpus. The whole operator is one narrow codegen'd
+    // projection (sequence + explode + substr) — zero shuffle at any
+    // scale; the orderBy exists only for the oracle compare.
+    "q90_chunk_overlap" -> Q(
+      (s, dir) => graft.text.Chunking.chunkFixed(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          size = 256, stride = 200)
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    UNNEST(GENERATE_SERIES(0,
+          |      GREATEST(1, CAST(CEIL((LENGTH(text) - 256) / 200.0) AS BIGINT) + 1) - 1)) AS chunk_id
+          |  FROM documents)
+          |SELECT doc_id, chunk_id, chunk_id*200 + 1 AS start_pos,
+          |       SUBSTRING(text, CAST(chunk_id*200 + 1 AS INT), 256) AS chunk
+          |FROM base ORDER BY doc_id, chunk_id""".stripMargin),
+      "sliding-window chunking with overlap: zero-shuffle scan-side expansion"),
+
+    // ----- hashed-feature linear classifier inference (r12) -----
+    // fastText-style quality-model scoring: token weight looked up by
+    // HASH (feature-hashing trick), never by vocabulary join — one
+    // codegen'd map over the scan, zero shuffle/broadcast at any corpus
+    // size. The md5-derived weight function stands in for trained
+    // weights; a real model swaps tokenWeight for a broadcast array
+    // lookup with the identical plan shape. Both engines fold the SAME
+    // token order (sequential left fold), so the double sum is
+    // bit-identical before the 6-decimal round.
+    "q92_quality_classifier" -> Q(
+      (s, dir) => graft.text.HashedClassifier.scoreDocs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          salt = "qc-v1", bias = 0.05, threshold = 0.0)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |    ROUND(0.05 + CASE WHEN LEN(toks) = 0 THEN 0.0
+           |      ELSE LIST_SUM(LIST_TRANSFORM(toks, tok ->
+           |        CAST(CAST('0x' || SUBSTRING(MD5(tok || 'qc-v1'), 1, 8) AS BIGINT) AS DOUBLE) / 2147483648.0 - 1.0)) / LEN(toks)
+           |      END, 6) AS score
+           |  FROM t)
+           |SELECT doc_id, score,
+           |  CASE WHEN score > 0.0 THEN 'keep' ELSE 'drop' END AS label
+           |FROM s ORDER BY doc_id""".stripMargin),
+      "hashed-feature linear classifier inference: zero-shuffle scan-side scoring")
   )
 }
