@@ -98,8 +98,10 @@ object Bench {
     "q90_chunk_overlap", "q91_leakage_safe_split",
     // r12: q92 is the zero-shuffle hashed-classifier scoring scan; q93
     // is the dense-buffer centroid aggregate over the full embeddings
-    // table — both pure scan-side cost shapes worth a 10x datum.
-    "q92_quality_classifier", "q93_embedding_centroids")
+    // table — both pure scan-side cost shapes worth a 10x datum. q94
+    // is the k-per-group bounded-buffer sample over the full corpus.
+    "q92_quality_classifier", "q93_embedding_centroids",
+    "q94_balanced_sample")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -136,8 +138,10 @@ object Bench {
     // q90 expands the full documents table ~10x; q91's exact-cluster
     // split shuffles the full corpus once on the text hash
     "q90_chunk_overlap", "q91_leakage_safe_split",
-    // q92 scores every document token; q93 folds every embedding row
-    "q92_quality_classifier", "q93_embedding_centroids")
+    // q92 scores every document token; q93 folds every embedding row;
+    // q94 streams the full corpus through k-element group buffers
+    "q92_quality_classifier", "q93_embedding_centroids",
+    "q94_balanced_sample")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

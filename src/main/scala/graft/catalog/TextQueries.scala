@@ -601,6 +601,29 @@ object TextQueries {
            |SELECT doc_id, score,
            |  CASE WHEN score > 0.0 THEN 'keep' ELSE 'drop' END AS label
            |FROM s ORDER BY doc_id""".stripMargin),
-      "hashed-feature linear classifier inference: zero-shuffle scan-side scoring")
+      "hashed-feature linear classifier inference: zero-shuffle scan-side scoring"),
+
+    // ----- balanced k-per-group sampling (r12) -----
+    // Exactly 5 docs per language, hash-ranked — the cluster-balanced
+    // selection step of diversity sampling. The oracle runs the ranking
+    // window this operator replaces; the Spark side executes it as the
+    // top_k_pairs bounded-buffer aggregate (no sort operator, <= k rows
+    // shipped per (group, task) — a billion-doc stratum costs the same
+    // exchange bytes as a thousand-doc one).
+    "q94_balanced_sample" -> Q(
+      (s, dir) => {
+        graft.functions.TopK.register(s)
+        graft.ops.Sampling.samplePerGroup(
+            Tables(s, dir, "documents"), "lang", "doc_id", k = 5, salt = "v1")
+          .orderBy("lang", "rk")
+      },
+      Some(
+        s"""SELECT lang, rk, doc_id FROM (
+           |  SELECT lang, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY ${bucketSql("doc_id", "v1")}, doc_id) AS rk
+           |  FROM documents)
+           |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
+      "exactly-k-per-group hash-ranked sample via the bounded-buffer aggregate")
   )
 }

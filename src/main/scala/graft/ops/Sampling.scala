@@ -89,4 +89,28 @@ object Sampling {
     df.join(broadcast(totals), Seq(strataCol))
       .filter(hashBucket(col(idCol), salt) < col("keep_rate"))
   }
+
+  /** Deterministic EXACTLY-k-per-group sample (cluster/stratum-balanced
+    * selection: k docs per language, per topic cell, per near-dup
+    * cluster...): rank rows inside each group by [[hashBucket]] and
+    * keep the k smallest, ties broken by id. Semantically the ranking
+    * window `row_number().over(partitionBy(g).orderBy(bucket, id)) <= k`,
+    * but executed as the [[graft.functions.TopK]] bounded-buffer
+    * aggregate: no sort operator anywhere, per-group state is k pairs,
+    * and map-side combine ships at most k rows per (group, task) — a
+    * billion-doc stratum costs the same exchange bytes as a thousand-doc
+    * one. Bottom-k by a fixed hash is also append-FRIENDLY: a new doc
+    * enters a group's sample only by displacing the largest kept bucket
+    * (KMV semantics), never by reshuffling the whole selection.
+    * Output: groupCol, `rk` (1..k, bigint), idCol (bigint).
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, salt: String = ""): DataFrame =
+    df.select(col(groupCol), col(idCol))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topKPairs(
+        -hashBucket(col(idCol), salt), col(idCol).cast("long"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(idCol))
 }

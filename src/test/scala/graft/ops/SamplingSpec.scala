@@ -101,4 +101,25 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(got.exists { case (id, _, s) => naive(id) != s })
   }
+
+  test("samplePerGroup: exactly k per group, matches the ranking window, no Sort") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val out = Sampling.samplePerGroup(docs, "lang", "doc_id", k = 5, salt = "v1")
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val groupSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts.foreach { case (g, n) => assert(n == math.min(5L, groupSizes(g))) }
+    // the window form it replaces, on the same bucket rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(Sampling.hashBucket(col("doc_id"), "v1"), col("doc_id"))
+    val ref = docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5).select("lang", "rk", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out.select("lang", "rk", "doc_id")
+      .as[(String, Long, Long)].collect().toSet == ref)
+    // physical contract: aggregate path, no sort operator before the agg
+    val plan = Sampling.samplePerGroup(docs, "lang", "doc_id", 5, "v1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan.take(400))
+  }
 }
