@@ -143,6 +143,17 @@ object Bench {
     "q92_quality_classifier", "q93_embedding_centroids",
     "q94_balanced_sample")
 
+  /** Execute a query doing ALL its declared work: materialize every
+    * output row (`toRdd` keeps the plan as-is). `.count()` would let
+    * Catalyst prune the computed columns and eliminate the final sort —
+    * for pure scan-side queries (classifier scoring, chunk slicing,
+    * text sketches) that silently times a bare parquet scan while the
+    * DuckDB yardstick `fetchall()`s its full result. Symmetric
+    * consumption is the whole comparison.
+    */
+  private def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -187,7 +198,7 @@ object Bench {
     for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        consume(SparkEntry.queries(name)(spark, sfDir))
         times.getOrElseUpdate(name, mutable.Buffer.empty) +=
           (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -355,7 +366,7 @@ object Bench {
     // untimed warm-up pass (duration reported for transparency)
     val w0 = System.nanoTime()
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try consume(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     }
     val warmup = (System.nanoTime() - w0) / 1e9
@@ -430,7 +441,7 @@ object Bench {
       if (sf1Reps == 0 || !new java.io.File(sf1Dir).isDirectory) None
       else {
         headline.foreach { n => // warm-up at this scale too
-          try SparkEntry.queries(n)(spark, sf1Dir).count()
+          try consume(SparkEntry.queries(n)(spark, sf1Dir))
           catch { case _: Throwable => () }
         }
         val (m1, e1) = timeQueries(spark, sf1Dir, headline, sf1Reps)
