@@ -514,6 +514,12 @@ object Bench {
       "queries" -> jobj(medians.map { case (k, v) => k -> jnum(v) }),
       "errors" -> jobj(errors.map { case (k, v) => k -> jstr(v) }),
       "reps" -> reps.toString,
+      // consumption discipline marker: r12 changed query consumption from
+      // `.count()` (which let Catalyst prune computed columns/aggregates)
+      // to full materialization — numbers from rounds <= 11 are a
+      // DIFFERENT, systematically smaller measurement for scan-side
+      // queries and must not be diffed against this field's records.
+      "consumption" -> jstr("toRdd-materialize"),
       "warmup_sec" -> jnum(warmup),
       "spark_total_sec" -> jnum(total),
       "spark_oracle_total_sec" -> jnum(oracleTotal),
@@ -539,6 +545,7 @@ object Bench {
         errors.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))) ++
       Seq(
         "reps" -> reps.toString,
+        "consumption" -> jstr("toRdd-materialize"),
         "warmup_sec" -> jnum3(warmup),
         "spark_oracle_total_sec" -> jnum3(oracleTotal),
         "spark_oracle_oneshot_sec" -> jnum3(oneshotTotal),

@@ -2,7 +2,6 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ops.Analytics
@@ -250,19 +249,29 @@ object CoreQueries {
       "A1 global max / A2 global count"),
 
     // ----- multi-aggregate pricing summary (decimal-exact; bench headline) -
+    // Decimal-EXACT without decimal boxing: money quantizes to long
+    // cents scan-side, the aggregation runs codegen'd long sums with the
+    // overflow-split accumulator, and only the 6 final group rows touch
+    // decimal (see graft.functions.ExactMoney — the r12 verdict measured
+    // the naive sum(DECIMAL(18,2)) form at 12x DuckDB from per-row
+    // Decimal buffer allocation alone; the declared semantics and the
+    // oracle are unchanged). The disc_price product is exact in 1e-4
+    // units: cents(ep) * (100 - cents(disc)).
     "q12_pricing_summary" -> Q(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val d2 = DecimalType(18, 2)
-        li.groupBy("l_returnflag", "l_linestatus").agg(
-          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast(d2) *
-            (lit(1).cast(d2) - col("l_discount").cast(d2)))
-            .cast("double").as("sum_disc_price"),
-          (sum(col("l_quantity").cast(d2)).cast("double") / count(lit(1)))
-            .as("avg_qty"),
-          count(lit(1)).as("count_order"))
+        import graft.functions.ExactMoney.{cents, sumMoney}
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            cents(col("l_quantity")).as("qty_c"),
+            cents(col("l_extendedprice")).as("ep_c"),
+            (cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))).as("disc_u"))
+          .groupBy("l_returnflag", "l_linestatus").agg(
+            sumMoney(col("qty_c"), 2).as("sum_qty"),
+            sumMoney(col("ep_c"), 2).as("sum_base_price"),
+            sumMoney(col("disc_u"), 4).as("sum_disc_price"),
+            (sumMoney(col("qty_c"), 2) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some(
@@ -285,13 +294,13 @@ object CoreQueries {
     // zero-exchange join plan itself is asserted by BucketedJoinSpec.
     "q67_bucketed_join" -> Q(
       (s, dir) => {
+        import graft.functions.ExactMoney.{cents, sumMoney}
         val (li, ord) = ensureBucketed(s, dir)
-        val d2 = DecimalType(18, 2)
         s.table(li).hint("merge")
           .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_items"),
-            sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
+            sumMoney(cents(col("l_quantity")), 2).as("sum_qty"))
           .orderBy("o_orderpriority")
       },
       Some(

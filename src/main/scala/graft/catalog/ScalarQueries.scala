@@ -238,14 +238,26 @@ object ScalarQueries {
       "spark.sql text interface over the same engine"),
 
     // ----- exact percentiles (linear interpolation both engines) -----
+    // Distributed rank selection, NOT Spark's `percentile()` aggregate:
+    // that one buffers every group value in the agg buffer (O(rows) on a
+    // task — the r12 verdict's one true state-explosion at 100 TB).
+    // graft.ops.Percentiles bounds state by distinct values per group
+    // with identical QUANTILE_CONT semantics; PercentilesSpec pins both
+    // the value parity against `percentile()` and the plan shape (no
+    // buffer-everything ObjectHashAggregate).
     "q50_percentiles" -> Q(
-      (s, dir) => Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        graft.ops.Percentiles.exactMulti(li, "l_returnflag", Seq(
+            ("l_quantity", "p50", 0.5),
+            ("l_quantity", "p95", 0.95),
+            ("l_extendedprice", "price_p25", 0.25)))
+          .select(col("l_returnflag"),
+            round(col("p50"), 6).as("p50"),
+            round(col("p95"), 6).as("p95"),
+            round(col("price_p25"), 6).as("price_p25"))
+          .orderBy("l_returnflag")
+      },
       Some(
         """SELECT l_returnflag,
           |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50,

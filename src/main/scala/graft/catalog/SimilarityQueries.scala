@@ -293,7 +293,7 @@ object SimilarityQueries {
           |         generate_subscripts(embedding, 1) AS pos,
           |         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
           |  FROM embeddings),
-          |n AS (SELECT vec_id % 10 AS grp, COUNT(*) AS cnt FROM embeddings GROUP BY 1)
+          |n AS (SELECT vec_id % 10 AS grp, COUNT(embedding) AS cnt FROM embeddings GROUP BY 1)
           |SELECT e.grp, CAST(e.pos AS BIGINT) AS pos,
           |       ROUND(SUM(e.q) / (1000000.0 * MAX(n.cnt)), 6) AS v
           |FROM e JOIN n USING (grp)

@@ -136,6 +136,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => ShingleFingerprint(es(0), intArg(es(1)))),
       ("repetition_counts", classOf[RepetitionCounts].getName,
         es => RepetitionCounts(es(0))),
+      ("hashed_score", classOf[HashedScoreExpr].getName,
+        es => HashedScoreExpr(es(0), es(1).eval().toString)),
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
       ("vec_centroid", classOf[VecCentroidQ].getName,

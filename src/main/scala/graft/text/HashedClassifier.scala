@@ -40,22 +40,36 @@ object HashedClassifier {
     * thresholded keep/drop decision. Empty/blank docs score `bias`.
     * Output: idCol, `score` (double), `label` ("keep" | "drop").
     *
-    * The token array is bound ONCE as an attribute before the fold —
-    * higher-order functions re-evaluate their argument per reference,
-    * so folding over `wsTokens(text)` inline would re-split the text
-    * for the size() term (the [[graft.ops.Segments]] lesson).
+    * The mean runs as the codegen'd
+    * [[graft.functions.HashedScoreExpr]] — one tight byte-level loop
+    * per document. The semantically-identical Column form (an
+    * `aggregate` HOF folding [[tokenWeight]] over
+    * [[TextAnalysis.wsTokens]]) is what the expression is defined
+    * against and what HashedClassifierSpec pins parity with; Catalyst
+    * interprets HOF lambdas, which made the fold ~4.7x DuckDB at sf1
+    * despite the zero-shuffle plan.
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 salt: String = "qc-v1", bias: Double = 0.0,
-                threshold: Double = 0.0): DataFrame =
+                threshold: Double = 0.0): DataFrame = {
+    graft.functions.HashedScores.register(docs.sparkSession)
     docs
-      .select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        round(
-          lit(bias) + when(size(col("_toks")) === 0, lit(0.0)).otherwise(
-            aggregate(col("_toks"), lit(0.0),
-              (acc, t) => acc + tokenWeight(t, salt)) / size(col("_toks"))),
+        round(lit(bias) +
+          graft.functions.HashedScores.hashedScore(col(textCol), salt),
           6).as("score"))
       .withColumn("label",
         when(col("score") > threshold, lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** The declared Column-fold form of the score mean (no bias/round):
+    * the executable specification [[scoreDocs]]'s expression must match
+    * bit-for-bit. Kept for the parity spec; not a hot path.
+    */
+  def scoreMeanFold(text: Column, salt: String): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0.0), (acc, t) => acc + tokenWeight(t, salt)) /
+        size(toks))
+  }
 }

@@ -18,12 +18,26 @@ import org.apache.spark.sql.SparkSession
   * passes (rep-major, like graft.Bench — so a load spike hits all
   * queries of one rep, not all reps of one query); prints ONE JSON line
   * `{"queries":{name:medianSec,...}}`.
+  *
+  * SPARK_GRAFT_CONSUME selects the consumption discipline:
+  * `materialize` (default — full `toRdd` materialization, what
+  * graft.Bench measures since r12) or `count` (the pre-r12 discipline,
+  * which lets Catalyst prune computed columns). Timing the SAME
+  * checkout under both modes attributes a cross-round bench drift to
+  * the r12 consumption change vs real code/load movement — the
+  * re-baseline bridge the r12 verdict asked for.
   */
 object TimeSet {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_CONSUME", "materialize")
+    require(mode == "materialize" || mode == "count",
+      s"SPARK_GRAFT_CONSUME must be materialize|count, got $mode")
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      if (mode == "count") { df.count(); () }
+      else df.queryExecution.toRdd.foreach(_ => ())
     val names = sys.env.get("SPARK_GRAFT_SET")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(graft.SparkEntry.queries.keys.toSeq.sorted)
@@ -37,7 +51,7 @@ object TimeSet {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n => // untimed warm-up
-      try graft.SparkEntry.queries(n)(spark, dir).count()
+      try consume(graft.SparkEntry.queries(n)(spark, dir))
       catch { case e: Throwable =>
         System.err.println(s"[timeset] warmup $n failed: ${e.toString.take(200)}") }
     }
@@ -45,7 +59,7 @@ object TimeSet {
     for (_ <- 1 to reps; n <- names) {
       val t0 = System.nanoTime()
       try {
-        graft.SparkEntry.queries(n)(spark, dir).count()
+        consume(graft.SparkEntry.queries(n)(spark, dir))
         times.getOrElseUpdate(n, mutable.Buffer.empty) +=
           (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => () }

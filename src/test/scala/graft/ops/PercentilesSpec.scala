@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parity with Spark's exact percentile() aggregate on real data") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val got = Percentiles.exact(li, "l_returnflag", "l_quantity",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p01" -> 0.01))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect()
+    val want = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)"),
+        expr("percentile(l_quantity, 0.95)"),
+        expr("percentile(l_quantity, 0.01)"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect()
+    // same interpolation formula, so bit-equal, not just approximate
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("hand-computed interpolation, boundaries, ties, single value") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0), // n=4
+      ("b", 7.0)                                          // n=1
+    ).toDF("g", "v")
+    val got = Percentiles.exact(df, "g", "v",
+        Seq("p0" -> 0.0, "p50" -> 0.5, "p75" -> 0.75, "p100" -> 1.0))
+      .orderBy("g").as[(String, Double, Double, Double, Double)].collect()
+    // a sorted: 10,20,20,40; t(p50)=1.5 -> 20; t(p75)=2.25 -> 20+0.25*20=25
+    assert(got(0) == (("a", 10.0, 20.0, 25.0, 40.0)))
+    assert(got(1) == (("b", 7.0, 7.0, 7.0, 7.0)))
+  }
+
+  test("nulls excluded; all-null group drops out") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("c", None)).toDF("g", "v")
+    val got = Percentiles.exact(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").as[(String, Double)].collect()
+    assert(got.toSeq == Seq(("a", 2.0)))
+  }
+
+  test("exactMulti over two columns == two single-column runs") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val multi = Percentiles.exactMulti(li, "l_returnflag", Seq(
+        ("l_quantity", "q50", 0.5), ("l_extendedprice", "p25", 0.25)))
+      .orderBy("l_returnflag").as[(String, Double, Double)].collect()
+    val q = Percentiles.exact(li, "l_returnflag", "l_quantity",
+        Seq("q50" -> 0.5)).orderBy("l_returnflag")
+      .as[(String, Double)].collect()
+    val p = Percentiles.exact(li, "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25)).orderBy("l_returnflag")
+      .as[(String, Double)].collect()
+    assert(multi.map(r => (r._1, r._2)).toSeq == q.toSeq)
+    assert(multi.map(r => (r._1, r._3)).toSeq == p.toSeq)
+  }
+
+  test("plan: no buffer-everything percentile aggregate; counts agg is two-phase") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val plan = Percentiles.exact(li, "l_returnflag", "l_quantity",
+      Seq("p50" -> 0.5)).queryExecution.executedPlan.toString
+    // Spark's exact percentile runs as an ObjectHashAggregate holding
+    // every group value; rank selection must never produce one
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("percentile("), plan)
+    // the row-scale (group, value) count agg keeps a map-side partial
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}

@@ -48,6 +48,23 @@ class HashedClassifierSpec extends SparkSpec {
     assert(ws._1 >= -1.0 && ws._2 < 1.0)
   }
 
+  test("codegen hashed_score matches the declared Column fold bit-for-bit") {
+    val docs = graft.Tables(spark, sf, "documents").limit(300)
+    val diff = docs.select(
+        graft.functions.HashedScores.hashedScore(col("text"), "p1").as("fast"),
+        HashedClassifier.scoreMeanFold(col("text"), "p1").as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+    // and on adversarial token shapes (multi-byte, tabs/CRs, blanks)
+    val edge = Seq("", "   ", "a", "a\tb\r\nc", "héllo wörld",
+      " nbspIsNotWs", "x  y").toDF("text")
+    val bad = edge.select(
+        graft.functions.HashedScores.hashedScore(col("text"), "s2").as("fast"),
+        HashedClassifier.scoreMeanFold(col("text"), "s2").as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
   test("plan: zero exchanges — pure scan-side scoring") {
     val out = HashedClassifier.scoreDocs(
       graft.Tables(spark, sf, "documents"), "doc_id", "text")
