@@ -411,7 +411,14 @@ object Bench {
       "q71_media_decode",
       // copy-seeded SemDeDup closed form: Spark fits the quantizer and
       // runs the within-cell search, the SQL lists the original table
-      "q83_semantic_dedup")
+      "q83_semantic_dedup",
+      // r13: copy-seeded split closed form — Spark md5-hashes the full
+      // salted text, groups clusters, and joins reps back; the SQL
+      // derives each copy's rep by the copy-shift arithmetic (the salt
+      // construction is deliberately not SQL-mirrored — see
+      // DedupQueries.saltedCopySeeded) and runs in ~50 ms at sf1, a
+      // 26x "ratio" that measured fixture enumeration, not plans
+      "q91_leakage_safe_split")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !answerKeyOracles(k) => v }.sum

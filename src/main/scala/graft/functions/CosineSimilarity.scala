@@ -138,6 +138,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => RepetitionCounts(es(0))),
       ("hashed_score", classOf[HashedScoreExpr].getName,
         es => HashedScoreExpr(es(0), es(1).eval().toString)),
+      ("segment_hashes", classOf[SegmentHashes].getName,
+        es => SegmentHashes(es(0), intArg(es(1)))),
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
       ("vec_centroid", classOf[VecCentroidQ].getName,

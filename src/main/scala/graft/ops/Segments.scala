@@ -17,14 +17,11 @@ import graft.text.TextAnalysis
   * Scale notes (the reason these shapes were chosen):
   *  - [[segmentsCol]] / [[filterSegments]] are pure column expressions —
   *    one narrow WholeStageCodegen map over the scan, zero shuffle.
-  *  - [[dedupSegments]] shuffles segment rows ONCE, partitioned by the
-  *    16-byte md5 of the segment (uniform keys, no skew: a hot segment
-  *    still lands in one partition but duplicate groups are tiny after
-  *    the first-occurrence rule), then once more by doc_id for
-  *    reassembly. First-occurrence-wins is a per-hash-group
-  *    `row_number`, NOT a global-order window — every hash group sorts
-  *    (doc_id, seg_no) locally, so parallelism is the number of
-  *    distinct segments, not 1.
+  *  - [[dedupSegments]] never shuffles segment TEXT at all (r13): only
+  *    28-byte (h, doc_id, seg_no) keys move through the two-phase
+  *    first-copy aggregate, only 12-byte winner pairs regroup per doc,
+  *    and the document text crosses the wire once — in the final
+  *    corpus-to-corpus join that rebuilds the deduped text scan-side.
   */
 object Segments {
 
@@ -86,49 +83,84 @@ object Segments {
     * and its document rebuilt from the survivors. The C4 "exact
     * substring dedup" shape at fixed-window granularity.
     *
-    * Plan (r12 rework, the [[dropStopSegments]] argument applied to the
-    * first-copy rule): the r11 shape — `row_number` over an h-keyed
-    * window — funneled every occurrence of a hot segment into one task,
-    * and at corpus scale the hottest exact-duplicate segments ARE
-    * boilerplate (10-50% document frequency). The first copy of each
-    * segment is really an aggregate, `min(struct(doc_id, seg_no))` per
-    * h — TWO-PHASE PARTIAL AGGREGATION (map-side combine leaves at most
-    * one candidate per (h, task) at the exchange, hot or not). The
-    * winner is then joined back on `(h, doc_id = first_doc)` — BOTH
-    * columns equi-keys, so the occurrence frame shuffles by
-    * (h, doc_id), under which a hot segment spreads across all its
-    * documents; per-key group size is bounded by in-document repeats of
-    * one segment, never by corpus-wide popularity. `isKept` = the row's
-    * seg_no equals the winner's. The min-key frame (one 28-byte row per
-    * distinct segment) is corpus-sized, so the join is a shuffle join,
-    * not a broadcast — but a uniformly-keyed one.
+    * Plan (r13 rework — ZERO text shuffles). The r12 de-skew shape
+    * (two-phase `min(struct(doc_id, seg_no))` per h, winner joined back
+    * onto the occurrence frame, reassembly via `collect_list` by
+    * doc_id) was skew-free but shuffled the exploded SEGMENT TEXT
+    * twice: once on (h, doc_id) for the winner join and once on doc_id
+    * for reassembly — at 100 TB those two full-corpus text exchanges
+    * dominate everything else in the plan (measured 3.7 s vs DuckDB
+    * 1.1 s at sf1). The key observation: the winner aggregate's output
+    * IS the kept set — a (doc_id, seg_no) pair is kept iff it is the
+    * `min(struct)` of its own hash — so no join against the text rows
+    * is needed to FLAG anything, and no text rows need regrouping to
+    * reassemble:
     *
-    * Like [[dropStopSegments]], the aggregate branch re-reads the scan
-    * (two tokenize passes) rather than materializing the exploded
-    * corpus; the second pass prunes to (h, doc_id, seg_no) and ships no
-    * segment text. Docs whose every segment was a copy survive with
-    * `n_kept = 0` and empty text (empty docs' posexplode_outer
-    * (null, null) row misses the join and is excluded by `isKept`).
+    *  1. explode (h, doc_id, seg_no) keys only (the segment text dies
+    *     inside the scan stage, after its md5) →
+    *     `groupBy(h).agg(min(struct(doc_id, seg_no)))` — two-phase
+    *     partial agg, so a hot boilerplate segment collapses to one
+    *     28-byte row per task BEFORE the only h-keyed exchange;
+    *  2. regroup the winner pairs (12-byte rows) per doc:
+    *     `groupBy(doc_id).agg(sort_array(collect_list(seg_no)))` —
+    *     list length bounded by segments-per-DOCUMENT, never corpus
+    *     frequency;
+    *  3. join that per-doc kept-index array back to the ORIGINAL docs
+    *     frame on doc_id and rebuild `text_dedup` scan-side by
+    *     re-slicing the text and keeping slices whose index is in the
+    *     array — the document text crosses the wire exactly once, in
+    *     the one corpus-to-corpus join every reassembling dedup needs.
+    *
+    * Docs whose every segment was a copy miss the join (left outer)
+    * and survive with `n_kept = 0` and empty text; empty/null-text
+    * docs report `(0, 0, "")`.
     *
     * Returns `(doc_id, n_segs, n_kept, text_dedup)`.
     */
   def dedupSegments(docs: DataFrame, w: Int): DataFrame = {
-    val rows = segmentRows(docs, w)
-    val firstKeys = segmentRows(docs, w)
-      .filter(col("seg").isNotNull)
+    val kept = segmentKeyRows(docs, w)
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("seg_no"))).as("__first"))
-      .select(col("h").as("__fh"), col("__first.doc_id").as("__fdoc"),
-        col("__first.seg_no").as("__fseg"))
-    val keptRows = rows
-      .join(firstKeys,
-        rows("h") === col("__fh") && rows("doc_id") === col("__fdoc"),
-        "left_outer")
-      .withColumn("isKept",
-        col("seg").isNotNull &&
-          coalesce(col("__fseg") === col("seg_no"), lit(false)))
-      .drop("__fh", "__fdoc", "__fseg")
-    reassembleRows(keptRows)
+      .select(col("__first.doc_id").as("doc_id"),
+        col("__first.seg_no").as("seg_no"))
+    val keptPerDoc = kept
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
+    rebuildFromKept(docs.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
+  }
+
+  /** Shared tail of the corpus-wide ops: given the docs frame
+    * left-joined with a per-doc sorted kept-index array (`__kept`,
+    * null when nothing survived), rebuild
+    * `(doc_id, n_segs, n_kept, text_dedup)` scan-side by re-slicing
+    * the text and keeping slices whose index is in the array. No
+    * shuffle beyond the join the caller already paid.
+    */
+  private def rebuildFromKept(docsWithKept: DataFrame, w: Int): DataFrame =
+    docsWithKept
+      .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("__segs", segmentsFromTokens(col("__toks"), w))
+      .select(
+        col("doc_id"),
+        coalesce(size(col("__segs")), lit(0)).cast("long").as("n_segs"),
+        coalesce(size(col("__kept")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(filter(col("__segs"),
+            (s, i) => array_contains(col("__kept"), i)), " "),
+          lit("")).as("text_dedup"))
+
+  /** Exploded (doc_id, seg_no, h) KEY rows — no segment text. The
+    * hashes come from the one-pass codegen
+    * [[graft.functions.SegmentHashes]] (md5 fed incrementally from the
+    * text bytes), so the per-segment strings the Column form allocates
+    * are never built; empty docs contribute no rows (callers recover
+    * them via a left join on the docs frame).
+    */
+  private def segmentKeyRows(docs: DataFrame, w: Int): DataFrame = {
+    graft.functions.SegmentHashing.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.SegmentHashing
+        .segmentHashes(col("text"), w)).as(Seq("seg_no", "h")))
   }
 
   /** Exploded (doc_id, seg_no, seg, h) rows; `h` is the segment md5 as
@@ -308,10 +340,12 @@ object Segments {
     * carries doc_id so a hot `h` still spreads over all tasks) →
     * `groupBy(h)` count (after phase 1 each h holds at most one row per
     * map partition at the exchange). The over-threshold STOP-SET is
-    * then broadcast back as a null-producing left join; the occurrence
-    * frame itself never shuffles on `h` at all — its only exchange is
-    * the doc_id reassembly that every segment op pays anyway (group
-    * size = segments per document, bounded by document length).
+    * then broadcast back as a null-producing left join onto KEY rows
+    * only ([[segmentKeyRows]], r13 — the segment text never enters the
+    * flagging side at all); the surviving (doc_id, seg_no) pairs
+    * regroup per doc as 12-byte rows and rebuild happens scan-side
+    * after one corpus-to-corpus join on doc_id, exactly the
+    * [[dedupSegments]] tail.
     *
     * The stop-set is broadcastable by construction, independent of
     * corpus size: a segment needs df > maxDocFrac·N docs to enter, and
@@ -323,11 +357,12 @@ object Segments {
     * repeated segment" — use [[dedupSegments]] for that) are the one
     * misuse to avoid.
     *
-    * The stop-set branch re-reads the documents scan (two tokenize
-    * passes) instead of persisting the exploded frame — caching the
-    * full occurrence frame is exactly the corpus-sized state this
-    * operator must not hold, and the second pass prunes to (h, doc_id)
-    * so it ships no segment text.
+    * The stop-set branch re-reads the documents scan (two key passes)
+    * instead of persisting the exploded frame — caching the full
+    * occurrence frame is exactly the corpus-sized state this operator
+    * must not hold; both passes are (h, doc_id, seg_no) keys from the
+    * one-pass codegen hash, so no segment text is ever built outside
+    * the final scan-side rebuild.
     *
     * The document total enters the threshold as a 1-row broadcast
     * scalar, never a driver action. Returns
@@ -337,21 +372,19 @@ object Segments {
                        maxDocFrac: Double): DataFrame = {
     require(maxDocFrac > 0.0, "maxDocFrac must be positive")
     val nTbl = docs.agg(count(lit(1)).as("__nd"))
-    val rows = segmentRows(docs, w)
-    val stopSet = rows
-      .filter(col("seg").isNotNull)
+    val stopSet = segmentKeyRows(docs, w)
       .select(col("h"), col("doc_id")).distinct()      // phase 1: per-doc
       .groupBy(col("h")).agg(count(lit(1)).as("__df")) // phase 2: df
       .crossJoin(broadcast(nTbl))
       .filter(col("__df") >
         greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
       .select(col("h").as("__stop_h"))
-    val flagged = rows
+    val keptPerDoc = segmentKeyRows(docs, w)
       .join(broadcast(stopSet), col("h") === col("__stop_h"), "left_outer")
-      .withColumn("isKept",
-        col("seg").isNotNull && col("__stop_h").isNull)
-      .drop("__stop_h")
-    reassembleRows(flagged)
+      .filter(col("__stop_h").isNull)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
+    rebuildFromKept(docs.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
   }
 
   /** Incremental segment-granular dedup against a persisted segment-hash
