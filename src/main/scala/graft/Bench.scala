@@ -101,7 +101,11 @@ object Bench {
     // table — both pure scan-side cost shapes worth a 10x datum. q94
     // is the k-per-group bounded-buffer sample over the full corpus.
     "q92_quality_classifier", "q93_embedding_centroids",
-    "q94_balanced_sample")
+    "q94_balanced_sample",
+    // r13: near-dup-cluster split — the full near-dup tier (signatures,
+    // bands, verify, CC) keyed into the split; answer-key oracle, so
+    // its sf1 time is an absolute datum like q45's
+    "q95_neardup_safe_split")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -141,7 +145,7 @@ object Bench {
     // q92 scores every document token; q93 folds every embedding row;
     // q94 streams the full corpus through k-element group buffers
     "q92_quality_classifier", "q93_embedding_centroids",
-    "q94_balanced_sample")
+    "q94_balanced_sample", "q95_neardup_safe_split")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let
@@ -418,7 +422,10 @@ object Bench {
       // construction is deliberately not SQL-mirrored — see
       // DedupQueries.saltedCopySeeded) and runs in ~50 ms at sf1, a
       // 26x "ratio" that measured fixture enumeration, not plans
-      "q91_leakage_safe_split")
+      "q91_leakage_safe_split",
+      // r13: same class — the SQL enumerates the closed-form cluster
+      // structure while Spark runs signatures/LSH/verify/iterative CC
+      "q95_neardup_safe_split")
     val oneshotTotal = ok.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k)
         && !answerKeyOracles(k) => v }.sum

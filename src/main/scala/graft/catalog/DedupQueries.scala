@@ -925,6 +925,59 @@ object DedupQueries {
            |       WHEN b < 0.9 THEN 'val'
            |       ELSE 'test' END AS split
            |FROM b ORDER BY doc_id""".stripMargin),
-      "duplicate-cluster-aware split: copies inherit their original's split assignment")
+      "duplicate-cluster-aware split: copies inherit their original's split assignment"),
+
+    // ----- NEAR-dup-cluster leakage-safe split (r13, closing q91's gap):
+    // q91 keys the split on EXACT-text reps, so near-identical (but not
+    // byte-identical) documents can still straddle train/eval — exactly
+    // the contamination the near-dup tier exists to catch. Here the rep
+    // is the connected-components canonical over MinHash/LSH near-dup
+    // pairs (q45's tier-3 machinery: signatures -> banded candidates ->
+    // est-Jaccard verify at 0.9 -> iterative CC), fed into the same
+    // assignSplitBy — every member of a near-dup CLUSTER lands in one
+    // split. Corpus: the q45 curation fixture (salted docs + verbatim
+    // copies + periodic near-dup families), whose cluster structure is
+    // closed-form (salt caps organic est at 25/32 < 0.9; copies pair at
+    // est 1.0; each family is one component with min-id canonical
+    // 2e7+k*10+2 — the same facts q45's survivor oracle already pins).
+    // The oracle enumerates that structure and re-derives the md5
+    // bucket on the rep: wrong clustering shows in `rep`, bucketing on
+    // the member id flips `split` for some of the copies/families.
+    // Answer-key oracle (id enumeration vs multi-round CC) — excluded
+    // from the bench's equivalent-work ratios like q59/q75/q91.
+    "q95_neardup_safe_split" -> Q(
+      (s, dir) => {
+        val corpus = curationCorpus(s, dir)
+        val sig = Dedup.minhashSignatures(corpus, "doc_id", "text")
+        val pairs = Dedup.minhashJaccard(
+            Dedup.lshCandidates(sig, "doc_id", bands = 8), sig, "doc_id")
+          .filter(col("est_jaccard") >= 0.9)
+        val clusters = Dedup.canonicalClusters(
+          corpus.select("doc_id"), pairs, "doc_id")
+        graft.ops.Sampling.assignSplitBy(clusters, col("canonical_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+          .select(col("doc_id"), col("canonical_id").as("rep"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH m AS (
+           |  SELECT doc_id, doc_id AS rep FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $CopyShift AS doc_id, doc_id AS rep
+           |  FROM documents WHERE doc_id < 50
+           |  UNION ALL
+           |  SELECT 20000000 + k*10 + m AS doc_id, 20000000 + k*10 + 2 AS rep
+           |  FROM (SELECT UNNEST(GENERATE_SERIES(0, 19)) AS k),
+           |       (SELECT UNNEST(GENERATE_SERIES(2, 4)) AS m)),
+           |b AS (
+           |  SELECT doc_id, rep,
+           |    CAST(CAST('0x' || SUBSTRING(MD5(CAST(rep AS VARCHAR) || 'v1'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS b
+           |  FROM m)
+           |SELECT doc_id, rep,
+           |  CASE WHEN b < 0.8 THEN 'train'
+           |       WHEN b < 0.9 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin),
+      "near-dup-cluster-aware split: CC canonical reps key the train/eval assignment")
   )
 }

@@ -18,6 +18,22 @@ import graft.text.TextAnalysis
   *
   * Stage order is the cost order: each tier only pays for rows the
   * cheaper tiers kept.
+  *
+  * SHARED-TOKENIZATION AUDIT (r13, asked by the r12 review): the tiers
+  * deliberately re-derive tokens from raw text instead of sharing a
+  * materialized `(doc_id, toks)` intermediate. Measured at sf1
+  * (500k docs, local[32], median of 5): one segment-key pass from raw
+  * text via the codegen `segment_hashes` byte loop costs 0.30 s; the
+  * shared alternative pays 1.23 s to localCheckpoint the token arrays
+  * once plus 0.58 s PER key pass reading them — because hashing from a
+  * token ARRAY brings back the per-segment slice/join/md5 Column chain
+  * the byte loop exists to avoid, and the array blows the text up ~2x
+  * in the block store. Even the three ws-token consumers of the
+  * deboiled frame (two stop-set key passes + rebuild) total 0.9 s
+  * recomputed vs 1.23 s build + 3 reads shared. Re-derivation wins at
+  * every multiplicity the pipeline has; the checkpoints that DO pay
+  * (exactKept, deboiled, signatures, pairs — whole-tier OUTPUTS
+  * consumed by several downstream branches) are already in place.
   */
 object CorpusPipeline {
 
