@@ -59,9 +59,19 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val path = s"$dir/events.parquet"
+    // The probe catch is NARROW (r13): only the schema converter's
+    // illegal-Parquet-type rejection of TIMESTAMP(NANOS) routes to the
+    // legacy branch. Any other AnalysisException — file missing,
+    // permissions, corrupt footer — propagates as itself instead of
+    // masquerading as a nanos file and leaking the session conf on the
+    // doomed retry.
     val inferred =
       try Some(spark.read.parquet(path).schema("ts").dataType)
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          None
+      }
     inferred match {
       case Some(LongType) =>
         spark.read.parquet(path)

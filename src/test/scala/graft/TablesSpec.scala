@@ -110,6 +110,20 @@ class TablesSpec extends SparkSpec {
       s"expected pushed filter in:\n$plan")
   }
 
+  test("events: a missing file surfaces as missing-file, conf untouched") {
+    withoutNanosConf {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Tables.events(spark, "/tmp/graft-no-such-dir")
+      }
+      // the narrowed probe catch must not re-route arbitrary analysis
+      // errors into the nanos fallback (which would both confuse the
+      // error and leak the legacy conf into the session)
+      assert(e.getMessage.contains("graft-no-such-dir"), e.getMessage)
+      assert(!spark.conf.getOption(nanosKey).contains("true"),
+        "a failed probe must not flip the legacy conf")
+    }
+  }
+
   test("events: the common (timestamp) path never mutates session state") {
     withoutNanosConf {
       Tables.events(spark, sf).count()
