@@ -32,5 +32,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB harness machine: the full bench holds
+  // memoized corpora/cells/stores for two SFs plus per-rep pipeline
+  // checkpoints, and under the old 8g default (~4.6 GiB block store)
+  // eviction churn inflated every query sharing the JVM — the r13 local
+  // bench measured q87 at 4.7 s in-bench vs 1.7 s solo from exactly
+  // this pressure. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

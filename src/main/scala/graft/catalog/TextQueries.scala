@@ -465,12 +465,21 @@ object TextQueries {
     // membership is the md5 hash bucket — reproducible under
     // repartitioning, retries, and appends.
     "q85_mixture_budget" -> Q(
-      (s, dir) => graft.ops.Sampling.sampleToBudget(
-          Tables(s, dir, "documents").select(col("doc_id"), col("source"),
-            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")),
-          "source", "doc_id", "n_tok", budget = 3000.0, salt = "v1")
-        .select(col("doc_id"), col("source"), col("n_tok"), col("keep_rate"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        // materialized once (the q81 pattern): sampleToBudget consumes
+        // its input from BOTH the stratum-total aggregate and the join
+        // side — without this the corpus tokenizes twice per execution,
+        // and the narrow (doc_id, source, n_tok) frame is ~20 bytes/doc
+        // against a full tokenize pass per extra consumer
+        val narrow = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+          .localCheckpoint()
+        graft.ops.Sampling.sampleToBudget(narrow,
+            "source", "doc_id", "n_tok", budget = 3000.0, salt = "v1")
+          .select(col("doc_id"), col("source"), col("n_tok"), col("keep_rate"))
+          .orderBy("doc_id")
+      },
       Some(
         s"""WITH t AS (
            |  SELECT doc_id, source, CAST(LEN($toksSql) AS BIGINT) AS n_tok

@@ -878,6 +878,8 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
+    // previous round's checkpointed frame, released once superseded
+    var prevCheckpoint: Option[DataFrame] = None
     var changedCount = 1L
     var iter = 0
     while (changedCount > 0 && iter < maxIter) {
@@ -906,6 +908,13 @@ object Dedup {
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint() // truncate the growing iterative lineage
       changedCount = updated.filter(col("label") =!= col("__old")).count()
+      // the new checkpoint is materialized (localCheckpoint is eager),
+      // so the previous round's blocks are dead — release them instead
+      // of letting every CC invocation leak iter× label snapshots into
+      // the block store (r13: the leak was measurable as cross-query
+      // slowdown over a long bench run)
+      prevCheckpoint.foreach(_.unpersist())
+      prevCheckpoint = Some(updated)
       labels = updated.select("id", "label")
       iter += 1
     }
@@ -913,6 +922,9 @@ object Dedup {
       log.warn(s"canonicalClusters: labels still changing after $maxIter " +
         s"rounds ($changedCount updates last round) — cluster diameter " +
         s"exceeds ~2^$maxIter; labeling is partially propagated")
+    // every per-round consumer of the edge list has executed eagerly;
+    // the returned plan reads only the final label checkpoint
+    edges.unpersist()
     // fold the (untouched) rest of the corpus back in: canonical = self
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
