@@ -140,6 +140,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => HashedScoreExpr(es(0), es(1).eval().toString)),
       ("segment_hashes", classOf[SegmentHashes].getName,
         es => SegmentHashes(es(0), intArg(es(1)))),
+      ("term_counts", classOf[TermCounts].getName,
+        es => TermCounts(es(0))),
+      ("ws_token_count", classOf[WsTokenCount].getName,
+        es => WsTokenCount(es(0))),
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
       ("vec_centroid", classOf[VecCentroidQ].getName,

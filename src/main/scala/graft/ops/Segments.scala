@@ -231,8 +231,41 @@ object Segments {
   /** The read-only half of [[dedupSegmentsIncremental]]: every batch
     * document rebuilt from its corpus-new segments. No writes.
     */
-  def segmentGate(batch: DataFrame, w: Int, storeTable: String): DataFrame =
-    reassembleRows(segmentGateRows(batch, w, storeTable))
+  def segmentGate(batch: DataFrame, w: Int, storeTable: String): DataFrame = {
+    val keptPerDoc = gateFlaggedKeys(batch, w, storeTable)
+      .filter(col("isKept"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
+    rebuildFromKept(batch.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
+  }
+
+  /** KEY-rows gate (r13): the first-in-batch window and the store probe
+    * both run on (h, doc_id, seg_no) from the one-pass codegen hash —
+    * segment text never enters the gate; callers rebuild via
+    * [[rebuildFromKept]] (batch text crosses the wire once, in that
+    * join). The text-carrying [[segmentGateRows]]/[[reassembleRows]]
+    * pair remains the streaming surface, whose sink contract consumes
+    * flagged text rows.
+    */
+  private def gateFlaggedKeys(batch: DataFrame, w: Int,
+                              storeTable: String): DataFrame = {
+    val s = batch.sparkSession
+    val firstWin = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("seg_no"))
+    val keys = segmentKeyRows(batch, w)
+      .withColumn("rn", row_number().over(firstWin))
+    val marked =
+      if (!s.catalog.tableExists(storeTable))
+        keys.withColumn("inStore", lit(false))
+      else keys.join(
+        s.table(storeTable).hint("merge")
+          .select(col("text_hash").as("h"), lit(true).as("inStore")),
+        Seq("h"), "left_outer")
+    marked
+      .withColumn("isKept",
+        col("rn") === 1 && coalesce(col("inStore"), lit(false)) === false)
+      .select(col("doc_id"), col("seg_no"), col("h"), col("isKept"))
+  }
 
   /** [[segmentGateRows]] with the store Bloom pre-filter
     * ([[graft.dedup.Dedup.storeBloom]] over the SEGMENT store — same
@@ -400,10 +433,21 @@ object Segments {
   def dedupSegmentsIncremental(batch: DataFrame, w: Int,
                                storeTable: String, storePath: String,
                                nBuckets: Int = 8): DataFrame = {
-    // materialized once: reassembled for the caller and appended below
-    val rows = segmentGateRows(batch, w, storeTable).localCheckpoint()
+    // KEY rows only (r13 — the [[dedupSegments]] argument applied to
+    // the gate): flagging and the store append need (h, doc_id,
+    // seg_no), never segment text, so the gate runs on the one-pass
+    // codegen hashes and the checkpoint holds ~28 bytes per segment;
+    // the batch text crosses the wire once, in the rebuild join.
+    // (The streaming gate keeps the text-carrying segmentGateRows /
+    // reassembleRows pair — its sink contract consumes flagged rows.)
+    // materialized once: consumed by the store append and the rebuild
+    val flagged = gateFlaggedKeys(batch, w, storeTable).localCheckpoint()
     graft.dedup.Dedup.appendHashStore(
-      novelHashes(rows), storeTable, storePath, nBuckets)
-    reassembleRows(rows)
+      novelHashes(flagged), storeTable, storePath, nBuckets)
+    val keptPerDoc = flagged
+      .filter(col("isKept"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
+    rebuildFromKept(batch.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
   }
 }

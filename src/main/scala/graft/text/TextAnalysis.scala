@@ -27,7 +27,13 @@ object TextAnalysis {
   def wsTokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
-  def tokenCountWs(c: Column): Column = size(wsTokens(c))
+  /** Whitespace-token count — semantically `size(wsTokens(c))`,
+    * executed as the one-pass codegen [[graft.functions.WsTokenCount]]
+    * (no regex engine, no token array; TermCountsSpec pins the
+    * equivalence).
+    */
+  def tokenCountWs(c: Column): Column =
+    graft.functions.TermCounts.wsTokenCount(c)
 
   /** BPE-ish pre-tokenizer classes (letters / digits / single punct), the
     * word-splitting regex shape used by GPT-2-style byte-pair encoders.

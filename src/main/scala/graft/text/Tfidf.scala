@@ -32,16 +32,29 @@ object Tfidf {
 
   /** Returns `(source, rnk, term, tf, df, score)`, the top `k` terms per
     * source by `tf * (N / df)` descending, ties broken by term ascending.
+    *
+    * Both frequency tables derive from `explode(term_counts(text))` —
+    * one distinct-terms row per (doc, term) with its in-doc count
+    * (r13): df counts those rows per term, tf sums the counts per
+    * (source, term). The old Column form paid an
+    * `explode(array_distinct(wsTokens))` pass for df plus an explode
+    * of the FULL token stream for tf — the codegen one-pass count
+    * table replaces both, and the exploded frame is the (2-4x smaller)
+    * distinct-terms one on BOTH branches. Each branch re-derives the
+    * expression from the scan rather than checkpointing the exploded
+    * frame — that intermediate is corpus-sized, exactly the state the
+    * CorpusPipeline shared-tokenization audit says not to hold.
     */
   def topTermsBySource(docs: DataFrame, k: Int): DataFrame = {
-    val toks = TextAnalysis.wsTokens(col("text"))
-    val termDoc = docs.select(col("doc_id"),
-      explode(array_distinct(toks)).as("term"))
-    val dfTbl = termDoc.groupBy(col("term"))
+    graft.functions.TermCounts.register(docs.sparkSession)
+    def pairs = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.TermCounts.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("source"),
+        col("tc.term").as("term"), col("tc.cnt").as("cnt"))
+    val dfTbl = pairs.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val tfTbl = docs.select(col("source"), explode(toks).as("term"))
-      .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tfTbl = pairs.groupBy(col("source"), col("term"))
+      .agg(sum(col("cnt")).as("tf"))
     val nTbl = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tfTbl
       .join(dfTbl, Seq("term"))
