@@ -238,24 +238,31 @@ object ScalarQueries {
       "spark.sql text interface over the same engine"),
 
     // ----- exact percentiles (linear interpolation both engines) -----
-    // Distributed rank selection, NOT Spark's `percentile()` aggregate:
-    // that one buffers every group value in the agg buffer (O(rows) on a
-    // task — the r12 verdict's one true state-explosion at 100 TB).
-    // graft.ops.Percentiles bounds state by distinct values per group
-    // with identical QUANTILE_CONT semantics; PercentilesSpec pins both
-    // the value parity against `percentile()` and the plan shape (no
-    // buffer-everything ObjectHashAggregate).
+    // NOT Spark's `percentile()` aggregate: that one buffers every
+    // group row in the agg buffer (O(rows) on a task — the r12
+    // verdict's one true state-explosion at 100 TB). Both graft
+    // replacements bound state by DISTINCT VALUES; q50 runs the
+    // count-map aggregate (functions/ExactPercentilesAgg: one scan, one
+    // aggregated exchange, every percentile from one buffer) because
+    // both its columns are bounded-domain (50 quantities; 2-dp money =
+    // <= ~10^7 distinct cents at any corpus size). For continuous
+    // columns whose distinct count approaches the row count, the
+    // rank-selection operator (graft.ops.Percentiles, spill-friendly
+    // per-task sort) is the scale path. PercentilesSpec pins all three
+    // implementations bit-equal and the plans' shapes.
     "q50_percentiles" -> Q(
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-        graft.ops.Percentiles.exactMulti(li, "l_returnflag", Seq(
-            ("l_quantity", "p50", 0.5),
-            ("l_quantity", "p95", 0.95),
-            ("l_extendedprice", "price_p25", 0.25)))
+        graft.functions.ExactPercentilesF.register(s)
+        import graft.functions.ExactPercentilesF.exactPercentiles
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            exactPercentiles(col("l_quantity"), Seq(0.5, 0.95)).as("qp"),
+            exactPercentiles(col("l_extendedprice"), Seq(0.25)).as("pp"))
           .select(col("l_returnflag"),
-            round(col("p50"), 6).as("p50"),
-            round(col("p95"), 6).as("p95"),
-            round(col("price_p25"), 6).as("price_p25"))
+            round(element_at(col("qp"), 1), 6).as("p50"),
+            round(element_at(col("qp"), 2), 6).as("p95"),
+            round(element_at(col("pp"), 1), 6).as("price_p25"))
           .orderBy("l_returnflag")
       },
       Some(

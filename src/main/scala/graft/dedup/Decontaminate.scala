@@ -76,10 +76,15 @@ object Decontaminate {
       case Some(filter) =>
         val sh = graft.functions.Texts.ngramHashes(col(textCol), n, mod)
         docs
-          // tier-1 narrow scan; flagged docs re-evaluate `sh` in the
-          // explode below — recompute-for-the-few beats caching a
-          // corpus-sized shingle column for the many
-          .filter(graft.functions.Blooms.bloomAny(lit(filter), sh))
+          // tier-1 narrow scan via the FUSED probe (r13): the composed
+          // bloom_any(ngram_hashes(...)) boxed one Long per character
+          // of the corpus into a GenericArrayData only to unbox it in
+          // the probe loop — ngram_bloom_any hashes and probes span by
+          // span with zero allocation. Flagged docs re-evaluate `sh`
+          // in the explode below — recompute-for-the-few beats caching
+          // a corpus-sized shingle column for the many
+          .filter(graft.functions.Texts
+            .ngramBloomAny(lit(filter), col(textCol), n, mod))
           // per-row array_distinct makes (id, __h) unique by
           // construction (probeSh is distinct too), so the hit count is
           // a plain count — not a countDistinct, whose two-phase

@@ -146,10 +146,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => WsTokenCount(es(0))),
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
+      ("exact_percentiles", classOf[ExactPercentilesAgg].getName,
+        es => ExactPercentilesAgg(es(0), es(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq)),
       ("vec_centroid", classOf[VecCentroidQ].getName,
         es => VecCentroidQ(es(0), longArg(es(1)))),
       ("bloom_any", classOf[BloomAny].getName,
         es => BloomAny(es(0), es(1))),
+      ("ngram_bloom_any", classOf[NgramBloomAny].getName,
+        es => NgramBloomAny(es(0), es(1), intArg(es(2)), longArg(es(3)))),
       ("bounded_ids", classOf[BoundedIds].getName,
         es => BoundedIds(es.init, intArg(es.last))),
       ("lsh_bucket", classOf[LshBucket].getName,

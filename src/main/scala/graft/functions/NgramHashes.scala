@@ -59,6 +59,95 @@ object NgramHasher {
   }
 }
 
+object NgramHasher2 { // (kept separate so NgramHasher's doc stays focused)
+  /** `true` iff ANY n-gram hash of `s` might be in `filter` — the
+    * fused tier-1 decontamination probe: identical decision to
+    * `bloom_any(filter, ngram_hashes(text, n, mod))`, but no per-span
+    * array is ever materialized. The composed form boxed one
+    * java.lang.Long PER CHARACTER of the corpus (GenericArrayData over
+    * a primitive array) just to unbox it again in the probe loop — at
+    * corpus scale the boxing, not the hashing, dominated the scan.
+    */
+  def anyInBloom(s: UTF8String, n: Int, mod: Long,
+                 filter: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val bytes = s.getBytes
+    val numBytes = bytes.length
+    var chars = 0
+    var i = 0
+    val offs = new Array[Int](numBytes + 1)
+    while (i < numBytes) {
+      offs(chars) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      chars += 1
+    }
+    offs(chars) = numBytes
+    val count = math.max(chars - n + 1, 1)
+    var j = 0
+    while (j < count) {
+      val start = offs(j)
+      val end = offs(math.min(j + n, chars))
+      val h = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      if (filter.mightContainLong(((h % mod) + mod) % mod)) return true
+      j += 1
+    }
+    false
+  }
+}
+
+/** `ngram_bloom_any(filter, text, n, mod)` → boolean: the fused
+  * decision `bloom_any(filter, ngram_hashes(text, n, mod))` with zero
+  * per-row allocation — see [[NgramHasher2.anyInBloom]]. Same filter
+  * contract as [[BloomAny]] (foldable binary, deserialized once per
+  * task); null text propagates null.
+  */
+case class NgramBloomAny(bloom: Expression, text: Expression,
+                         n: Int, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = bloom
+  override def right: Expression = text
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!bloom.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "ngram_bloom_any requires a foldable (driver-held) filter argument")
+    else (bloom.dataType, text.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (b, t) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_bloom_any requires (binary, string), got " +
+          s"${b.simpleString}, ${t.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "ngram_bloom_any"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = bloom.eval().asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Public so generated code calls the same loop as interpreted eval. */
+  def probe(s: UTF8String): Boolean =
+    NgramHasher2.anyInBloom(s, n, mod, filter)
+
+  override def nullSafeEval(bf: Any, t: Any): Any =
+    if (filter == null) null else probe(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramBloomAnyExpr", this,
+      classOf[NgramBloomAny].getName)
+    nullSafeCodeGen(ctx, ev, (_, t) => s"${ev.value} = $ref.probe($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(bloom = newLeft, text = newRight)
+}
+
 /** `ngram_hashes(text, n, mod)` → `array<long>`: see [[NgramHasher]]. */
 case class NgramHashes(child: Expression, n: Int, mod: Long)
     extends UnaryExpression {
@@ -126,6 +215,12 @@ object Texts {
         exprs(2).eval().asInstanceOf[Number].longValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_bloom_any",
+      exprs => NgramBloomAny(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "stopword_counts", exprs => StopwordCountsExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_overlap", exprs => SigOverlap(exprs(0), exprs(1)), "built-in")
@@ -157,5 +252,13 @@ object Texts {
   def ngramHashes(text: Column, n: Int, mod: Long): Column = {
     ensureRegistered()
     call_function(name, text, lit(n), lit(mod))
+  }
+
+  /** Fused `bloom_any(filter, ngram_hashes(text, n, mod))` — see
+    * [[NgramBloomAny]].
+    */
+  def ngramBloomAny(filter: Column, text: Column, n: Int, mod: Long): Column = {
+    ensureRegistered()
+    call_function("ngram_bloom_any", filter, text, lit(n), lit(mod))
   }
 }

@@ -59,6 +59,41 @@ class PercentilesSpec extends SparkSpec {
     assert(multi.map(r => (r._1, r._3)).toSeq == p.toSeq)
   }
 
+  test("count-map aggregate == rank selection == percentile(), bit-equal") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val agg = li.groupBy("l_returnflag")
+      .agg(graft.functions.ExactPercentilesF
+        .exactPercentiles(col("l_quantity"), Seq(0.01, 0.5, 0.95, 1.0)).as("p"))
+      .select(col("l_returnflag"), expr("p[0]"), expr("p[1]"), expr("p[2]"),
+        expr("p[3]"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double, Double)].collect()
+    val builtin = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.01)"),
+        expr("percentile(l_quantity, 0.5)"),
+        expr("percentile(l_quantity, 0.95)"),
+        expr("percentile(l_quantity, 1.0)"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(agg.toSeq == builtin.toSeq)
+    val ranksel = Percentiles.exact(li, "l_returnflag", "l_quantity",
+        Seq("a" -> 0.01, "b" -> 0.5, "c" -> 0.95, "d" -> 1.0))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(ranksel.toSeq == builtin.toSeq)
+  }
+
+  test("count-map aggregate: nulls skipped, all-null group evaluates null") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("c", None)).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(graft.functions.ExactPercentilesF
+        .exactPercentiles(col("v"), Seq(0.5)).as("p"))
+      .select(col("g"), expr("p[0]").as("p50"))
+      .orderBy("g").as[(String, Option[Double])].collect()
+    assert(got.toSeq == Seq(("a", Some(2.0)), ("c", None)))
+  }
+
   test("plan: no buffer-everything percentile aggregate; counts agg is two-phase") {
     val li = graft.Tables(spark, sf, "lineitem")
     val plan = Percentiles.exact(li, "l_returnflag", "l_quantity",
