@@ -126,7 +126,8 @@ object Segments {
     val keptPerDoc = kept
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(docs.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
+    rebuildFromKept(docs.join(keptPerDoc.hint("shuffle_hash"),
+      Seq("doc_id"), "left_outer"), w)
   }
 
   /** Shared tail of the corpus-wide ops: given the docs frame
@@ -236,7 +237,8 @@ object Segments {
       .filter(col("isKept"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(batch.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
+    rebuildFromKept(batch.join(keptPerDoc.hint("shuffle_hash"),
+      Seq("doc_id"), "left_outer"), w)
   }
 
   /** KEY-rows gate (r13): the first-in-batch window and the store probe
@@ -417,7 +419,8 @@ object Segments {
       .filter(col("__stop_h").isNull)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(docs.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
+    rebuildFromKept(docs.join(keptPerDoc.hint("shuffle_hash"),
+      Seq("doc_id"), "left_outer"), w)
   }
 
   /** Incremental segment-granular dedup against a persisted segment-hash
@@ -448,6 +451,7 @@ object Segments {
       .filter(col("isKept"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(batch.join(keptPerDoc, Seq("doc_id"), "left_outer"), w)
+    rebuildFromKept(batch.join(keptPerDoc.hint("shuffle_hash"),
+      Seq("doc_id"), "left_outer"), w)
   }
 }
