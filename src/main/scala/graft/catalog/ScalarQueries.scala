@@ -278,7 +278,8 @@ object ScalarQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val joined = Tables(s, dir, "orders")
-          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, dir, "customer").hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name").as("nation"), col("o_orderkey"),
@@ -305,14 +306,22 @@ object ScalarQueries {
     // Same output, same oracle — different physical contract: the window
     // form (even with partial WindowGroupLimit) sorts every map
     // partition's full frame; top_k_pairs streams it through a k-element
-    // buffer (O(n log k), no Sort operator) and ships <= k pairs per
-    // (group, task). The A/B pair (q51 vs q89) is measured at sf1 in the
-    // bench headline set.
+    // buffer (no Sort operator) and ships <= k pairs per (group, task).
+    // The A/B pair (q51 vs q89) is measured at sf1 in the bench headline
+    // set over IDENTICAL joins. r13 honesty note: under the r12
+    // sort-merge join the agg form won 0.79s vs 1.66s — but part of that
+    // delta was the window re-sorting the SMJ's join output; with both
+    // sides on the r13 shuffle-hash join the forms converge (0.92s vs
+    // 1.02s at sf1, median-of-7). The aggregate keeps the hard
+    // exchange-bytes guarantee (<= k pairs per (group, task) by
+    // construction, vs the window's heuristic partial group-limit) and
+    // remains the composable executor for samplePerGroup.
     "q89_rank_topn_agg" -> Q(
       (s, dir) => {
         graft.functions.TopK.register(s)
         val joined = Tables(s, dir, "orders")
-          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, dir, "customer").hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name").as("nation"), col("o_orderkey"),
