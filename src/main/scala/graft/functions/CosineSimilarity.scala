@@ -147,9 +147,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
       ("exact_percentiles", classOf[ExactPercentilesAgg].getName,
-        es => ExactPercentilesAgg(es(0), es(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray().toSeq)),
+        es => ExactPercentilesAgg(es(0), ExactPercentilesF.psArg(es(1)))),
       ("vec_centroid", classOf[VecCentroidQ].getName,
         es => VecCentroidQ(es(0), longArg(es(1)))),
       ("bloom_any", classOf[BloomAny].getName,

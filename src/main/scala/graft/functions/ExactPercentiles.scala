@@ -200,11 +200,25 @@ case class ExactPercentilesAgg(
 object ExactPercentilesF {
   private val name = "exact_percentiles"
 
+  /** Evaluate a foldable numeric-array expression to doubles — SQL
+    * literals like `array(0.5)` arrive as DECIMAL arrays, Column-built
+    * ones as doubles.
+    */
+  def psArg(e: Expression): Seq[Double] = {
+    val arr = e.eval().asInstanceOf[ArrayData]
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    arr.toObjectArray(et).toSeq.map {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"exact_percentiles: non-numeric percentile $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      exprs => ExactPercentilesAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq),
+      exprs => ExactPercentilesAgg(exprs(0), psArg(exprs(1))),
       "built-in")
 
   /** `exactPercentiles(value, ps)`: array of exact linear-interpolation

@@ -26,9 +26,18 @@ object ExtCheck {
         simhash64('hello world') AS sh,
         shingle_fingerprint('hello world', 8) AS fp,
         lsh_bucket(array(1.0f, 0.0f), 4, 42) AS lb,
-        repetition_counts('a a b')[0] AS rc
+        repetition_counts('a a b')[0] AS rc,
+        hashed_score('a b c', 's1') AS hs,
+        size(segment_hashes('a b c d', 2)) AS sg,
+        size(term_counts('a b a')) AS tc,
+        ws_token_count(' a  b ') AS wc
     """).head()
     println(s"[extcheck] $out")
+    val pcts = spark.sql("""
+      SELECT exact_percentiles(CAST(x AS DOUBLE), array(0.5))[0] AS p50
+      FROM VALUES (1L), (2L), (3L) AS t(x)
+    """).head()
+    println(s"[extcheck] $pcts")
     val agg = spark.sql("""
       SELECT bounded_ids(x, 10) AS ids, kmv_sample(x, 3) AS kmv,
              kmv_distinct(x, 16) AS kd,
@@ -56,7 +65,13 @@ object ExtCheck {
         org.apache.spark.sql.functions.lit(bf),
         org.apache.spark.sql.functions.expr(
           "array(xxhash64(9L), xxhash64(2L))")).as("anyhit")).head()
-    println(s"[extcheck] $hit $anyhit")
+    val nbAny = spark.range(1).select(
+      org.apache.spark.sql.functions.call_function("ngram_bloom_any",
+        org.apache.spark.sql.functions.lit(bf),
+        org.apache.spark.sql.functions.lit("hello world"),
+        org.apache.spark.sql.functions.lit(3),
+        org.apache.spark.sql.functions.lit(2147483647L)).as("nbany")).head()
+    println(s"[extcheck] $hit $anyhit $nbAny")
     spark.stop()
   }
 }
