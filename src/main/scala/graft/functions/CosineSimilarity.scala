@@ -144,6 +144,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => TermCounts(es(0))),
       ("ws_token_count", classOf[WsTokenCount].getName,
         es => WsTokenCount(es(0))),
+      ("html_table_rows", classOf[HtmlTableRows].getName,
+        es => HtmlTableRows(es(0))),
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
       ("exact_percentiles", classOf[ExactPercentilesAgg].getName,

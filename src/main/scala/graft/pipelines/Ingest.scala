@@ -26,6 +26,41 @@ object Ingest {
   def readRawCasesCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.rawCaseCsv).csv(path)
 
+  /** S1 — the dashboard HTML-table scrape, in-engine half
+    * (cv.py:51-69). The reference drives a headless Chrome to FETCH the
+    * page — browser automation stays outside any SQL engine — then
+    * walks `table → tr → td` in Python, skipping the first two header
+    * rows and regex-stripping non-digits from the case number and age.
+    * Everything after "we have the HTML" is a pure function of the
+    * text, so here it runs ON THE SCAN: a whole-file text read, the
+    * codegen [[graft.functions.HtmlTableRows]] parse, `posexplode` for
+    * the row walk (`row_num` mirrors cv.py:55's counter), and the same
+    * [[CaseOps.digitsToInt]] the CSV path uses (cv.py:61,63; blank age
+    * → null per the standardized cv-api.py:110 typing, where the
+    * reference's `'Unknown'` int-or-string inconsistency is
+    * normalized). Directories of page snapshots parse in parallel, one
+    * task per file.
+    *
+    * Output: `(case_number int, county, age int, sex, travel)` —
+    * cv.py:60-67's dict shape minus the driver-side `date_added`
+    * timestamp (a load-time artifact, not page content; add it at the
+    * sink with `current_timestamp()`).
+    */
+  def readHtmlCasesTable(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.HtmlTableRows.register(spark)
+    spark.read.option("wholetext", true).text(path)
+      .select(posexplode(graft.functions.HtmlTableRows
+        .htmlTableRows(col("value"))).as(Seq("row_num", "cells")))
+      .filter(col("row_num") >= 2) // cv.py:57 — two header rows
+      .filter(size(col("cells")) >= 5)
+      .select(
+        CaseOps.digitsToInt(element_at(col("cells"), 1)).as("case_number"),
+        element_at(col("cells"), 2).as("county"),
+        CaseOps.digitsToInt(element_at(col("cells"), 3)).as("age"),
+        element_at(col("cells"), 4).as("sex"),
+        element_at(col("cells"), 5).as("travel"))
+  }
+
   /** P1-P7 + J1 — normalize a raw-shaped frame into the case record
     * (cv-csv.py:48-60 semantics; age ''/non-numeric → null per the
     * standardized cv-api.py:110 typing).
