@@ -127,12 +127,13 @@ object TextQueries {
 
     // ----- token counting: whitespace + BPE-ish regex classes -----
     "q31_token_stats" -> Q(
-      (s, dir) => Tables(s, dir, "documents")
+      (s, dir) => { graft.functions.TermCounts.register(s)
+        Tables(s, dir, "documents")
         .select(col("doc_id"),
           // long, matching DuckDB LEN's BIGINT (paritycheck WARN-free)
           TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
           TextAnalysis.tokenCountRe(col("text")).cast("long").as("re_tokens"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id") },
       Some(
         s"""SELECT doc_id,
            |  LEN($toksSql) AS ws_tokens,
@@ -404,6 +405,7 @@ object TextQueries {
     // hash match proves the scalable decomposition exact.
     "q81_pack_chunks" -> Q(
       (s, dir) => {
+        graft.functions.TermCounts.register(s) // ws_token_count
         // materialized once: prefixSum's bucket-offsets branch and its
         // main branch both consume this frame, and re-tokenizing the
         // corpus per branch costs more than checkpointing 16 bytes/doc
@@ -466,6 +468,7 @@ object TextQueries {
     // repartitioning, retries, and appends.
     "q85_mixture_budget" -> Q(
       (s, dir) => {
+        graft.functions.TermCounts.register(s) // ws_token_count
         // materialized once (the q81 pattern): sampleToBudget consumes
         // its input from BOTH the stratum-total aggregate and the join
         // side — without this the corpus tokenizes twice per execution,

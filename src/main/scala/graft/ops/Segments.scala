@@ -126,8 +126,24 @@ object Segments {
     val keptPerDoc = kept
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(docs.join(keptPerDoc.hint("shuffle_hash"),
-      Seq("doc_id"), "left_outer"), w)
+    joinKept(docs, keptPerDoc, w)
+  }
+
+  /** Join the per-doc kept-index frame back onto the docs frame and
+    * rebuild. The kept frame derives FROM the docs frame, so its
+    * `doc_id` can carry the same expression id (localCheckpoint
+    * preserves ids) — renamed before joining so the two join children
+    * never share output attributes (the non-AQE analyzer rejects such
+    * self-joins with a conflicting-references internal error; surfaced
+    * by the r13 PlanAudit session, which audits with AQE off).
+    */
+  private def joinKept(docs: DataFrame, keptPerDoc: DataFrame,
+                       w: Int): DataFrame = {
+    val kd = keptPerDoc.withColumnRenamed("doc_id", "__kept_doc")
+    rebuildFromKept(
+      docs.join(kd.hint("shuffle_hash"),
+          col("doc_id") === col("__kept_doc"), "left_outer")
+        .drop("__kept_doc"), w)
   }
 
   /** Shared tail of the corpus-wide ops: given the docs frame
@@ -237,8 +253,7 @@ object Segments {
       .filter(col("isKept"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(batch.join(keptPerDoc.hint("shuffle_hash"),
-      Seq("doc_id"), "left_outer"), w)
+    joinKept(batch, keptPerDoc, w)
   }
 
   /** KEY-rows gate (r13): the first-in-batch window and the store probe
@@ -419,8 +434,7 @@ object Segments {
       .filter(col("__stop_h").isNull)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(docs.join(keptPerDoc.hint("shuffle_hash"),
-      Seq("doc_id"), "left_outer"), w)
+    joinKept(docs, keptPerDoc, w)
   }
 
   /** Incremental segment-granular dedup against a persisted segment-hash
@@ -451,7 +465,6 @@ object Segments {
       .filter(col("isKept"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
-    rebuildFromKept(batch.join(keptPerDoc.hint("shuffle_hash"),
-      Seq("doc_id"), "left_outer"), w)
+    joinKept(batch, keptPerDoc, w)
   }
 }
