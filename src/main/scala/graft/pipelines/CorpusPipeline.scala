@@ -109,9 +109,12 @@ object CorpusPipeline {
       .localCheckpoint()
     val clusters = Dedup.canonicalClusters(
       deboiled.select("doc_id"), nearPairs, "doc_id")
+    // shuffle_hash: the stream side is document text — sort-merge would
+    // sort it; the id-only build side hashes (the r13 segment-rebuild
+    // finding applied to the survivor filter)
     val survivors = deboiled.join(
       clusters.filter(col("doc_id") === col("canonical_id"))
-        .select("doc_id"),
+        .select("doc_id").hint("shuffle_hash"),
       Seq("doc_id"), "left_semi")
 
     // tier 4: token accounting
@@ -143,14 +146,16 @@ object CorpusPipeline {
       .localCheckpoint() // consumed by both gates' joins below
     val exactNew = filtered.join(
       Dedup.exactIncremental(filtered, "doc_id", "text",
-        s"${storeTable}_exact", s"$storePath/exact").select("doc_id"),
+        s"${storeTable}_exact", s"$storePath/exact").select("doc_id")
+        .hint("shuffle_hash"),
       Seq("doc_id"), "left_semi")
     val novel = Dedup.minhashIncremental(
       Dedup.minhashSignatures(exactNew, "doc_id", "text",
         cfg.minhashBits, cfg.shingleN),
       "doc_id", s"${storeTable}_mh", s"$storePath/mh",
       cfg.lshBands, cfg.minEstJaccard)
-    exactNew.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
+    exactNew.join(novel.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
       .withColumn("tokens", TextAnalysis.tokenCountRe(col("text")))
   }
 }
