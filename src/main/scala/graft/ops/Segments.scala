@@ -249,39 +249,40 @@ object Segments {
     * document rebuilt from its corpus-new segments. No writes.
     */
   def segmentGate(batch: DataFrame, w: Int, storeTable: String): DataFrame = {
-    val keptPerDoc = gateFlaggedKeys(batch, w, storeTable)
-      .filter(col("isKept"))
+    val keptPerDoc = gateKeptPairs(batch, w, storeTable)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
     joinKept(batch, keptPerDoc, w)
   }
 
-  /** KEY-rows gate (r13): the first-in-batch window and the store probe
-    * both run on (h, doc_id, seg_no) from the one-pass codegen hash —
-    * segment text never enters the gate; callers rebuild via
-    * [[rebuildFromKept]] (batch text crosses the wire once, in that
-    * join). The text-carrying [[segmentGateRows]]/[[reassembleRows]]
-    * pair remains the streaming surface, whose sink contract consumes
-    * flagged text rows.
+  /** KEY-rows gate (r13): the kept (h, doc_id, seg_no) triples of a
+    * batch gated against the store — segment text never enters the
+    * gate; callers rebuild via [[rebuildFromKept]] (batch text crosses
+    * the wire once, in that join).
+    *
+    * First-in-batch is the [[dedupSegments]] winner trick, NOT a
+    * window: `rn == 1` under `(doc_id, seg_no)` order is exactly
+    * `min(struct(doc_id, seg_no))` per h, so a two-phase partial
+    * aggregate replaces the h-keyed sort entirely AND shrinks the
+    * store probe's left side to one row per DISTINCT batch segment
+    * before the anti join against the bucketed store. The
+    * text-carrying [[segmentGateRows]]/[[reassembleRows]] pair remains
+    * the streaming surface, whose sink contract consumes flagged rows.
     */
-  private def gateFlaggedKeys(batch: DataFrame, w: Int,
-                              storeTable: String): DataFrame = {
+  private def gateKeptPairs(batch: DataFrame, w: Int,
+                            storeTable: String): DataFrame = {
     val s = batch.sparkSession
-    val firstWin = Window.partitionBy(col("h"))
-      .orderBy(col("doc_id"), col("seg_no"))
-    val keys = segmentKeyRows(batch, w)
-      .withColumn("rn", row_number().over(firstWin))
-    val marked =
-      if (!s.catalog.tableExists(storeTable))
-        keys.withColumn("inStore", lit(false))
-      else keys.join(
+    val winners = segmentKeyRows(batch, w)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("__first"))
+    val novel =
+      if (!s.catalog.tableExists(storeTable)) winners
+      else winners.join(
         s.table(storeTable).hint("merge")
-          .select(col("text_hash").as("h"), lit(true).as("inStore")),
-        Seq("h"), "left_outer")
-    marked
-      .withColumn("isKept",
-        col("rn") === 1 && coalesce(col("inStore"), lit(false)) === false)
-      .select(col("doc_id"), col("seg_no"), col("h"), col("isKept"))
+          .select(col("text_hash").as("h")),
+        Seq("h"), "left_anti")
+    novel.select(col("h"), col("__first.doc_id").as("doc_id"),
+      col("__first.seg_no").as("seg_no"))
   }
 
   /** [[segmentGateRows]] with the store Bloom pre-filter
@@ -450,19 +451,17 @@ object Segments {
   def dedupSegmentsIncremental(batch: DataFrame, w: Int,
                                storeTable: String, storePath: String,
                                nBuckets: Int = 8): DataFrame = {
-    // KEY rows only (r13 — the [[dedupSegments]] argument applied to
-    // the gate): flagging and the store append need (h, doc_id,
-    // seg_no), never segment text, so the gate runs on the one-pass
-    // codegen hashes and the checkpoint holds ~28 bytes per segment;
-    // the batch text crosses the wire once, in the rebuild join.
-    // (The streaming gate keeps the text-carrying segmentGateRows /
-    // reassembleRows pair — its sink contract consumes flagged rows.)
-    // materialized once: consumed by the store append and the rebuild
-    val flagged = gateFlaggedKeys(batch, w, storeTable).localCheckpoint()
+    // KEY rows only (r13 — see [[gateKeptPairs]]): flagging and the
+    // store append need (h, doc_id, seg_no), never segment text, so
+    // the gate runs on the one-pass codegen hashes and the checkpoint
+    // holds ~28 bytes per kept segment; the batch text crosses the
+    // wire once, in the rebuild join. materialized once: consumed by
+    // the store append and the rebuild.
+    val kept = gateKeptPairs(batch, w, storeTable).localCheckpoint()
     graft.dedup.Dedup.appendHashStore(
-      novelHashes(flagged), storeTable, storePath, nBuckets)
-    val keptPerDoc = flagged
-      .filter(col("isKept"))
+      kept.select(col("h").as("text_hash")), // winners are distinct per h
+      storeTable, storePath, nBuckets)
+    val keptPerDoc = kept
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_no"))).as("__kept"))
     joinKept(batch, keptPerDoc, w)
