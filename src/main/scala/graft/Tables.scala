@@ -64,12 +64,19 @@ object Tables {
     // legacy branch. Any other AnalysisException — file missing,
     // permissions, corrupt footer — propagates as itself instead of
     // masquerading as a nanos file and leaking the session conf on the
-    // doomed retry.
+    // doomed retry. Matched on the error CONDITION, not message text
+    // (r14): Spark 4.1.2 raises PARQUET_TYPE_ILLEGAL for this rejection
+    // (verified against a pyarrow-written timestamp[ns] file), and the
+    // condition id is the stable cross-version contract where message
+    // wording is not. The message check stays only as a fallback for a
+    // hypothetical classless rethrow.
     val inferred =
       try Some(spark.read.parquet(path).schema("ts").dataType)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+            if e.getCondition == "PARQUET_TYPE_ILLEGAL" ||
+              (e.getCondition == null && e.getMessage != null &&
+                e.getMessage.contains("NANOS")) =>
           None
       }
     inferred match {

@@ -410,6 +410,49 @@ object CoreQueries {
            |rates AS (SELECT d, cum / LAG(cum, 1) OVER (ORDER BY d) AS rate FROM cum)
            |SELECT ROUND(AVG(rate), 6) AS mean_rate
            |FROM (SELECT rate FROM rates WHERE rate IS NOT NULL ORDER BY d DESC LIMIT 5)""".stripMargin),
-      "A6 mean of trailing 5 growth rates")
+      "A6 mean of trailing 5 growth rates"),
+
+    // ----- S1: HTML dashboard-table scan, answer-key oracle -----
+    // The in-engine half of the reference's Selenium scrape
+    // (cv.py:51-69): whole-file text scan -> codegen HtmlTableRows
+    // parse -> posexplode row walk -> digit extraction. DuckDB cannot
+    // parse HTML, so the oracle is the q59/q95 answer-key pattern: the
+    // committed dashboard.html fixture is fixed content, and the SQL
+    // side enumerates the rows the reference's own walk would emit
+    // (two header rows skipped, entity decode, blank age -> null,
+    // digit-stripped case numbers). A parser regression ANYWHERE in
+    // the chain — tag walk, entity table, whitespace collapse, header
+    // skip, digitsToInt — flips the hash.
+    "q96_html_cases" -> Q(
+      (s, _) => graft.pipelines.Ingest
+        .readHtmlCasesTable(s, fixturePath("dashboard.html"))
+        .orderBy("case_number"),
+      Some(
+        """SELECT * FROM (VALUES
+          |  (1, 'Dade', 23, 'M', 'Yes'),
+          |  (2, 'Santa Rosa', CAST(NULL AS INTEGER), 'F', 'No'),
+          |  (3, 'Johnson & Smith', 45, 'U', 'Unknown'),
+          |  (4, 'Duval', 7, 'M', 'No'))
+          |AS t(case_number, county, age, sex, travel)
+          |ORDER BY case_number""".stripMargin),
+      "S1 HTML table scan over the committed fixture vs enumerated rows")
   )
+
+  /** Materialize a classpath fixture to a stable temp file so the scan
+    * works identically from exploded classes and from a packaged jar
+    * (getResource inside a jar is not a filesystem path Spark can
+    * read). Content-addressed by name; written once per JVM.
+    */
+  private def fixturePath(name: String): String = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_fixture_$name")
+    if (!out.exists()) {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      require(in != null, s"fixture /fixtures/$name not on classpath")
+      try java.nio.file.Files.copy(in, out.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
+    out.getPath
+  }
 }

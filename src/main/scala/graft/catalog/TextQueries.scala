@@ -410,10 +410,10 @@ object TextQueries {
         // main branch both consume this frame, and re-tokenizing the
         // corpus per branch costs more than checkpointing 16 bytes/doc
         // (measured at sf1: 1.83s unmaterialized -> 1.10s)
-        val docs = Tables(s, dir, "documents").select(col("doc_id"),
-          graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
-            .as("n_tok"))
-          .localCheckpoint()
+        val docs = graft.util.Checkpoints.scoped(s"q81:$dir")(
+          Tables(s, dir, "documents").select(col("doc_id"),
+            graft.text.TextAnalysis.tokenCountWs(col("text")).cast("long")
+              .as("n_tok")))
         graft.ops.Packing.packBins(docs, "doc_id", "n_tok",
             budget = 512L, bucketWidth = 64L)
           .groupBy(col("bin"))
@@ -474,10 +474,10 @@ object TextQueries {
         // side — without this the corpus tokenizes twice per execution,
         // and the narrow (doc_id, source, n_tok) frame is ~20 bytes/doc
         // against a full tokenize pass per extra consumer
-        val narrow = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
-          .localCheckpoint()
+        val narrow = graft.util.Checkpoints.scoped(s"q85:$dir")(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")))
         graft.ops.Sampling.sampleToBudget(narrow,
             "source", "doc_id", "n_tok", budget = 3000.0, salt = "v1")
           .select(col("doc_id"), col("source"), col("n_tok"), col("keep_rate"))

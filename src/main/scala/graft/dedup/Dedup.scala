@@ -864,10 +864,11 @@ object Dedup {
     // round — at corpus scale that is rounds x |edges| of avoidable
     // shuffle. The checkpointed frame keeps its HashPartitioning(dst),
     // so each round exchanges only the (much smaller) label frame.
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
+    val edgesCp = graft.util.Checkpoints.tracked(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .repartition(col("dst")))
+    val edges = edgesCp.df
     // Iterate ONLY over ids that touch an edge: an isolated doc keeps its
     // own label forever, so dragging the whole corpus through every round's
     // joins is pure waste — at 100 TB the near-dup subgraph is a small
@@ -879,7 +880,7 @@ object Dedup {
       .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
     // previous round's checkpointed frame, released once superseded
-    var prevCheckpoint: Option[DataFrame] = None
+    var prevCheckpoint: Option[graft.util.Checkpoints.Tracked] = None
     var changedCount = 1L
     var iter = 0
     while (changedCount > 0 && iter < maxIter) {
@@ -901,20 +902,23 @@ object Dedup {
       // giving d_{r+1} = 2d_r + 1 (= 2^r - 1 after r rounds). The left
       // join misses only for ids absent from the old map's key side,
       // where jumping is a no-op (coalesce).
-      val updated = hopped
+      // truncate the growing iterative lineage; TRACKED so the previous
+      // round's blocks can be dropped for real — Dataset.unpersist() is
+      // a CacheManager call and does nothing for localCheckpoint blocks
+      // (they are registered with the persistent-RDD registry, not the
+      // cache), so the r13 `unpersist()` release was a no-op and every
+      // CC invocation leaked iter× label snapshots into the block store
+      val updatedCp = graft.util.Checkpoints.tracked(hopped
         .join(labels.select(col("id").as("label"), col("label").as("__ll")),
           Seq("label"), "left_outer")
         .select(col("id"), col("__old"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
-        .localCheckpoint() // truncate the growing iterative lineage
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label")))
+      val updated = updatedCp.df
       changedCount = updated.filter(col("label") =!= col("__old")).count()
       // the new checkpoint is materialized (localCheckpoint is eager),
-      // so the previous round's blocks are dead — release them instead
-      // of letting every CC invocation leak iter× label snapshots into
-      // the block store (r13: the leak was measurable as cross-query
-      // slowdown over a long bench run)
-      prevCheckpoint.foreach(_.unpersist())
-      prevCheckpoint = Some(updated)
+      // so the previous round's blocks are dead — drop their RDDs
+      prevCheckpoint.foreach(_.release())
+      prevCheckpoint = Some(updatedCp)
       labels = updated.select("id", "label")
       iter += 1
     }
@@ -924,7 +928,7 @@ object Dedup {
         s"exceeds ~2^$maxIter; labeling is partially propagated")
     // every per-round consumer of the edge list has executed eagerly;
     // the returned plan reads only the final label checkpoint
-    edges.unpersist()
+    edgesCp.release()
     // fold the (untouched) rest of the corpus back in: canonical = self
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")

@@ -76,16 +76,38 @@ final class ValueCountMap(initialCap: Int = 64) {
   *
   * Nulls are excluded ([[update]] skips them); an all-null group
   * evaluates to null, as `percentile()` does.
+  *
+  * The boundedness contract is ENFORCED, not trusted (r14, the
+  * SemDeDup over-cap convention): a buffer that exceeds `maxDistinct`
+  * distinct values aborts the query with an actionable message naming
+  * the rank-selection operator, instead of silently marching an
+  * executor toward OOM when a caller points this aggregate at a
+  * continuous column. The default cap (2^24 ≈ 1.6·10^7 entries, ≤
+  * ~768 MB of map arrays at the 2× load factor) clears every bounded
+  * domain the scaladoc promises (~10^7 distinct cents) with room.
   */
 case class ExactPercentilesAgg(
     child: Expression,
     ps: Seq[Double],
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    maxDistinct: Int = ExactPercentilesAgg.DefaultMaxDistinct)
   extends TypedImperativeAggregate[ValueCountMap] {
 
   require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
     s"percentiles must be in [0,1]: $ps")
+  require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
+
+  private def checkCap(buf: ValueCountMap): ValueCountMap = {
+    if (buf.size > maxDistinct) throw new IllegalStateException(
+      s"exact_percentiles: aggregation buffer exceeded $maxDistinct " +
+        "distinct values — this column's domain is not bounded, and the " +
+        "count-map state would approach O(rows). Use the rank-selection " +
+        "operator graft.ops.Percentiles (spills instead of buffering) " +
+        "for continuous columns, or raise the cap explicitly if the " +
+        "domain really is this large.")
+    buf
+  }
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -106,7 +128,7 @@ case class ExactPercentilesAgg(
     val v = child.eval(input)
     if (v != null)
       buf.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
-    buf
+    checkCap(buf)
   }
 
   override def merge(buf: ValueCountMap, other: ValueCountMap): ValueCountMap = {
@@ -115,7 +137,7 @@ case class ExactPercentilesAgg(
       if (other.cnts(i) != 0L) buf.add(other.keys(i), other.cnts(i))
       i += 1
     }
-    buf
+    checkCap(buf)
   }
 
   override def eval(buf: ValueCountMap): Any = {
@@ -197,6 +219,12 @@ case class ExactPercentilesAgg(
     copy(child = newChildren(0))
 }
 
+object ExactPercentilesAgg {
+  /** 2^24 distinct values — clears any 2-dp money / quantity domain;
+    * an abort above this means the column is effectively continuous. */
+  val DefaultMaxDistinct: Int = 1 << 24
+}
+
 object ExactPercentilesF {
   private val name = "exact_percentiles"
 
@@ -215,10 +243,19 @@ object ExactPercentilesF {
     }
   }
 
+  /** `exact_percentiles(value, ps[, maxDistinct])` — the optional third
+    * (foldable int) argument overrides the distinct-value abort cap.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      exprs => ExactPercentilesAgg(exprs(0), psArg(exprs(1))),
+      exprs => {
+        val base = ExactPercentilesAgg(exprs(0), psArg(exprs(1)))
+        if (exprs.length >= 3)
+          base.copy(maxDistinct =
+            exprs(2).eval().asInstanceOf[Number].intValue())
+        else base
+      },
       "built-in")
 
   /** `exactPercentiles(value, ps)`: array of exact linear-interpolation

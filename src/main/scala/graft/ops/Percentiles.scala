@@ -97,6 +97,13 @@ object Percentiles {
     * class doc), joined on the group key. The join inputs are
     * one-row-per-group aggregates, so AQE broadcasts them; column
     * order in the output follows `specs`.
+    *
+    * The join is FULL OUTER: a group whose values are all null for one
+    * column drops out of that column's [[exact]] output, and an inner
+    * join would then silently discard the group's real percentiles for
+    * every OTHER column too. Outer-joining keeps the group with nulls
+    * for the missing column — the same shape `percentile()` returns
+    * (null for an all-null column, values elsewhere).
     */
   def exactMulti(df: DataFrame, groupCol: String,
                  specs: Seq[(String, String, Double)]): DataFrame = {
@@ -105,7 +112,7 @@ object Percentiles {
       .map { case (vcol, ss) =>
         exact(df, groupCol, vcol, ss.map { case (_, n, p) => (n, p) })
       }
-    val joined = perCol.reduce(_.join(_, groupCol))
+    val joined = perCol.reduce(_.join(_, Seq(groupCol), "full_outer"))
     joined.select(col(groupCol) +: specs.map(s => col(s._2)): _*)
   }
 }

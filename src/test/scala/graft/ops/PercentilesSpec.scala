@@ -59,6 +59,23 @@ class PercentilesSpec extends SparkSpec {
     assert(multi.map(r => (r._1, r._3)).toSeq == p.toSeq)
   }
 
+  test("exactMulti keeps a group whose values are all null for ONE column") {
+    // group "b" has real v1 but only null v2: an inner join between the
+    // per-column passes would discard b entirely; the full-outer join
+    // must keep it with v2's percentile null — percentile()'s shape
+    val df = Seq(
+      ("a", Some(1.0), Some(10.0)), ("a", Some(3.0), Some(30.0)),
+      ("b", Some(5.0), None), ("b", Some(7.0), None)
+    ).toDF("g", "v1", "v2")
+    val got = Percentiles.exactMulti(df, "g", Seq(
+        ("v1", "a50", 0.5), ("v2", "b50", 0.5)))
+      .orderBy("g")
+      .as[(String, Option[Double], Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      ("a", Some(2.0), Some(20.0)),
+      ("b", Some(6.0), None)))
+  }
+
   test("count-map aggregate == rank selection == percentile(), bit-equal") {
     val li = graft.Tables(spark, sf, "lineitem")
     val agg = li.groupBy("l_returnflag")
@@ -92,6 +109,29 @@ class PercentilesSpec extends SparkSpec {
       .select(col("g"), expr("p[0]").as("p50"))
       .orderBy("g").as[(String, Option[Double])].collect()
     assert(got.toSeq == Seq(("a", Some(2.0)), ("c", None)))
+  }
+
+  test("count-map aggregate aborts, actionably, above the distinct cap") {
+    graft.functions.ExactPercentilesF.register(spark)
+    val df = spark.range(1000)
+      .selectExpr("cast(id as double) as v", "id % 2 as g")
+    // 500 distinct values per group against a cap of 100: the job must
+    // die with the message pointing at the rank-selection operator, not
+    // march toward OOM
+    val e = intercept[org.apache.spark.SparkException] {
+      df.groupBy("g")
+        .agg(expr("exact_percentiles(v, array(0.5d), 100)"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft.ops.Percentiles")))
+    // the same query under the default cap succeeds
+    val ok = df.groupBy("g")
+      .agg(expr("exact_percentiles(v, array(0.0d))").getItem(0).as("p0"))
+      .orderBy("g").as[(Long, Double)].collect()
+    assert(ok.toSeq == Seq((0L, 0.0), (1L, 1.0)))
   }
 
   test("plan: no buffer-everything percentile aggregate; counts agg is two-phase") {
