@@ -112,31 +112,52 @@ object Analytics {
     * Spark has no native as-of join; the naive forms don't scale (a global
     * union+window can't partition; a `>=` range join over a broadcast
     * nested loop is O(rows x days)). At daily granularity the exact
-    * rewrite is: densify the series to every calendar day (forward-fill
-    * via an ignore-nulls last_value window — over the tiny date axis
-    * only), then broadcast equi-join on the date. The fact side never
-    * shuffles; the series stays #days rows.
+    * rewrite is: densify the series to every covered calendar day (each
+    * series row explodes its own [d, next_d) range — forward-fill by
+    * construction, over the tiny date axis only), then broadcast
+    * equi-join the fact side on the date, clamped to the series' last
+    * day so later fact rows carry the final value forward. The fact
+    * side never shuffles and is scanned exactly once; the series stays
+    * #days rows.
     *
-    * `series` must be (dateCol: date, valueCol); rows on dates before the
-    * series starts get null.
+    * `series` must be (dateCol: date, valueCol) with at most one row
+    * per date (an aggregated daily frame); rows on dates before the
+    * series starts, and rows with a null date, get null.
     */
   def asOfDaily(left: DataFrame, leftDate: Column,
                 series: DataFrame, dateCol: String = "d",
                 valueCol: String = "n"): DataFrame = {
-    // calendar spans to the LEFT side's max date too: as-of semantics
-    // carry the last series value forward indefinitely
-    val bounds = series.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hiS"))
-      .crossJoin(left.agg(max(leftDate).as("hiL")))
-      .select(col("lo"), greatest(col("hiS"), col("hiL")).as("hi"))
-    val calendar = bounds.select(
-      explode(sequence(col("lo"), col("hi"))).as(dateCol))
+    // Both broadcast sides below (the densified days and the 1-row max)
+    // execute the series subtree once each. A checkpoint-the-series
+    // variant that halves that to one scan was MEASURED SLOWER on q49
+    // at sf1 (1.10 s vs 1.00 s solo, median-of-5): the eager
+    // materialization job costs more than the duplicated
+    // aggregate-and-scan it saves — so the two executions stand.
+    // Row-local densify (r14): series row i covers the day range
+    // [d_i, d_{i+1}) — lead() finds the range end and ONE explode emits
+    // every covered day carrying value_i. Forward-fill falls out of the
+    // coverage itself, so the previous shape's bounds aggregate, calendar
+    // crossJoin, calendar-to-series join, and ignore-nulls carry-forward
+    // window all collapse into a single pass over the series. Rows dated
+    // after the last series day carry the last value forward via the
+    // clamp below instead of densifying out to the fact side's max date —
+    // which also removes the fact-side max() scan (the old shape scanned
+    // the fact table twice and the series twice; this one scans each
+    // once, in three jobs: two tiny broadcast builds + the probe).
     val w = Window.orderBy(dateCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val densified = calendar
-      .join(series, Seq(dateCol), "left_outer")
-      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
-    left.join(broadcast(densified), leftDate === col(dateCol), "left_outer")
-      .drop(dateCol)
+    val densified = series
+      .withColumn("__next", lead(col(dateCol), 1).over(w))
+      .select(explode(sequence(col(dateCol),
+          coalesce(date_sub(col("__next"), 1), col(dateCol)))).as(dateCol),
+        col(valueCol))
+    val hi = series.agg(max(col(dateCol)).as("__hi"))
+    // null left dates must stay null-joined (least() would skip the null
+    // and clamp them to __hi); an empty series leaves __hi null and
+    // least() degrades to the raw date against an empty densified side
+    val key = when(leftDate.isNotNull, least(leftDate, col("__hi")))
+    left.crossJoin(broadcast(hi))
+      .join(broadcast(densified), key === col(dateCol), "left_outer")
+      .drop(dateCol, "__hi")
   }
 
   /** G2/O5 — tag two series and concatenate (reference: cv-stats.py:95-115;

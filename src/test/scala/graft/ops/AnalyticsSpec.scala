@@ -98,6 +98,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq(None, Some(10L), Some(10L), Some(20L), Some(20L)))
   }
 
+  test("asOfDaily: null left dates stay null; empty series gives all null") {
+    val series = Seq((d("2020-03-02"), 10L)).toDF("d", "n")
+    val left = Seq((1, Some(d("2020-03-05"))), (2, Option.empty[Date]))
+      .toDF("id", "dt")
+    val got = Analytics.asOfDaily(left, col("dt"), series).orderBy("id")
+      .select("n").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(10L), None)) // null date must NOT clamp to hi
+    val empty = series.filter(col("n") < 0)
+    val got2 = Analytics.asOfDaily(left, col("dt"), empty).orderBy("id")
+      .select("n").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got2.toSeq == Seq(None, None))
+  }
+
   test("A3 dailyCounts groups by midnight-truncated date") {
     val df = Seq("2020-03-01 10:30:00", "2020-03-01 23:59:59", "2020-03-02 00:00:00")
       .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
