@@ -329,12 +329,33 @@ object Bench {
         graft.dedup.Dedup.embeddingGate(vecBatch, "vec_id", "embedding",
           table, minCosine = 0.95).count())
 
+      // r14: the SEGMENT family joins the flat-across-store measurement —
+      // the r13 key-rows gate (gateKeptPairs: one-pass codegen hashes,
+      // winner aggregate, co-located store probe; text only in the final
+      // rebuild join) gated against segment-hash stores seeded from both
+      // corpora. Same claim as the other families: the 10x store moves
+      // gate time by its extra co-located scan, not 10x.
+      def seedSeg(tag: String, dir: String): String = {
+        val (t, p) = storeFor(tag)
+        tables += t
+        graft.ops.Segments.dedupSegmentsIncremental(
+          Tables(spark, dir, "documents").select("doc_id", "text"),
+          16, t, p)
+        t
+      }
+      val segSmall = seedSeg("segsmall", smallDir)
+      val segLarge = seedSeg("seglarge", largeDir)
+      def segSec(table: String): Double = timed(() =>
+        graft.ops.Segments.segmentGate(batch, 16, table).count())
+
       Seq("incgate1k_small_store_sec" -> exactSec(small),
         "incgate1k_large_store_sec" -> exactSec(large),
         "mhgate1k_small_store_sec" -> mhSec(mhSmall),
         "mhgate1k_large_store_sec" -> mhSec(mhLarge),
         "embgate1k_small_store_sec" -> embSec(embSmall),
-        "embgate1k_large_store_sec" -> embSec(embLarge))
+        "embgate1k_large_store_sec" -> embSec(embLarge),
+        "seggate1k_small_store_sec" -> segSec(segSmall),
+        "seggate1k_large_store_sec" -> segSec(segLarge))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] incremental-gate scale check failed: " +
         e.toString.take(200))

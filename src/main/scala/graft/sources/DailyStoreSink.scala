@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 WRITE connector for the date-partitioned case store —
+  * the engine-native form of the reference's three sink patterns
+  * (SURVEY.md §2.1 S7/S9 and the daily slice of S8): the reference
+  * reloads whole Mongo collections (cv-api.py:184-207
+  * delete_many+insert_many) and re-ingests per-day slices; here those
+  * semantics live INSIDE the write planner instead of around it, the
+  * way [[JsonPagesDataSource]] made the read pushdowns engine-native.
+  *
+  *   df.write.format("dailystore")
+  *     .option("path", dir).option("partitionCol", "d")
+  *     .mode("append" | "overwrite").save()
+  *
+  *  - `append`                      → S7 file-level append
+  *  - `overwrite` (static)         → S9 truncate-and-reload
+  *  - `overwrite` + `spark.sql.sources.partitionOverwriteMode=dynamic`
+  *                                  → replace exactly the days present
+  *                                    in the incoming frame (the
+  *                                    reference's daily re-ingest)
+  *  - `overwrite(d = v | d IN ...)` → replace the named days
+  *                                    (OVERWRITE_BY_FILTER, for catalog
+  *                                    /SQL `INSERT OVERWRITE` fronts)
+  *
+  * Scale notes. The Write declares a CLUSTERED-by-partition-column
+  * required distribution, so Catalyst plans the pre-write shuffle that
+  * [[graft.pipelines.Sinks.reloadPartitioned]] documents by hand — each
+  * day lands wholly in one task and each partition directory gets ONE
+  * file per job instead of tasks×days small files. Task writers emit
+  * ordinary hive-layout parquet (`<pcol>=<value>/part-*.parquet`)
+  * through parquet-hadoop's public writer into a per-query staging dir;
+  * commit is directory surgery on the driver — delete the partitions the
+  * mode condemns, then rename staged files in. Rename-based commit keeps
+  * the same single-writer contract as [[graft.pipelines.Sinks
+  * .upsertByKey]]: a crash mid-commit needs recovery, concurrent
+  * readers need a transactional table format — documented there, not
+  * re-solved here.
+  *
+  * The store READS as plain partitioned parquet
+  * (`spark.read.parquet(dir)` — partition pruning included); this class
+  * deliberately adds no Scan: a second parquet reader would be worse
+  * than Spark's own.
+  *
+  * Supported column types: the case-record primitives (int, long,
+  * float, double, boolean, string, date, timestamp). The partition
+  * column must be a date or string and non-null.
+  */
+class DailyStoreDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dailystore"
+
+  // writes carry their own schema (the incoming frame's)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    // read-path probes (e.g. a bare load()) see the live store's layout;
+    // the store is plain parquet, so delegate to the session reader
+    org.apache.spark.sql.SparkSession.active.read
+      .parquet(options.get("path")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "dailystore requires option(\"path\", ...)")
+    val pcol = Option(properties.get("partitionCol")).getOrElse("d")
+    new DailyStoreTable(path, pcol, schema)
+  }
+}
+
+class DailyStoreTable(path: String, pcol: String, schema0: StructType)
+  extends Table with SupportsWrite {
+
+  override def name(): String = s"dailystore($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DailyStoreWriteBuilder(path, pcol, info)
+}
+
+/** What commit() condemns before moving staged files in. */
+private[sources] sealed trait ReplaceMode
+private[sources] case object AppendMode extends ReplaceMode
+private[sources] case object TruncateMode extends ReplaceMode
+private[sources] case object DynamicMode extends ReplaceMode
+private[sources] final case class ValuesMode(vs: Seq[String]) extends ReplaceMode
+
+class DailyStoreWriteBuilder(path: String, pcol: String,
+                             info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode: ReplaceMode = AppendMode
+
+  /** The entry the engine uses for `mode("overwrite")` (V2Writes calls
+    * `truncate()` directly for a literal-true delete condition). The
+    * path-based DataFrameWriter has no front for
+    * OverwritePartitionsDynamic (that needs a catalog table +
+    * `writeTo().overwritePartitions()`), so the V1 file-source contract
+    * is honored HERE: under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (or the
+    * equivalent per-write option), a full overwrite means "replace the
+    * partitions the incoming data touches" — exactly as INSERT
+    * OVERWRITE behaves on a V1 partitioned parquet path.
+    */
+  override def truncate(): WriteBuilder = {
+    val opt = Option(info.options.get("partitionOverwriteMode"))
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    mode =
+      if (opt.getOrElse(conf).equalsIgnoreCase("dynamic")) DynamicMode
+      else TruncateMode
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = DynamicMode; this
+  }
+
+  /** Partition-level filter overwrite: only conditions that name whole
+    * days are accepted — anything finer would be a row-level MERGE,
+    * which plain parquet cannot do atomically (use a transactional
+    * format, or [[graft.pipelines.Sinks.upsertByKey]]'s documented
+    * swap). Rejecting loudly here beats silently dropping rows.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    def values(f: Filter): Seq[String] = f match {
+      case AlwaysTrue() => Nil // sentinel handled below
+      case EqualTo(a, v) if a == pcol => Seq(String.valueOf(v))
+      case In(a, vs) if a == pcol => vs.toSeq.map(String.valueOf)
+      case other => throw new IllegalArgumentException(
+        s"dailystore: overwrite condition must name whole $pcol " +
+          s"partitions (= or IN); got $other")
+    }
+    if (filters.isEmpty || filters.exists(_.isInstanceOf[AlwaysTrue]))
+      truncate() // routes through the same dynamic-vs-static decision
+    else {
+      mode = ValuesMode(filters.toSeq.flatMap(values).distinct)
+      this
+    }
+  }
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val pIdx = info.schema().fieldIndex(pcol)
+
+    // one day -> one task -> one file: the engine plans the clustering
+    // shuffle reloadPartitioned() documents by hand
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity(pcol)))
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+    override def toBatch: BatchWrite =
+      new DailyStoreBatchWrite(path, pcol, pIdx, info.schema(),
+        mode, info.queryId())
+  }
+}
+
+class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
+                           schema: StructType, mode: ReplaceMode,
+                           queryId: String) extends BatchWrite {
+
+  private val staging = s"$path/__stage_$queryId"
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    DailyStoreWriterFactory(staging, schema, pcol, pIdx, conf)
+
+  /** Commit messages carry the partition values each task wrote. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val live = new Path(path)
+    def partDirs(): Seq[Path] =
+      if (!fs.exists(live)) Nil
+      else fs.listStatus(live).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$pcol=")).map(_.getPath).toSeq
+    val written = messages.flatMap {
+      case m: DailyStoreCommit => m.partitionValues
+    }.distinct
+    val condemned: Seq[Path] = mode match {
+      case AppendMode => Nil
+      case TruncateMode => partDirs()
+      case DynamicMode => written.map(v => new Path(live, s"$pcol=$v")).toSeq
+      case ValuesMode(vs) => vs.map(v => new Path(live, s"$pcol=$v"))
+    }
+    condemned.foreach(fs.delete(_, true))
+    // staged files carry task+uuid names, so append never collides
+    val stageRoot = new Path(staging)
+    if (fs.exists(stageRoot)) {
+      fs.listStatus(stageRoot).filter(_.isDirectory).foreach { d =>
+        val target = new Path(live, d.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
+          fs.rename(f.getPath, new Path(target, f.getPath.getName))
+        }
+      }
+      fs.delete(stageRoot, true)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(staging).getFileSystem(conf.value)
+    fs.delete(new Path(staging), true)
+  }
+}
+
+final case class DailyStoreCommit(partitionValues: Seq[String])
+  extends WriterCommitMessage
+
+case class DailyStoreWriterFactory(staging: String, schema: StructType,
+    pcol: String, pIdx: Int, conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DailyStoreWriter(staging, schema, pcol, pIdx, conf, taskId)
+}
+
+/** Task-side hive-layout parquet writer over parquet-hadoop's public
+  * Group API. One open writer per partition value seen (under the
+  * clustered distribution that is one per task); data files exclude the
+  * partition column, hive-style.
+  */
+class DailyStoreWriter(staging: String, schema: StructType, pcol: String,
+    pIdx: Int, conf: SerializableConfiguration, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val dataFields: Array[(StructField, Int)] =
+    schema.fields.zipWithIndex.filter(_._2 != pIdx)
+
+  private val messageType: MessageType = {
+    val b = Types.buildMessage()
+    dataFields.foreach { case (f, _) =>
+      val opt = Types.optional _
+      val prim = f.dataType match {
+        case IntegerType => opt(PrimitiveTypeName.INT32)
+        case LongType => opt(PrimitiveTypeName.INT64)
+        case FloatType => opt(PrimitiveTypeName.FLOAT)
+        case DoubleType => opt(PrimitiveTypeName.DOUBLE)
+        case BooleanType => opt(PrimitiveTypeName.BOOLEAN)
+        case StringType => opt(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case DateType => opt(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case TimestampType => opt(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new IllegalArgumentException(
+          s"dailystore: unsupported column type $other for ${f.name}")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("dailystore")
+  }
+
+  private val writers = mutable.Map.empty[String, ParquetWriter[Group]]
+  private val values = mutable.Set.empty[String]
+
+  private def partitionValue(row: InternalRow): String = {
+    require(!row.isNullAt(pIdx),
+      s"dailystore: null $pcol partition value")
+    schema.fields(pIdx).dataType match {
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(pIdx).toLong)
+        .toString
+      case StringType => row.getUTF8String(pIdx).toString
+      case other => throw new IllegalArgumentException(
+        s"dailystore: partition column must be date or string, got $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val pv = partitionValue(row)
+    val w = writers.getOrElseUpdate(pv, {
+      values += pv
+      val file = new Path(
+        s"$staging/$pcol=$pv/part-$taskId-${UUID.randomUUID()}.parquet")
+      ExampleParquetWriter.builder(file)
+        .withConf(conf.value).withType(messageType).build()
+    })
+    val g = new SimpleGroup(messageType)
+    var out = 0
+    while (out < dataFields.length) {
+      val (f, i) = dataFields(out)
+      if (!row.isNullAt(i)) f.dataType match {
+        case IntegerType | DateType => g.add(out, row.getInt(i))
+        case LongType | TimestampType => g.add(out, row.getLong(i))
+        case FloatType => g.add(out, row.getFloat(i))
+        case DoubleType => g.add(out, row.getDouble(i))
+        case BooleanType => g.add(out, row.getBoolean(i))
+        case StringType =>
+          g.add(out, Binary.fromString(row.getUTF8String(i).toString))
+        case _ => () // unreachable: messageType build rejected it
+      }
+      out += 1
+    }
+    w.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    DailyStoreCommit(values.toSeq.sorted)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    // staged output is removed wholesale by BatchWrite.abort
+  }
+
+  override def close(): Unit = ()
+}
