@@ -250,6 +250,13 @@ object ScalarQueries {
     // rank-selection operator (graft.ops.Percentiles, spill-friendly
     // per-task sort) is the scale path. PercentilesSpec pins all three
     // implementations bit-equal and the plans' shapes.
+    //
+    // Surface choice re-measured solo at sf1 (r14, tools/PercentileAb —
+    // interleaved medians-of-5, one JVM): count-map 1.57 s vs
+    // rank-selection 2.15 s, so the ObjectHashAggregate's interpreted
+    // per-row path still beats the codegen'd two-pass-plus-window shape
+    // here; the residual vs DuckDB (~0.5 s) tracks q12's parquet-decode
+    // floor on the same two double columns, not aggregate overhead.
     "q50_percentiles" -> Q(
       (s, dir) => {
         graft.functions.ExactPercentilesF.register(s)

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Minimal `TableCatalog` front for [[DailyStoreDataSource]] stores, so
+  * the filtered/dynamic overwrite paths are drivable through the
+  * ENGINE'S own fronts instead of only the path-based writer:
+  *
+  *   spark.sql.catalog.dstore           = graft.sources.DailyStoreCatalog
+  *   spark.sql.catalog.dstore.root      = /data/stores
+  *   spark.sql.catalog.dstore.partitionCol = d          (default "d")
+  *
+  *   df.writeTo("dstore.cases").append()
+  *   df.writeTo("dstore.cases").overwritePartitions()   // dynamic days
+  *   df.writeTo("dstore.cases").overwrite($"d" === lit(day))
+  *   spark.sql("INSERT OVERWRITE dstore.cases ...")
+  *
+  * Each table is the directory `<root>/<name>` in the hive-partitioned
+  * parquet layout [[DailyStoreSink]] writes; a small `_dailystore_meta
+  * .json` sidecar records the declared schema so empty tables resolve
+  * (existing stores without one fall back to parquet inference). The
+  * catalog is deliberately single-level (no namespaces) and does not
+  * implement ALTER/RENAME — the store contract is create, write, read,
+  * drop.
+  */
+class DailyStoreCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private var pcol: String = "d"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"spark.sql.catalog.$name.root must point at the store root")
+    pcol = Option(options.get("partitionCol")).getOrElse("d")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def dirFor(ident: Identifier): Path = {
+    require(ident.namespace().isEmpty,
+      s"dailystore catalog is single-level; got ${ident.namespace().mkString(".")}")
+    new Path(root, ident.name())
+  }
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+  private def metaPath(dir: Path) = new Path(dir, "_dailystore_meta.json")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val r = new Path(root)
+    val f = fs(r)
+    if (!f.exists(r)) Array.empty
+    else f.listStatus(r).filter(_.isDirectory)
+      .map(s => Identifier.of(Array.empty, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs(dirFor(ident)).exists(dirFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchTableException(ident)
+    val meta = metaPath(dir)
+    val schema =
+      if (f.exists(meta)) {
+        val in = f.open(meta)
+        val bytes = try in.readAllBytes() finally in.close()
+        DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType]
+      } else spark.read.parquet(dir.toString).schema
+    new DailyStoreTable(dir.toString, pcol, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(schema.fieldNames.contains(pcol),
+      s"dailystore table needs its partition column '$pcol' in the schema")
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    if (f.exists(dir)) throw new TableAlreadyExistsException(ident)
+    f.mkdirs(dir)
+    val out = f.create(metaPath(dir), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    new DailyStoreTable(dir.toString, pcol, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "dailystore: ALTER is not part of the store contract")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    f.exists(dir) && f.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "dailystore: RENAME is not part of the store contract")
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  /** Unused by this catalog (single-level); required by the interface. */
+  def listTables(): Array[Identifier] = listTables(Array.empty)
+}
+
+object DailyStoreCatalog {
+  /** Register a catalog named `name` over `root` on the session. */
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               root: String, partitionCol: String = "d"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[DailyStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.partitionCol", partitionCol)
+  }
+}

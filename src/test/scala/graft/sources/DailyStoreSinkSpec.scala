@@ -80,6 +80,43 @@ class DailyStoreSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("catalog front: writeTo append / overwritePartitions / " +
+      "overwrite(condition) drive the connector engine-natively") {
+    val root = freshDir("catalog")
+    DailyStoreCatalog.register(spark, "dstore_spec", root)
+    try {
+      spark.sql("CREATE TABLE dstore_spec.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val tdir = s"$root/cases"
+      days("c1", ("2020-03-01", 1, "x"), ("2020-03-02", 2, "y"),
+          ("2020-03-03", 3, "z"))
+        .writeTo("dstore_spec.cases").append()
+      assert(readBack(tdir).map(_._2) == Seq(1, 2, 3))
+      // dynamic: replace exactly the incoming days, via the engine's
+      // own OverwritePartitionsDynamic plan (no conf needed)
+      days("c2", ("2020-03-02", 9, "new"))
+        .writeTo("dstore_spec.cases").overwritePartitions()
+      assert(readBack(tdir) == Seq(
+        (d("2020-03-01"), 1, "x"), (d("2020-03-02"), 9, "new"),
+        (d("2020-03-03"), 3, "z")))
+      // filtered: replace one named day via OverwriteByExpression
+      days("c3", ("2020-03-01", 7, "rep"))
+        .writeTo("dstore_spec.cases")
+        .overwrite(col("d") === lit(d("2020-03-01")))
+      assert(readBack(tdir) == Seq(
+        (d("2020-03-01"), 7, "rep"), (d("2020-03-02"), 9, "new"),
+        (d("2020-03-03"), 3, "z")))
+      // catalog hygiene
+      assert(spark.sql("SHOW TABLES IN dstore_spec").count() == 1)
+      spark.sql("DROP TABLE dstore_spec.cases")
+      assert(!new java.io.File(tdir).exists())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_spec")
+      spark.conf.unset("spark.sql.catalog.dstore_spec.root")
+      spark.conf.unset("spark.sql.catalog.dstore_spec.partitionCol")
+    }
+  }
+
   test("filtered overwrite (= / IN on the day) replaces named days; " +
       "row-level conditions are rejected") {
     val dir = freshDir("filt")
