@@ -445,9 +445,10 @@ object DedupQueries {
         // materialized once (CorpusPipeline pattern): consumed by the
         // band join sides and the verify joins — recomputing shingle
         // hashing per consumer would dominate
-        val sig = Dedup.minhashSignatures(
-          saltedCopySeeded(s, dir), "doc_id", "text",
-          numHashes = 32, shingleN = 5).localCheckpoint()
+        val sig = graft.util.Checkpoints.scoped(s"q37sig:$dir")(
+          Dedup.minhashSignatures(
+            saltedCopySeeded(s, dir), "doc_id", "text",
+            numHashes = 32, shingleN = 5))
         Dedup.minhashJaccard(Dedup.lshCandidates(sig, "doc_id", bands = 8),
             sig, "doc_id")
           .filter(col("est_jaccard") >= 0.99)
@@ -478,7 +479,7 @@ object DedupQueries {
           curationCorpus(s, dir),
           graft.pipelines.CorpusPipeline.Config(
             langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0,
-            minEstJaccard = 0.9))
+            minEstJaccard = 0.9, scope = Some(s"q45:$dir")))
         .select(col("doc_id"), col("tokens").cast("long").as("tokens"))
         .orderBy("doc_id"),
       Some(
@@ -527,7 +528,8 @@ object DedupQueries {
         graft.pipelines.CorpusPipeline.curate(corpus,
             graft.pipelines.CorpusPipeline.Config(
               langs = Seq("en", "es", "fr", "de", "zh"), minQuality = 0.0,
-              minEstJaccard = 0.9, stopSegmentFrac = Some(0.2)))
+              minEstJaccard = 0.9, stopSegmentFrac = Some(0.2),
+              scope = Some(s"q88:$dir")))
           .select(col("doc_id"), col("tokens").cast("long").as("tokens"))
           .orderBy("doc_id")
       },
@@ -555,8 +557,8 @@ object DedupQueries {
     "q38_simhash" -> Q(
       (s, dir) => Dedup.simhashCandidates(
           // materialized once: feeds both candidate join sides
-          Dedup.simhash(saltedCopySeeded(s, dir), "doc_id", "text")
-            .localCheckpoint(),
+          graft.util.Checkpoints.scoped(s"q38sh:$dir")(
+            Dedup.simhash(saltedCopySeeded(s, dir), "doc_id", "text")),
           "doc_id", maxDist = 0)
         .orderBy("id1", "id2"),
       Some(
@@ -691,7 +693,8 @@ object DedupQueries {
           .select(col("sid").as("id1"),
             concat(lit("d"), col("n") + 1).as("id2"))
         graft.dedup.Dedup.canonicalClusters(
-            docs.select(col("sid").as("doc_id")), pairs, "doc_id")
+            docs.select(col("sid").as("doc_id")), pairs, "doc_id",
+            scope = Some(s"q75cc:$dir"))
           .orderBy("doc_id")
       },
       Some(
@@ -711,7 +714,8 @@ object DedupQueries {
           .select("doc_id")
         val pairs = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
           .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
-        graft.dedup.Dedup.canonicalClusters(docs, pairs, "doc_id")
+        graft.dedup.Dedup.canonicalClusters(docs, pairs, "doc_id",
+          scope = Some(s"q59cc:$dir"))
           .orderBy("doc_id")
       },
       Some(
@@ -731,7 +735,8 @@ object DedupQueries {
           .select("doc_id")
         val pairs = docs.filter(pmod(col("doc_id"), lit(50L)) < 49)
           .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
-        graft.dedup.Dedup.canonicalClusters(docs, pairs, "doc_id")
+        graft.dedup.Dedup.canonicalClusters(docs, pairs, "doc_id",
+          scope = Some(s"q61cc:$dir"))
           .orderBy("doc_id")
       },
       Some(
@@ -953,7 +958,8 @@ object DedupQueries {
             Dedup.lshCandidates(sig, "doc_id", bands = 8), sig, "doc_id")
           .filter(col("est_jaccard") >= 0.9)
         val clusters = Dedup.canonicalClusters(
-          corpus.select("doc_id"), pairs, "doc_id")
+          corpus.select("doc_id"), pairs, "doc_id",
+          scope = Some(s"q95cc:$dir"))
         graft.ops.Sampling.assignSplitBy(clusters, col("canonical_id"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
           .select(col("doc_id"), col("canonical_id").as("rep"), col("split"))

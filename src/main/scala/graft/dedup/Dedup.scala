@@ -855,8 +855,16 @@ object Dedup {
     * At petabyte scale each round is two self-joins on bounded pair
     * lists — no driver-side union-find, no GraphX dependency.
     */
+  /** `scope`: when set, the FINAL label checkpoint (which backs the
+    * returned plan and must stay live) is registered under this key so
+    * the NEXT call with the same key releases it — without a scope,
+    * repeated invocations (a bench rep, a recurring curation sweep in
+    * one long-lived session) each leave one label snapshot in the block
+    * store until driver GC.
+    */
   def canonicalClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
-                        maxIter: Int = 10): DataFrame = {
+                        maxIter: Int = 10,
+                        scope: Option[String] = None): DataFrame = {
     // Symmetric edge list (propagate both directions), shuffled onto the
     // join key ONCE and materialized: every round's neighbor-min joins
     // edges on dst, and without the explicit repartition+checkpoint the
@@ -929,6 +937,9 @@ object Dedup {
     // every per-round consumer of the edge list has executed eagerly;
     // the returned plan reads only the final label checkpoint
     edgesCp.release()
+    // the final checkpoint stays live for the returned plan; a scope
+    // hands its release to the next same-key invocation
+    for (k <- scope; t <- prevCheckpoint) graft.util.Checkpoints.adopt(k, t)
     // fold the (untouched) rest of the corpus back in: canonical = self
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")

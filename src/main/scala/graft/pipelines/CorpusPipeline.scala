@@ -55,7 +55,12 @@ object CorpusPipeline {
       lshBands: Int = 8,
       minEstJaccard: Double = 0.5,
       stopSegmentFrac: Option[Double] = None,
-      segmentW: Int = 16)
+      segmentW: Int = 16,
+      // when set, intermediate checkpoints register under scoped keys so
+      // a repeated invocation (bench rep, recurring sweep) REPLACES the
+      // previous run's blocks instead of stranding them (see
+      // graft.util.Checkpoints.scoped)
+      scope: Option[String] = None)
 
   /** Returns the curated corpus: one row per surviving document with
     * `tokens` added. Survivor = canonical (minimum doc_id) member of its
@@ -63,6 +68,10 @@ object CorpusPipeline {
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     graft.functions.Texts.register(docs.sparkSession) // stopword_counts
+    def cp(suffix: String)(df: DataFrame): DataFrame = cfg.scope match {
+      case Some(k) => graft.util.Checkpoints.scoped(s"$k:$suffix")(df)
+      case None => df.localCheckpoint()
+    }
     // tier 1: expression-only filters
     val filtered = docs
       .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
@@ -78,12 +87,11 @@ object CorpusPipeline {
     // localCheckpoint: every later tier (signatures, bands, verify, CC
     // iterations, final semi-join) consumes this frame — without
     // materialization each downstream action would re-run tiers 1-2.
-    val exactKept = filtered
+    val exactKept = cp("exact")(filtered
       .groupBy(md5(col("text")).as("__text_hash"))
       .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id"))
         .as("__doc"))
-      .select(col("__doc.*"))
-      .localCheckpoint()
+      .select(col("__doc.*")))
 
     // optional tier 2.5: corpus-wide stop-segment removal (see Config).
     // The rebuilt frame replaces `text` and is materialized because the
@@ -94,21 +102,21 @@ object CorpusPipeline {
         val rebuilt = graft.ops.Segments
           .dropStopSegments(exactKept, cfg.segmentW, frac)
           .select(col("doc_id"), col("text_dedup").as("text"))
-        exactKept.drop("text").join(rebuilt, Seq("doc_id"))
-          .localCheckpoint()
+        cp("deboiled")(
+          exactKept.drop("text").join(rebuilt, Seq("doc_id")))
     }
 
     // tier 3: near-dup clusters -> canonical survivor per cluster
     // (signatures feed both the band join and the verify join; pairs feed
     // the iterative CC — materialize each once)
-    val sig = Dedup.minhashSignatures(deboiled, "doc_id", "text",
-      cfg.minhashBits, cfg.shingleN).localCheckpoint()
-    val nearPairs = Dedup.minhashJaccard(
+    val sig = cp("sig")(Dedup.minhashSignatures(deboiled, "doc_id", "text",
+      cfg.minhashBits, cfg.shingleN))
+    val nearPairs = cp("pairs")(Dedup.minhashJaccard(
         Dedup.lshCandidates(sig, "doc_id", cfg.lshBands), sig, "doc_id")
-      .filter(col("est_jaccard") >= cfg.minEstJaccard)
-      .localCheckpoint()
+      .filter(col("est_jaccard") >= cfg.minEstJaccard))
     val clusters = Dedup.canonicalClusters(
-      deboiled.select("doc_id"), nearPairs, "doc_id")
+      deboiled.select("doc_id"), nearPairs, "doc_id",
+      scope = cfg.scope.map(k => s"$k:cc"))
     // shuffle_hash: the stream side is document text — sort-merge would
     // sort it; the id-only build side hashes (the r13 segment-rebuild
     // finding applied to the survivor filter)

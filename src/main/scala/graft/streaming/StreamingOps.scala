@@ -114,9 +114,12 @@ object StreamingOps {
                            storeTable: String, storePath: String,
                            outPath: String, nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
-    val fresh = graft.dedup.Dedup
-      .exactGate(batch, idCol, textCol, storeTable)
-      .localCheckpoint() // one materialization feeds the sink AND the store
+    // one materialization feeds the sink AND the store; SCOPED so batch
+    // N+1 releases batch N's blocks — an unscoped per-batch checkpoint
+    // accumulates for the stream's whole lifetime (single-writer per
+    // store, batches sequential, so the previous frame is always dead)
+    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      graft.dedup.Dedup.exactGate(batch, idCol, textCol, storeTable))
     gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath, nBuckets)
   }
@@ -165,12 +168,13 @@ object StreamingOps {
       if (bloom.isEmpty)
         bloom = graft.dedup.Dedup.storeBloom(batch.sparkSession, storeTable,
           expectedItems)
-      val fresh = (bloom match {
-        case Some(bf) => graft.dedup.Dedup.exactGateBloom(
-          batch, idCol, textCol, storeTable, bf)
-        case None => graft.dedup.Dedup.exactGate(
-          batch, idCol, textCol, storeTable)
-      }).localCheckpoint()
+      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+        bloom match {
+          case Some(bf) => graft.dedup.Dedup.exactGateBloom(
+            batch, idCol, textCol, storeTable, bf)
+          case None => graft.dedup.Dedup.exactGate(
+            batch, idCol, textCol, storeTable)
+        })
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
       graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath,
         nBuckets, dedupAgainstStore = replay)
@@ -204,10 +208,9 @@ object StreamingOps {
           storeTable, expectedItems)
       val sig = graft.dedup.Dedup
         .minhashSignatures(batch, idCol, textCol, numHashes, shingleN)
-      val fresh = graft.dedup.Dedup
-        .minhashGate(sig, idCol, storeTable, bands, minEstJaccard,
-          bandBloom = bloom)
-        .localCheckpoint()
+      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+        graft.dedup.Dedup.minhashGate(sig, idCol, storeTable, bands,
+          minEstJaccard, bandBloom = bloom))
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
       graft.dedup.Dedup.appendSigStore(fresh, idCol, storeTable, storePath,
         bands, nBuckets, dedupAgainstStore = replay)
@@ -239,10 +242,9 @@ object StreamingOps {
         bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
           storeTable, expectedItems)
       val fp = graft.dedup.Dedup.simhash(batch, idCol, textCol)
-      val fresh = graft.dedup.Dedup
-        .simhashGate(fp, idCol, storeTable, maxDist, maxBucket,
-          bandBloom = bloom)
-        .localCheckpoint()
+      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+        graft.dedup.Dedup.simhashGate(fp, idCol, storeTable, maxDist,
+          maxBucket, bandBloom = bloom))
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
       graft.dedup.Dedup.appendFpStore(fresh, idCol, storeTable, storePath,
         nBuckets, dedupAgainstStore = replay)
@@ -271,10 +273,9 @@ object StreamingOps {
       if (bloom.isEmpty)
         bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
           storeTable, expectedItems)
-      val fresh = graft.dedup.Dedup
-        .embeddingGate(batch, idCol, vecCol, storeTable, minCosine,
-          nPlanes, bands, maxBucket, bandBloom = bloom)
-        .localCheckpoint()
+      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+        graft.dedup.Dedup.embeddingGate(batch, idCol, vecCol, storeTable,
+          minCosine, nPlanes, bands, maxBucket, bandBloom = bloom))
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
       graft.dedup.Dedup.appendVecStore(fresh, idCol, vecCol, storeTable,
         storePath, nPlanes, bands, nBuckets, dedupAgainstStore = replay)
@@ -315,9 +316,9 @@ object StreamingOps {
       batch: DataFrame, batchId: Long): Unit = {
     val sig = graft.dedup.Dedup
       .minhashSignatures(batch, idCol, textCol, numHashes, shingleN)
-    val fresh = graft.dedup.Dedup
-      .minhashGate(sig, idCol, storeTable, bands, minEstJaccard)
-      .localCheckpoint()
+    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      graft.dedup.Dedup.minhashGate(sig, idCol, storeTable, bands,
+        minEstJaccard))
     val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendSigStore(fresh, idCol, storeTable, storePath,
       bands, nBuckets, dedupAgainstStore = replay)
@@ -335,9 +336,8 @@ object StreamingOps {
                                   nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
     val fp = graft.dedup.Dedup.simhash(batch, idCol, textCol)
-    val fresh = graft.dedup.Dedup
-      .simhashGate(fp, idCol, storeTable, maxDist)
-      .localCheckpoint()
+    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      graft.dedup.Dedup.simhashGate(fp, idCol, storeTable, maxDist))
     val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendFpStore(fresh, idCol, storeTable, storePath,
       nBuckets, dedupAgainstStore = replay)
@@ -354,9 +354,9 @@ object StreamingOps {
                                     outPath: String, minCosine: Double,
                                     nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
-    val fresh = graft.dedup.Dedup
-      .embeddingGate(batch, idCol, vecCol, storeTable, minCosine)
-      .localCheckpoint()
+    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      graft.dedup.Dedup.embeddingGate(batch, idCol, vecCol, storeTable,
+        minCosine))
     val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendVecStore(fresh, idCol, vecCol, storeTable,
       storePath, nBuckets = nBuckets, dedupAgainstStore = replay)
@@ -427,8 +427,9 @@ object StreamingOps {
                                 nBuckets: Int, batchId: Long): DataFrame = {
     import graft.ops.Segments
     val spark = gateRows.sparkSession
-    val rows = gateRows
-      .localCheckpoint() // one materialization feeds the sink AND the store
+    // one materialization feeds the sink AND the store (scoped: see the
+    // exact gate's note — batch N+1 releases batch N's blocks)
+    val rows = graft.util.Checkpoints.scoped(s"seggate:$storeTable")(gateRows)
     val rebuilt = Segments.reassembleRows(rows)
     val partDir = new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -437,10 +438,11 @@ object StreamingOps {
       if (!replay) rebuilt
       else {
         val prior = spark.read.schema(rebuilt.schema).parquet(partDir.toString)
-        rebuilt.join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .unionByName(prior)
-          // eager: the overwrite below targets the path being read
-          .localCheckpoint()
+        // eager: the overwrite below targets the path being read
+        graft.util.Checkpoints.scoped(s"seggate-replay:$outPath")(
+          rebuilt.join(prior.select(col("doc_id")), Seq("doc_id"),
+              "left_anti")
+            .unionByName(prior))
       }
     out.withColumn("__batch_id", lit(batchId))
       .write.partitionBy("__batch_id")
@@ -477,16 +479,17 @@ object StreamingOps {
     val replay = fs.exists(partDir)
     val withPrior =
       if (!replay) survivors
-      else survivors
+      // eager: the overwrite below targets the path being read, which
+      // Spark (rightly) refuses inside one plan — materialize first
+      // (scoped: a crash-replay-heavy stream must not accumulate one
+      // checkpoint per replayed batch)
+      else graft.util.Checkpoints.scoped(s"sink-replay:$outPath")(survivors
         // read the partition dir directly (no partition column inferred);
         // task files are moved in whole on commit, so any file present is
         // a complete fragment of the prior attempt
         .unionByName(spark.read.schema(survivors.schema)
           .parquet(partDir.toString))
-        .dropDuplicates(idCol)
-        // eager: the overwrite below targets the path being read, which
-        // Spark (rightly) refuses inside one plan — materialize first
-        .localCheckpoint()
+        .dropDuplicates(idCol))
     withPrior
       .withColumn("__batch_id", lit(batchId))
       .write.partitionBy("__batch_id")

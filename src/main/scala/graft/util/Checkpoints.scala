@@ -60,6 +60,21 @@ object Checkpoints {
 
   private val scopes = mutable.Map.empty[(SparkSession, String), Tracked]
 
+  /** Register an already-tracked checkpoint as the live holder of
+    * (session, key), releasing the previous holder. For operators whose
+    * RESULT is backed by a checkpoint (canonicalClusters' final label
+    * frame, a streaming gate's per-batch materialization): execution N
+    * replaces execution N−1's blocks instead of accumulating beside
+    * them — the unbounded-accumulation class on a 24/7 stream, the
+    * in-bench block-store-pressure class on a 94-query bench.
+    */
+  def adopt(key: String, t: Tracked): Tracked = lock.synchronized {
+    val k = (t.df.sparkSession, key)
+    scopes.get(k).foreach(prev => if (prev.rddIds != t.rddIds) prev.release())
+    scopes.update(k, t)
+    t
+  }
+
   /** Checkpoint `df` under a stable key, releasing the PREVIOUS
     * checkpoint registered under the same (session, key) first.
     *
@@ -70,11 +85,6 @@ object Checkpoints {
     * accumulating beside them. The current checkpoint stays live — the
     * returned plan (and any memoized result) still reads it.
     */
-  def scoped(key: String)(df: DataFrame): DataFrame = lock.synchronized {
-    val k = (df.sparkSession, key)
-    scopes.get(k).foreach(_.release())
-    val t = tracked(df)
-    scopes.update(k, t)
-    t.df
-  }
+  def scoped(key: String)(df: DataFrame): DataFrame =
+    adopt(key, tracked(df)).df
 }

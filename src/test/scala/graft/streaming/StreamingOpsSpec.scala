@@ -143,9 +143,15 @@ class StreamingOpsSpec extends SparkSpec {
       // batch 1 seeds the store; 10 and 11 share a text -> min-id canon
       input.addData((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
       query.processAllAvailable()
-      // batch 2: two corpus dups (gated) + one genuinely new doc
+      // batch 2: two corpus dups (gated) + one genuinely new doc.
+      // Also pin the scoped per-batch checkpoint: batch N+1 must REPLACE
+      // batch N's gate materialization in the block store, not
+      // accumulate beside it (the 24/7-stream leak class)
+      val persistedAfterB1 = spark.sparkContext.getPersistentRDDs.size
       input.addData((20L, "alpha"), (21L, "beta"), (22L, "gamma"))
       query.processAllAvailable()
+      assert(spark.sparkContext.getPersistentRDDs.size <= persistedAfterB1,
+        "per-batch gate checkpoints must replace, not accumulate")
       query.stop()
       val got = spark.read.parquet(outPath)
         .select("doc_id", "text", "__batch_id")

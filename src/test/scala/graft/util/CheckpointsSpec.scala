@@ -42,6 +42,24 @@ class CheckpointsSpec extends SparkSpec {
     assert(persistentCount == afterFirst)
   }
 
+  test("scoped canonicalClusters: repeat calls replace the final checkpoint") {
+    val ids = spark.range(16).select(col("id").cast("string").as("doc_id"))
+    val pairs = spark.range(15)
+      .select(col("id").cast("string").as("id1"),
+        (col("id") + 1).cast("string").as("id2"))
+    def run(): Long = Dedup.canonicalClusters(ids, pairs, "doc_id",
+        scope = Some("spec:ccscope"))
+      .agg(countDistinct(col("canonical_id"))).head().getLong(0)
+    val before = persistentCount
+    assert(run() == 1L)
+    val afterFirst = persistentCount
+    assert(afterFirst <= before + 1)
+    // second invocation under the same scope: the first call's final
+    // label checkpoint is released, so the registry does not grow
+    assert(run() == 1L)
+    assert(persistentCount == afterFirst)
+  }
+
   test("canonicalClusters leaves at most one live checkpoint per call") {
     // a 64-node chain forces several pointer-jumping rounds, so the loop
     // creates several per-round label checkpoints — all but the final
