@@ -348,12 +348,29 @@ object Bench {
       def segSec(table: String): Double = timed(() =>
         graft.ops.Segments.segmentGate(batch, 16, table).count())
 
+      // r14: the LARGE band stores are additionally probed through the
+      // Bloom pre-filter path — the corpus-scale shape (the plain gates
+      // above pay the full co-located band scan, which is exactly the
+      // term that grows with the store; the filter bounds it to the
+      // colliding fraction). Filter builds are store-summary one-timers
+      // and run untimed, like the seeds.
+      val mhBloom = graft.dedup.Dedup.bandStoreBloom(spark, mhLarge, 100000L)
+      def mhBloomSec(table: String): Double = timed(() =>
+        graft.dedup.Dedup.minhashGate(batchSig, "doc_id", table,
+          bands = 4, minEstJaccard = 0.9, bandBloom = mhBloom).count())
+      val embBloom = graft.dedup.Dedup.bandStoreBloom(spark, embLarge, 100000L)
+      def embBloomSec(table: String): Double = timed(() =>
+        graft.dedup.Dedup.embeddingGate(vecBatch, "vec_id", "embedding",
+          table, minCosine = 0.95, bandBloom = embBloom).count())
+
       Seq("incgate1k_small_store_sec" -> exactSec(small),
         "incgate1k_large_store_sec" -> exactSec(large),
         "mhgate1k_small_store_sec" -> mhSec(mhSmall),
         "mhgate1k_large_store_sec" -> mhSec(mhLarge),
+        "mhgate1k_large_store_bloom_sec" -> mhBloomSec(mhLarge),
         "embgate1k_small_store_sec" -> embSec(embSmall),
         "embgate1k_large_store_sec" -> embSec(embLarge),
+        "embgate1k_large_store_bloom_sec" -> embBloomSec(embLarge),
         "seggate1k_small_store_sec" -> segSec(segSmall),
         "seggate1k_large_store_sec" -> segSec(segLarge))
     } catch { case e: Throwable =>
