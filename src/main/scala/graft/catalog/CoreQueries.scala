@@ -438,20 +438,30 @@ object CoreQueries {
       "S1 HTML table scan over the committed fixture vs enumerated rows")
   )
 
-  /** Materialize a classpath fixture to a stable temp file so the scan
-    * works identically from exploded classes and from a packaged jar
+  /** Materialize a classpath fixture to a temp file so the scan works
+    * identically from exploded classes and from a packaged jar
     * (getResource inside a jar is not a filesystem path Spark can
-    * read). Content-addressed by name; written once per JVM.
+    * read). CONTENT-addressed: the file name carries a hash of the
+    * resource bytes, so editing the committed fixture can never leave a
+    * stale copy in play (a name-keyed cache silently served the old
+    * bytes across rebuilds), and a concurrent JVM either sees the
+    * complete file or writes its own identical copy via atomic move.
     */
   private def fixturePath(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    require(in != null, s"fixture /fixtures/$name not on classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_fixture_$name")
+      sys.props("java.io.tmpdir"), s"graft_fixture_${digest}_$name")
     if (!out.exists()) {
-      val in = getClass.getResourceAsStream(s"/fixtures/$name")
-      require(in != null, s"fixture /fixtures/$name not on classpath")
-      try java.nio.file.Files.copy(in, out.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+      val tmp = java.nio.file.Files.createTempFile(
+        out.toPath.getParent, s"graft_fixture_$name", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.move(tmp, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     out.getPath
   }

@@ -50,11 +50,14 @@ class DailyStoreCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private def spark = org.apache.spark.sql.SparkSession.active
-  private def dirFor(ident: Identifier): Path = {
-    require(ident.namespace().isEmpty,
-      s"dailystore catalog is single-level; got ${ident.namespace().mkString(".")}")
-    new Path(root, ident.name())
-  }
+  /** None for namespaced identifiers — this catalog is single-level,
+    * and the TableCatalog contract wants "no such table" semantics for
+    * lookups of names it cannot hold (so DROP TABLE IF EXISTS
+    * cat.ns.t no-ops instead of aborting), not an IllegalArgument.
+    */
+  private def dirFor(ident: Identifier): Option[Path] =
+    if (ident.namespace().nonEmpty) None
+    else Some(new Path(root, ident.name()))
   private def fs(p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
   private def metaPath(dir: Path) = new Path(dir, "_dailystore_meta.json")
@@ -68,10 +71,10 @@ class DailyStoreCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    fs(dirFor(ident)).exists(dirFor(ident))
+    dirFor(ident).exists(d => fs(d).exists(d))
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = dirFor(ident)
+    val dir = dirFor(ident).getOrElse(throw new NoSuchTableException(ident))
     val f = fs(dir)
     if (!f.exists(dir)) throw new NoSuchTableException(ident)
     val meta = metaPath(dir)
@@ -89,7 +92,16 @@ class DailyStoreCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table = {
     require(schema.fieldNames.contains(pcol),
       s"dailystore table needs its partition column '$pcol' in the schema")
-    val dir = dirFor(ident)
+    // the store's layout is fixed (hive dirs on pcol): accept only a
+    // declaration that matches it — silently honoring a DIFFERENT
+    // declared partitioning would partition by pcol anyway
+    val declared = partitions.map(_.describe()).toSeq
+    require(declared.isEmpty || declared == Seq(s"identity($pcol)") ||
+        declared == Seq(pcol),
+      s"dailystore tables are partitioned by '$pcol' only; " +
+        s"got PARTITIONED BY (${declared.mkString(", ")})")
+    val dir = dirFor(ident).getOrElse(throw new IllegalArgumentException(
+      s"dailystore catalog is single-level; got ${ident.namespace().mkString(".")}"))
     val f = fs(dir)
     if (f.exists(dir)) throw new TableAlreadyExistsException(ident)
     f.mkdirs(dir)
@@ -103,11 +115,11 @@ class DailyStoreCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "dailystore: ALTER is not part of the store contract")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val dir = dirFor(ident)
-    val f = fs(dir)
-    f.exists(dir) && f.delete(dir, true)
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    dirFor(ident).exists { dir =>
+      val f = fs(dir)
+      f.exists(dir) && f.delete(dir, true)
+    }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

@@ -147,21 +147,39 @@ class DailyStoreWriteBuilder(path: String, pcol: String,
     * which plain parquet cannot do atomically (use a transactional
     * format, or [[graft.pipelines.Sinks.upsertByKey]]'s documented
     * swap). Rejecting loudly here beats silently dropping rows.
+    *
+    * The filter ARRAY is a conjunction (the V2 contract): the condemned
+    * set is the INTERSECTION of each filter's day set — a union would
+    * delete days the condition does not actually select. `Or` of day
+    * conditions unions within one filter (e.g. `d === a || d === b`).
     */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    def values(f: Filter): Seq[String] = f match {
-      case AlwaysTrue() => Nil // sentinel handled below
-      case EqualTo(a, v) if a == pcol => Seq(String.valueOf(v))
-      case In(a, vs) if a == pcol => vs.toSeq.map(String.valueOf)
+    // None = "all days" (AlwaysTrue conjunct)
+    def values(f: Filter): Option[Set[String]] = f match {
+      case AlwaysTrue() => None
+      case EqualTo(a, v) if a == pcol => Some(Set(String.valueOf(v)))
+      case In(a, vs) if a == pcol =>
+        Some(vs.toSeq.map(String.valueOf).toSet)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        (values(l), values(r)) match {
+          case (Some(a), Some(b)) => Some(a union b)
+          case _ => None // x OR true = true
+        }
       case other => throw new IllegalArgumentException(
         s"dailystore: overwrite condition must name whole $pcol " +
-          s"partitions (= or IN); got $other")
+          s"partitions (=, IN, or OR of those); got $other")
     }
-    if (filters.isEmpty || filters.exists(_.isInstanceOf[AlwaysTrue]))
-      truncate() // routes through the same dynamic-vs-static decision
-    else {
-      mode = ValuesMode(filters.toSeq.flatMap(values).distinct)
-      this
+    val days: Option[Set[String]] = filters.toSeq
+      .map(values)
+      .foldLeft(Option.empty[Set[String]]) {
+        case (None, next) => next
+        case (acc, None) => acc
+        case (Some(a), Some(b)) => Some(a intersect b)
+      }
+    days match {
+      case None => truncate() // empty array / AlwaysTrue: full overwrite,
+        // routed through the dynamic-vs-static decision
+      case Some(vs) => mode = ValuesMode(vs.toSeq.sorted); this
     }
   }
 
@@ -192,7 +210,14 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
       info: PhysicalWriteInfo): DataWriterFactory =
     DailyStoreWriterFactory(staging, schema, pcol, pIdx, conf)
 
-  /** Commit messages carry the partition values each task wrote. */
+  /** Commit messages carry (partition value, staged file) pairs, and
+    * ONLY those files are renamed into the store: a failed or
+    * speculative task attempt leaves files in staging that no accepted
+    * commit message names, and renaming whatever is present would
+    * commit duplicate rows (two attempts of one task) or a footer-less
+    * partial (executor death mid-write). Everything unnamed dies with
+    * the staging root.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val live = new Path(path)
@@ -200,28 +225,28 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
       if (!fs.exists(live)) Nil
       else fs.listStatus(live).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(s"$pcol=")).map(_.getPath).toSeq
-    val written = messages.flatMap {
-      case m: DailyStoreCommit => m.partitionValues
-    }.distinct
+    val committed: Seq[(String, String)] = messages.toSeq.flatMap {
+      case m: DailyStoreCommit => m.files
+    }
+    val written = committed.map(_._1).distinct
     val condemned: Seq[Path] = mode match {
       case AppendMode => Nil
       case TruncateMode => partDirs()
-      case DynamicMode => written.map(v => new Path(live, s"$pcol=$v")).toSeq
+      case DynamicMode => written.map(v => new Path(live, s"$pcol=$v"))
       case ValuesMode(vs) => vs.map(v => new Path(live, s"$pcol=$v"))
     }
     condemned.foreach(fs.delete(_, true))
     // staged files carry task+uuid names, so append never collides
-    val stageRoot = new Path(staging)
-    if (fs.exists(stageRoot)) {
-      fs.listStatus(stageRoot).filter(_.isDirectory).foreach { d =>
-        val target = new Path(live, d.getPath.getName)
-        fs.mkdirs(target)
-        fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
-          fs.rename(f.getPath, new Path(target, f.getPath.getName))
-        }
-      }
-      fs.delete(stageRoot, true)
+    committed.foreach { case (pv, name) =>
+      val target = new Path(live, s"$pcol=$pv")
+      fs.mkdirs(target)
+      val from = new Path(new Path(staging, s"$pcol=$pv"), name)
+      val to = new Path(target, name)
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(
+          s"dailystore: commit rename failed: $from -> $to")
     }
+    fs.delete(new Path(staging), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -230,7 +255,9 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
   }
 }
 
-final case class DailyStoreCommit(partitionValues: Seq[String])
+/** (partition value, staged file name) per file this task attempt
+  * committed. */
+final case class DailyStoreCommit(files: Seq[(String, String)])
   extends WriterCommitMessage
 
 case class DailyStoreWriterFactory(staging: String, schema: StructType,
@@ -279,26 +306,40 @@ class DailyStoreWriter(staging: String, schema: StructType, pcol: String,
   }
 
   private val writers = mutable.Map.empty[String, ParquetWriter[Group]]
-  private val values = mutable.Set.empty[String]
+  private val files = mutable.Buffer.empty[(String, String, Path)]
+
+  /** Hive-path-safe charset: the value becomes a directory name, and
+    * this writer does NOT implement hive escaping — a '/' would nest a
+    * directory commit() never looks into (silent row loss) and a '%XX'
+    * would be UNescaped by Spark's partition discovery on read. Dates
+    * always pass; arbitrary strings must be pre-sanitized by the
+    * caller. Rejecting loudly beats either silent corruption.
+    */
+  private val SafePartitionValue = "[0-9A-Za-z._-]+".r
 
   private def partitionValue(row: InternalRow): String = {
     require(!row.isNullAt(pIdx),
       s"dailystore: null $pcol partition value")
-    schema.fields(pIdx).dataType match {
+    val v = schema.fields(pIdx).dataType match {
       case DateType => java.time.LocalDate.ofEpochDay(row.getInt(pIdx).toLong)
         .toString
       case StringType => row.getUTF8String(pIdx).toString
       case other => throw new IllegalArgumentException(
         s"dailystore: partition column must be date or string, got $other")
     }
+    if (!SafePartitionValue.matches(v))
+      throw new IllegalArgumentException(
+        s"dailystore: partition value '$v' contains path-unsafe " +
+          "characters (allowed: [0-9A-Za-z._-])")
+    v
   }
 
   override def write(row: InternalRow): Unit = {
     val pv = partitionValue(row)
     val w = writers.getOrElseUpdate(pv, {
-      values += pv
-      val file = new Path(
-        s"$staging/$pcol=$pv/part-$taskId-${UUID.randomUUID()}.parquet")
+      val name = s"part-$taskId-${UUID.randomUUID()}.parquet"
+      val file = new Path(s"$staging/$pcol=$pv/$name")
+      files += ((pv, name, file))
       ExampleParquetWriter.builder(file)
         .withConf(conf.value).withType(messageType).build()
     })
@@ -323,12 +364,21 @@ class DailyStoreWriter(staging: String, schema: StructType, pcol: String,
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
-    DailyStoreCommit(values.toSeq.sorted)
+    DailyStoreCommit(files.toSeq.sortBy(f => (f._1, f._2))
+      .map(f => (f._1, f._2)))
   }
 
+  /** Delete THIS attempt's files: BatchWrite.commit only renames files
+    * an accepted commit message names, so leftovers would be cleaned
+    * with the staging root anyway — but a speculative attempt's files
+    * should not linger for the job's lifetime, and a JOB-level abort is
+    * not guaranteed to run on task-level failure. */
   override def abort(): Unit = {
     writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
-    // staged output is removed wholesale by BatchWrite.abort
+    val fs = new Path(staging).getFileSystem(conf.value)
+    files.foreach { case (_, _, f) =>
+      try fs.delete(f, false) catch { case _: Throwable => () }
+    }
   }
 
   override def close(): Unit = ()

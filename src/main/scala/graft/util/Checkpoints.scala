@@ -87,4 +87,23 @@ object Checkpoints {
     */
   def scoped(key: String)(df: DataFrame): DataFrame =
     adopt(key, tracked(df)).df
+
+  /** Release and forget the live checkpoint under (session, key) — the
+    * teardown half of [[scoped]]/[[adopt]] for callers whose key space
+    * is not fixed (a stream that stopped, a store that was dropped).
+    * No-op for unknown keys.
+    */
+  def close(session: SparkSession, key: String): Unit = lock.synchronized {
+    scopes.remove((session, key)).foreach(_.release())
+  }
+
+  /** Release every checkpoint registered by `session` and drop the
+    * entries (which strongly reference the session). Call on session
+    * teardown in long-lived drivers: the registry itself is otherwise
+    * bounded only by distinct-key count.
+    */
+  def closeSession(session: SparkSession): Unit = lock.synchronized {
+    val dead = scopes.keys.filter(_._1 eq session).toSeq
+    dead.foreach(k => scopes.remove(k).foreach(_.release()))
+  }
 }

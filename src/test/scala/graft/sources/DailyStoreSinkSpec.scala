@@ -117,6 +117,60 @@ class DailyStoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("filtered overwrite treats the filter array as a CONJUNCTION") {
+    val dir = freshDir("conj")
+    days("j1", ("2020-03-01", 1, "x"), ("2020-03-02", 2, "y"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    val rowSchema = days("s", ("2020-03-01", 0, "s")).schema
+    val builder = new DailyStoreWriteBuilder(dir, "d",
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+        override def queryId(): String = s"conj-${System.nanoTime()}"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          rowSchema
+      })
+    // d = 03-01 AND d IN (03-01, 03-02) selects ONLY 03-01: a union
+    // reading would also condemn (and here destroy) 03-02
+    val bw = builder.overwrite(Array[Filter](
+        EqualTo("d", "2020-03-01"),
+        In("d", Array("2020-03-01", "2020-03-02"))))
+      .build().toBatch
+    bw.commit(Array.empty) // no new rows: pure partition delete
+    assert(readBack(dir) == Seq((d("2020-03-02"), 2, "y")))
+  }
+
+  test("path-unsafe string partition values are rejected loudly") {
+    val dir = freshDir("unsafe")
+    val e = intercept[Exception] {
+      Seq(("2020/03/01", 1)).toDF("d", "n")
+        .write.format("dailystore").option("path", dir)
+        .mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("path-unsafe")))
+  }
+
+  test("catalog: namespaced identifiers get no-such-table semantics") {
+    val root = freshDir("ns")
+    DailyStoreCatalog.register(spark, "dstore_ns", root)
+    try {
+      // must no-op, not abort with IllegalArgumentException
+      spark.sql("DROP TABLE IF EXISTS dstore_ns.some.nested")
+      intercept[Exception] {
+        spark.sql("CREATE TABLE dstore_ns.t (d date, n int) " +
+          "USING dailystore PARTITIONED BY (n)") // wrong partition col
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_ns")
+      spark.conf.unset("spark.sql.catalog.dstore_ns.root")
+      spark.conf.unset("spark.sql.catalog.dstore_ns.partitionCol")
+    }
+  }
+
   test("filtered overwrite (= / IN on the day) replaces named days; " +
       "row-level conditions are rejected") {
     val dir = freshDir("filt")
