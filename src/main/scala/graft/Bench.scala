@@ -487,6 +487,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rebuild failed: ${e.getMessage}") }
     }
+    // The sf0.1 block is DONE: drop its memoized corpus snapshots and
+    // scoped checkpoints before the sf1 block so the dead dataset's
+    // frames stop occupying the block store while the allocation-heavy
+    // sf1 scans run (the r14 solo-vs-in-bench attribution measured this
+    // class of resident pressure as the dominant per-query error bar).
+    // incGateScale re-reads sfDir from parquet and seeds fresh stores,
+    // so it does not depend on anything released here.
+    graft.catalog.Catalog.releaseDatasetState(spark, sfDir)
     val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
                       Option[(Double, Seq[(String, Double)])],
                       Seq[(String, Double)])] =

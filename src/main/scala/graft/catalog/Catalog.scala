@@ -25,4 +25,21 @@ object Catalog {
   def all: Map[String, Q] =
     CoreQueries.all ++ ScalarQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+
+  /** Release everything the catalog holds resident for one dataset:
+    * memoized corpus snapshots, cell/IVF assignments, and every scoped
+    * checkpoint whose key embeds the dataset dir. For long-lived
+    * drivers that move BETWEEN datasets (the bench finishing its sf0.1
+    * block before the sf1 block): the finished dataset's dead frames
+    * otherwise occupy the block store for the JVM lifetime and feed
+    * exactly the GC/block-pressure noise the solo-vs-in-bench gap
+    * measures. Everything rebuilds transparently if the dataset is
+    * queried again.
+    */
+  def releaseDatasetState(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    DedupQueries.releaseDataset(spark, dir)
+    SimilarityQueries.releaseDataset(spark, dir)
+    graft.util.Checkpoints.closeMatching(spark, _.contains(dir))
+  }
 }

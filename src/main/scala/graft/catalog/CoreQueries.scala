@@ -154,9 +154,10 @@ object CoreQueries {
         // irreducible without a parallelism cliff; the residual sf1
         // equivalent-work gap vs DuckDB is per-job floor on those six
         // tiny exchanges, not data movement.
-        val daily = ordersNation(s, dir)
-          .groupBy(col("nation").as("k"), col("d")).agg(count(lit(1)).as("n"))
-          .localCheckpoint()
+        val daily = graft.util.Checkpoints.scoped(s"q06:$dir")(
+          ordersNation(s, dir)
+            .groupBy(col("nation").as("k"), col("d"))
+            .agg(count(lit(1)).as("n")))
         val top5 = daily.groupBy(col("k")).agg(sum(col("n")).as("cnt"))
           .orderBy(desc("cnt"), asc("k")).limit(5).select(col("k"))
         val pop = t(s, dir, "customer")

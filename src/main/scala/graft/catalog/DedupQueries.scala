@@ -103,7 +103,8 @@ object DedupQueries {
 
   private def ensureCells(s: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cellCache.getOrElseUpdate((s, key), build.localCheckpoint())
+    cellCache.getOrElseUpdate((s, key),
+      graft.util.Checkpoints.scoped(s"memo:$key")(build))
 
   private def saltedCopySeeded(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
@@ -114,9 +115,9 @@ object DedupQueries {
           array_join(transform(sequence(lit(1), nTok),
             i => concat(lit("u"), col("doc_id"), lit("x"), i)), " "))
           .as("text"))
-      salted.unionByName(salted.filter(col("doc_id") < 50)
-        .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
-        .localCheckpoint()
+      graft.util.Checkpoints.scoped(s"memo:saltedcorpus:$dir")(
+        salted.unionByName(salted.filter(col("doc_id") < 50)
+          .select((col("doc_id") + CopyShift).as("doc_id"), col("text"))))
     })
 
   /** Copy-id shift for [[saltedCopySeeded]]: above any real doc_id at
@@ -986,4 +987,19 @@ object DedupQueries {
            |FROM b ORDER BY doc_id""".stripMargin),
       "near-dup-cluster-aware split: CC canonical reps key the train/eval assignment")
   )
+
+  /** Drop every memoized frame this module holds for `dir` and release
+    * its checkpoint blocks (the frames register under "memo:*" scoped
+    * keys). A long-lived driver that is DONE with a dataset — the bench
+    * moving from the sf0.1 block to the sf1 block — calls this so the
+    * dead corpus snapshots stop occupying the block store; the caches
+    * rebuild transparently if the dataset is ever queried again.
+    */
+  def releaseDataset(s: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    corpusCache.keys.filter(k => (k._1 eq s) && k._2 == dir)
+      .foreach(corpusCache.remove)
+    cellCache.keys.filter(k => (k._1 eq s) && k._2.contains(dir))
+      .foreach(cellCache.remove)
+  }
 }

@@ -116,7 +116,8 @@ object SimilarityQueries {
       build: => graft.similarity.Ivf.IvfIndex): graft.similarity.Ivf.IvfIndex =
     ivfCache.getOrElseUpdate((s, key), {
       val i = build
-      i.copy(indexed = i.indexed.localCheckpoint())
+      i.copy(indexed =
+        graft.util.Checkpoints.scoped(s"memo:$key")(i.indexed))
     })
 
   val all: Map[String, Q] = Map(
@@ -301,4 +302,19 @@ object SimilarityQueries {
           |ORDER BY grp, pos""".stripMargin),
       "grouped exact-quantized mean vectors: dense aggregate buffer vs the oracle's explode plan")
   )
+
+  /** Drop the memoized per-dataset state ([[graft.catalog.DedupQueries
+    * .releaseDataset]]'s twin): IVF assignments (checkpoint blocks under
+    * "memo:*" keys), the cached query vector, and opened index
+    * relations. Rebuilds transparently on next use.
+    */
+  def releaseDataset(s: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    ivfCache.keys.filter(k => (k._1 eq s) && k._2.contains(dir))
+      .foreach(ivfCache.remove)
+    queryVecCache.keys.filter(k => (k._1 eq s) && k._2 == dir)
+      .foreach(queryVecCache.remove)
+    annIndexDfCache.keys.filter(k => k._1 eq s)
+      .foreach(annIndexDfCache.remove) // relation handles, no blocks
+  }
 }

@@ -102,6 +102,16 @@ object Checkpoints {
     * teardown in long-lived drivers: the registry itself is otherwise
     * bounded only by distinct-key count.
     */
+  /** Release every (session, key) entry whose key satisfies `p` —
+    * dataset-level teardown for keys that embed a dataset dir.
+    */
+  def closeMatching(session: SparkSession, p: String => Boolean): Unit =
+    lock.synchronized {
+      val dead = scopes.keys
+        .filter(k => (k._1 eq session) && p(k._2)).toSeq
+      dead.foreach(k => scopes.remove(k).foreach(_.release()))
+    }
+
   def closeSession(session: SparkSession): Unit = lock.synchronized {
     val dead = scopes.keys.filter(_._1 eq session).toSeq
     dead.foreach(k => scopes.remove(k).foreach(_.release()))
