@@ -448,22 +448,30 @@ object CoreQueries {
     * bytes across rebuilds), and a concurrent JVM either sees the
     * complete file or writes its own identical copy via atomic move.
     */
-  private def fixturePath(name: String): String = {
-    val in = getClass.getResourceAsStream(s"/fixtures/$name")
-    require(in != null, s"fixture /fixtures/$name not on classpath")
-    val bytes = try in.readAllBytes() finally in.close()
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).take(8).map("%02x".format(_)).mkString
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_fixture_${digest}_$name")
-    if (!out.exists()) {
-      val tmp = java.nio.file.Files.createTempFile(
-        out.toPath.getParent, s"graft_fixture_$name", ".tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      try java.nio.file.Files.move(tmp, out.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
-    out.getPath
-  }
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def fixturePath(name: String): String =
+    fixtureCache.getOrElseUpdate(name, {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      require(in != null, s"fixture /fixtures/$name not on classpath")
+      val bytes = try in.readAllBytes() finally in.close()
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).take(8).map("%02x".format(_)).mkString
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_fixture_${digest}_$name")
+      if (!out.exists()) {
+        val tmp = java.nio.file.Files.createTempFile(
+          out.toPath.getParent, s"graft_fixture_$name", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, out.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmp) // lost the race
+        }
+      }
+      out.getPath
+    })
 }

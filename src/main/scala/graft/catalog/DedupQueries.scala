@@ -999,7 +999,8 @@ object DedupQueries {
                      dir: String): Unit = {
     corpusCache.keys.filter(k => (k._1 eq s) && k._2 == dir)
       .foreach(corpusCache.remove)
-    cellCache.keys.filter(k => (k._1 eq s) && k._2.contains(dir))
+    cellCache.keys.filter(k => (k._1 eq s) &&
+        graft.util.Checkpoints.keyHasDir(k._2, dir))
       .foreach(cellCache.remove)
   }
 }

@@ -310,11 +310,15 @@ object SimilarityQueries {
     */
   def releaseDataset(s: org.apache.spark.sql.SparkSession,
                      dir: String): Unit = {
-    ivfCache.keys.filter(k => (k._1 eq s) && k._2.contains(dir))
+    ivfCache.keys.filter(k => (k._1 eq s) &&
+        graft.util.Checkpoints.keyHasDir(k._2, dir))
       .foreach(ivfCache.remove)
     queryVecCache.keys.filter(k => (k._1 eq s) && k._2 == dir)
       .foreach(queryVecCache.remove)
-    annIndexDfCache.keys.filter(k => k._1 eq s)
+    // index paths embed hashCode(dir) hex, not dir (see ensureAnnIndex)
+    val hex = Integer.toHexString(dir.hashCode)
+    annIndexDfCache.keys
+      .filter(k => (k._1 eq s) && k._2.contains(hex))
       .foreach(annIndexDfCache.remove) // relation handles, no blocks
   }
 }

@@ -117,8 +117,12 @@ object StreamingOps {
     // one materialization feeds the sink AND the store; SCOPED so batch
     // N+1 releases batch N's blocks — an unscoped per-batch checkpoint
     // accumulates for the stream's whole lifetime (single-writer per
-    // store, batches sequential, so the previous frame is always dead)
-    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+    // store, batches sequential, so the previous frame is always dead).
+    // Keys carry the gate FAMILY: two streams may legally use the same
+    // logical store name for different physical families (exact store
+    // "docs" vs minhash "docs_bands"), and a shared key would let one
+    // stream release the other's in-flight frame
+    val fresh = graft.util.Checkpoints.scoped(s"exactgate:$storeTable")(
       graft.dedup.Dedup.exactGate(batch, idCol, textCol, storeTable))
     gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendHashStore(fresh, storeTable, storePath, nBuckets)
@@ -168,7 +172,7 @@ object StreamingOps {
       if (bloom.isEmpty)
         bloom = graft.dedup.Dedup.storeBloom(batch.sparkSession, storeTable,
           expectedItems)
-      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      val fresh = graft.util.Checkpoints.scoped(s"exactgate:$storeTable")(
         bloom match {
           case Some(bf) => graft.dedup.Dedup.exactGateBloom(
             batch, idCol, textCol, storeTable, bf)
@@ -208,7 +212,7 @@ object StreamingOps {
           storeTable, expectedItems)
       val sig = graft.dedup.Dedup
         .minhashSignatures(batch, idCol, textCol, numHashes, shingleN)
-      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      val fresh = graft.util.Checkpoints.scoped(s"mhgate:$storeTable")(
         graft.dedup.Dedup.minhashGate(sig, idCol, storeTable, bands,
           minEstJaccard, bandBloom = bloom))
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
@@ -242,7 +246,7 @@ object StreamingOps {
         bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
           storeTable, expectedItems)
       val fp = graft.dedup.Dedup.simhash(batch, idCol, textCol)
-      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      val fresh = graft.util.Checkpoints.scoped(s"shgate:$storeTable")(
         graft.dedup.Dedup.simhashGate(fp, idCol, storeTable, maxDist,
           maxBucket, bandBloom = bloom))
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
@@ -273,7 +277,7 @@ object StreamingOps {
       if (bloom.isEmpty)
         bloom = graft.dedup.Dedup.bandStoreBloom(batch.sparkSession,
           storeTable, expectedItems)
-      val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+      val fresh = graft.util.Checkpoints.scoped(s"embgate:$storeTable")(
         graft.dedup.Dedup.embeddingGate(batch, idCol, vecCol, storeTable,
           minCosine, nPlanes, bands, maxBucket, bandBloom = bloom))
       val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
@@ -316,7 +320,7 @@ object StreamingOps {
       batch: DataFrame, batchId: Long): Unit = {
     val sig = graft.dedup.Dedup
       .minhashSignatures(batch, idCol, textCol, numHashes, shingleN)
-    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+    val fresh = graft.util.Checkpoints.scoped(s"mhgate:$storeTable")(
       graft.dedup.Dedup.minhashGate(sig, idCol, storeTable, bands,
         minEstJaccard))
     val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
@@ -336,7 +340,7 @@ object StreamingOps {
                                   nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
     val fp = graft.dedup.Dedup.simhash(batch, idCol, textCol)
-    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+    val fresh = graft.util.Checkpoints.scoped(s"shgate:$storeTable")(
       graft.dedup.Dedup.simhashGate(fp, idCol, storeTable, maxDist))
     val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)
     graft.dedup.Dedup.appendFpStore(fresh, idCol, storeTable, storePath,
@@ -354,7 +358,7 @@ object StreamingOps {
                                     outPath: String, minCosine: Double,
                                     nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
-    val fresh = graft.util.Checkpoints.scoped(s"gate:$storeTable")(
+    val fresh = graft.util.Checkpoints.scoped(s"embgate:$storeTable")(
       graft.dedup.Dedup.embeddingGate(batch, idCol, vecCol, storeTable,
         minCosine))
     val replay = gatedSinkWrite(batch, idCol, fresh, outPath, batchId)

@@ -97,11 +97,6 @@ object Checkpoints {
     scopes.remove((session, key)).foreach(_.release())
   }
 
-  /** Release every checkpoint registered by `session` and drop the
-    * entries (which strongly reference the session). Call on session
-    * teardown in long-lived drivers: the registry itself is otherwise
-    * bounded only by distinct-key count.
-    */
   /** Release every (session, key) entry whose key satisfies `p` —
     * dataset-level teardown for keys that embed a dataset dir.
     */
@@ -112,6 +107,19 @@ object Checkpoints {
       dead.foreach(k => scopes.remove(k).foreach(_.release()))
     }
 
+  /** Segment-boundary test for dataset dirs embedded in scope keys
+    * (always as a ':'-delimited segment): plain `contains(dir)` would
+    * let releasing "data/sf1" also release "data/sf10"'s keys —
+    * unpersisting blocks a still-cached frame depends on.
+    */
+  def keyHasDir(key: String, dir: String): Boolean =
+    key.endsWith(s":$dir") || key.contains(s":$dir:")
+
+  /** Release every checkpoint registered by `session` and drop the
+    * entries (which strongly reference the session). Call on session
+    * teardown in long-lived drivers: the registry itself is otherwise
+    * bounded only by distinct-key count.
+    */
   def closeSession(session: SparkSession): Unit = lock.synchronized {
     val dead = scopes.keys.filter(_._1 eq session).toSeq
     dead.foreach(k => scopes.remove(k).foreach(_.release()))
