@@ -37,8 +37,18 @@ object Blooms {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
+      // The probe child is routed through [[StableLong]]: Spark's
+      // BloomFilterMightContain.doGenCode emits `(Long)$value`, and
+      // when the probe CONSTANT-FOLDS to a negative literal Janino
+      // cannot parse `(Long)-123L` (it reads a binary minus with the
+      // class name as an operand — "Expression java.lang.Long is not
+      // an rvalue") and the whole stage silently falls back to
+      // interpreted eval. The wrapper pins the value in a local
+      // variable so the cast always applies to a name. Column-probe
+      // plans (every production gate) are unaffected beyond a
+      // JIT-erased long copy.
       exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)),
+        .BloomFilterMightContain(exprs(0), StableLong(exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_any", exprs => BloomAny(exprs(0), exprs(1)), "built-in")
@@ -81,6 +91,32 @@ object Blooms {
     ensureRegistered()
     call_function("bloom_any", filter, hashes)
   }
+}
+
+/** Identity over a `bigint` that BLOCKS constant folding and surfaces
+  * its value as a generated local VARIABLE. Exists for one reason: a
+  * consumer that splices `(Long)$value` into generated Java (Spark's
+  * own `BloomFilterMightContain` does) miscompiles under Janino when
+  * `$value` is a folded negative literal — `(Long)-123L` parses as a
+  * binary minus with the class name as the left operand. Routing the
+  * child through this wrapper makes `$value` a name, which casts fine.
+  */
+case class StableLong(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def foldable: Boolean = false // the point
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"stable_long requires bigint, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** Codegen predicate: true iff ANY element of the `array<long>` hash

@@ -174,8 +174,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .BloomFilterAggregate(es(0), es(1), es(2))),
       ("bloom_might_contain",
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        // StableLong: see Blooms.register — a folded negative-literal
+        // probe otherwise miscompiles Spark's `(Long)$value` codegen
+        // under Janino and silently drops the stage to interpreted eval
         es => org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(es(0), es(1))))
+          .BloomFilterMightContain(es(0), StableLong(es(1)))))
     builders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))

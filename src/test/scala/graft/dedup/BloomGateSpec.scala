@@ -22,6 +22,26 @@ class BloomGateSpec extends SparkSpec {
     assert(misses == 0)
   }
 
+  test("bloom_might_contain with a CONSTANT probe compiles and answers") {
+    // xxhash64(1L) folds to a negative long literal; without the
+    // StableLong wrapper Spark's own `(Long)$value` codegen miscompiles
+    // under Janino on exactly this shape and the stage silently drops
+    // to interpreted eval (caught by ExtCheck in r14)
+    graft.functions.Blooms.register(spark)
+    val got = spark.sql("""
+      SELECT bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(x), 3L, 8192L)
+                FROM VALUES (1L), (2L), (3L) AS t(x)),
+               xxhash64(1L)) AS hit,
+             bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(x), 3L, 8192L)
+                FROM VALUES (1L), (2L), (3L) AS t(x)),
+               xxhash64(999L)) AS miss
+    """).as[(Boolean, Boolean)].head()
+    assert(got._1, "member constant must hit")
+    assert(!got._2, "non-member constant should miss at this fpp")
+  }
+
   test("bloom filter prunes most non-members at 8 bits/item") {
     val keys = spark.range(1000).select(xxhash64(col("id")).as("h"))
     val bf = keys.agg(Blooms.bloomAgg(col("h"), 10000, 80000).as("bf"))
