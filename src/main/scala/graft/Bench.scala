@@ -158,6 +158,51 @@ object Bench {
   private def consume(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  /** Host-contention stamps (r15): five same-code sessions spread the
+    * sf1 full-cut ratio 1.69–2.16× purely environmentally, so every
+    * bench record must self-identify a polluted session. Raw loadavg
+    * can't do it — the bench's own 32 threads saturate it — so each
+    * timed block records FOREIGN CORES: system busy CPU-seconds from
+    * /proc/stat minus this JVM's own CPU-seconds, over the block's wall
+    * time = how many cores something ELSE was burning while we timed.
+    * README's bench section states the accept rule (foreign < 2.0).
+    */
+  private def cpuStamp(): (Double, Double) = {
+    val busy = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+      // busy = everything minus idle+iowait; USER_HZ=100 jiffies
+      val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
+      (f.sum - idle) / 100.0
+    } catch { case _: Throwable => -1.0 }
+    val own = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    (busy, own)
+  }
+
+  /** Run `body`, returning (result, foreign-cores average over the
+    * block). -1 when /proc/stat or process CPU is unavailable. */
+  private def withForeignCores[T](body: => T): (T, Double) = {
+    val (b0, o0) = cpuStamp()
+    val t0 = System.nanoTime()
+    val r = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (b1, o1) = cpuStamp()
+    val foreign =
+      if (b0 < 0 || o0 < 0 || wall <= 0) -1.0
+      else math.max(0.0, ((b1 - b0) - (o1 - o0)) / wall)
+    (r, foreign)
+  }
+
+  private def loadAvg1m(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -405,6 +450,10 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
+    // ambient load BEFORE any engine work — the one point where loadavg
+    // still reflects the host, not this bench
+    val loadStart = loadAvg1m()
+
     // untimed warm-up pass (duration reported for transparency)
     val w0 = System.nanoTime()
     names.foreach { n =>
@@ -413,7 +462,8 @@ object Bench {
     }
     val warmup = (System.nanoTime() - w0) / 1e9
 
-    val (medians, errors) = timeQueries(spark, sfDir, names, reps)
+    val ((medians, errors), foreignSf01) =
+      withForeignCores(timeQueries(spark, sfDir, names, reps))
     val ok = medians.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     // spark time over ONLY the oracle-checked queries, so the duckdb
@@ -497,16 +547,17 @@ object Bench {
     graft.catalog.Catalog.releaseDatasetState(spark, sfDir)
     val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
                       Option[(Double, Seq[(String, Double)])],
-                      Seq[(String, Double)])] =
+                      Seq[(String, Double)], Double)] =
       if (sf1Reps == 0 || !new java.io.File(sf1Dir).isDirectory) None
       else {
         headline.foreach { n => // warm-up at this scale too
           try consume(SparkEntry.queries(n)(spark, sf1Dir))
           catch { case _: Throwable => () }
         }
-        val (m1, e1) = timeQueries(spark, sf1Dir, headline, sf1Reps)
+        val ((m1, e1), f1) =
+          withForeignCores(timeQueries(spark, sf1Dir, headline, sf1Reps))
         Some((m1, e1, duck(sf1Dir, headline, sf1Reps),
-          incGateScale(spark, sfDir, sf1Dir, sf1Reps)))
+          incGateScale(spark, sfDir, sf1Dir, sf1Reps), f1))
       }
     def sf1OracleSec(m1: Seq[(String, Double)]): Double =
       // like-for-like with duckdb_oneshot_total_sec: spark time over
@@ -532,7 +583,7 @@ object Bench {
           && scaleGrowing(k) => v }.sum)
     val sf1Full: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1, g1)) =>
+      case Some((m1, e1, d1, g1, f1)) =>
         jobj(Seq(
           "dir" -> jstr(sf1Dir),
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
@@ -544,13 +595,14 @@ object Bench {
           "spark_scalegrow_sec" -> jnum(sf1SgSpark(m1)),
           "duckdb_scalegrow_sec" ->
             sf1SgDuck(d1).map(jnum).getOrElse("null"),
+          "foreign_cores" -> jnum(f1),
           "duckdb_queries" -> d1.map(d =>
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")) ++
           g1.map { case (k, v) => k -> jnum(v) })
     }
     val sf1Compact: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1, g1)) =>
+      case Some((m1, e1, d1, g1, f1)) =>
         jobj(Seq(
           "queries" -> jobj(m1.map { case (k, v) => shortKey(k) -> jnum3(v) }),
           "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
@@ -559,7 +611,8 @@ object Bench {
             sf1DuckOneshot(d1).map(jnum3).getOrElse("null"),
           "spark_scalegrow_sec" -> jnum3(sf1SgSpark(m1)),
           "duckdb_scalegrow_sec" ->
-            sf1SgDuck(d1).map(jnum3).getOrElse("null")) ++
+            sf1SgDuck(d1).map(jnum3).getOrElse("null"),
+          "foreign_cores" -> jnum3(f1)) ++
           g1.map { case (k, v) => k -> jnum3(v) } ++
           (if (e1.isEmpty) Nil else Seq("errors" -> jobj(
             e1.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))))
@@ -581,6 +634,11 @@ object Bench {
       // queries and must not be diffed against this field's records.
       "consumption" -> jstr("toRdd-materialize"),
       "warmup_sec" -> jnum(warmup),
+      // host-contention record: ambient 1-min loadavg before any engine
+      // work, plus foreign-cores during the sf0.1 timed block (the sf1
+      // block's stamp lives inside the sf1 object). Accept rule: README.
+      "host_load_start" -> jnum(loadStart),
+      "foreign_cores_sf01" -> jnum(foreignSf01),
       "spark_total_sec" -> jnum(total),
       "spark_oracle_total_sec" -> jnum(oracleTotal),
       "spark_oracle_oneshot_sec" -> jnum(oneshotTotal),
@@ -607,6 +665,8 @@ object Bench {
         "reps" -> reps.toString,
         "consumption" -> jstr("toRdd-materialize"),
         "warmup_sec" -> jnum3(warmup),
+        "host_load_start" -> jnum3(loadStart),
+        "foreign_cores_sf01" -> jnum3(foreignSf01),
         "spark_oracle_total_sec" -> jnum3(oracleTotal),
         "spark_oracle_oneshot_sec" -> jnum3(oneshotTotal),
         "duckdb_oneshot_total_sec" -> duckOneshot.map(jnum3).getOrElse("null"),

@@ -64,19 +64,23 @@ object Tables {
     // legacy branch. Any other AnalysisException — file missing,
     // permissions, corrupt footer — propagates as itself instead of
     // masquerading as a nanos file and leaking the session conf on the
-    // doomed retry. Matched on the error CONDITION, not message text
-    // (r14): Spark 4.1.2 raises PARQUET_TYPE_ILLEGAL for this rejection
-    // (verified against a pyarrow-written timestamp[ns] file), and the
-    // condition id is the stable cross-version contract where message
-    // wording is not. The message check stays only as a fallback for a
-    // hypothetical classless rethrow.
+    // doomed retry. Spark 4.1.2 raises PARQUET_TYPE_ILLEGAL for this
+    // rejection (verified against a pyarrow-written timestamp[ns] file).
     val inferred =
       try Some(spark.read.parquet(path).schema("ts").dataType)
       catch {
+        // BOTH the condition AND the type name (r15): PARQUET_TYPE_ILLEGAL
+        // covers every illegal-Parquet-type rejection (unannotated fixed
+        // types, odd INT96 variants, ...), so the condition alone would
+        // route a non-nanos illegal file here, mutate the session conf,
+        // and retry a doomed read. The "NANOS" token comes from
+        // parquet-mr's LogicalTypeAnnotation.toString — stable where
+        // Spark's sentence wording is not; the condition-null arm stays
+        // as a fallback for a hypothetical classless rethrow.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PARQUET_TYPE_ILLEGAL" ||
-              (e.getCondition == null && e.getMessage != null &&
-                e.getMessage.contains("NANOS")) =>
+            if e.getMessage != null && e.getMessage.contains("NANOS") &&
+              (e.getCondition == "PARQUET_TYPE_ILLEGAL" ||
+                e.getCondition == null) =>
           None
       }
     inferred match {

@@ -865,6 +865,10 @@ object Dedup {
   def canonicalClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                         maxIter: Int = 10,
                         scope: Option[String] = None): DataFrame = {
+    // with zero rounds the returned plan's labels still read the edges
+    // checkpoint, whose release below would leave them unrecoverable
+    require(maxIter >= 1,
+      s"canonicalClusters: maxIter must be >= 1, got $maxIter")
     // Symmetric edge list (propagate both directions), shuffled onto the
     // join key ONCE and materialized: every round's neighbor-min joins
     // edges on dst, and without the explicit repartition+checkpoint the

@@ -124,10 +124,28 @@ case class ExactPercentilesAgg(
 
   override def createAggregationBuffer(): ValueCountMap = new ValueCountMap()
 
+  // The hot-path child after binding is a BoundReference over a double
+  // column; its interpreted eval() boxes every row's value (the accessor
+  // returns Any). Read the primitive directly in that case — update()
+  // runs once per input row per aggregate inside ObjectHashAggregate's
+  // interpreted loop, so one allocation per row is the dominant
+  // avoidable cost of this surface (r15, q50 attribution).
+  private lazy val directOrdinal: Int = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == DoubleType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: ValueCountMap, input: InternalRow): ValueCountMap = {
-    val v = child.eval(input)
-    if (v != null)
-      buf.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
+    val ord = directOrdinal
+    if (ord >= 0) {
+      if (!input.isNullAt(ord))
+        buf.add(java.lang.Double.doubleToLongBits(input.getDouble(ord)), 1L)
+    } else {
+      val v = child.eval(input)
+      if (v != null)
+        buf.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
+    }
     checkCap(buf)
   }
 

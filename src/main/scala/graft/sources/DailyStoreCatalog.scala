@@ -84,7 +84,7 @@ class DailyStoreCatalog extends TableCatalog {
         val bytes = try in.readAllBytes() finally in.close()
         DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType]
       } else spark.read.parquet(dir.toString).schema
-    new DailyStoreTable(dir.toString, pcol, schema)
+    new DailyStoreTable(dir.toString, pcol, schema, viaCatalog = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -107,7 +107,7 @@ class DailyStoreCatalog extends TableCatalog {
     f.mkdirs(dir)
     val out = f.create(metaPath(dir), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    new DailyStoreTable(dir.toString, pcol, schema)
+    new DailyStoreTable(dir.toString, pcol, schema, viaCatalog = true)
   }
 
   override def alterTable(ident: Identifier,

@@ -90,7 +90,15 @@ class DailyStoreDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class DailyStoreTable(path: String, pcol: String, schema0: StructType)
+/** `viaCatalog` records which front built the table: the path-based
+  * writer keeps V1 file-source overwrite semantics (truncate vs dynamic
+  * decided by `spark.sql.sources.partitionOverwriteMode`), while a
+  * catalog table must honor the DSv2 contract — `overwrite(true)` /
+  * TRUNCATE replaces ALL rows regardless of that conf (dynamic replace
+  * has its own explicit front there, `overwritePartitions()`).
+  */
+class DailyStoreTable(path: String, pcol: String, schema0: StructType,
+                      viaCatalog: Boolean = false)
   extends Table with SupportsWrite {
 
   override def name(): String = s"dailystore($path)"
@@ -101,7 +109,7 @@ class DailyStoreTable(path: String, pcol: String, schema0: StructType)
       TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DailyStoreWriteBuilder(path, pcol, info)
+    new DailyStoreWriteBuilder(path, pcol, info, viaCatalog)
 }
 
 /** What commit() condemns before moving staged files in. */
@@ -112,7 +120,8 @@ private[sources] case object DynamicMode extends ReplaceMode
 private[sources] final case class ValuesMode(vs: Seq[String]) extends ReplaceMode
 
 class DailyStoreWriteBuilder(path: String, pcol: String,
-                             info: LogicalWriteInfo)
+                             info: LogicalWriteInfo,
+                             viaCatalog: Boolean = false)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: ReplaceMode = AppendMode
@@ -122,19 +131,28 @@ class DailyStoreWriteBuilder(path: String, pcol: String,
     * path-based DataFrameWriter has no front for
     * OverwritePartitionsDynamic (that needs a catalog table +
     * `writeTo().overwritePartitions()`), so the V1 file-source contract
-    * is honored HERE: under
+    * is honored HERE for PATH-BASED writes only: under
     * `spark.sql.sources.partitionOverwriteMode=dynamic` (or the
     * equivalent per-write option), a full overwrite means "replace the
     * partitions the incoming data touches" — exactly as INSERT
     * OVERWRITE behaves on a V1 partitioned parquet path.
+    *
+    * A CATALOG-front table never consults that conf: the DSv2 contract
+    * says `overwrite(lit(true))` / TRUNCATE replaces all rows, and
+    * dynamic replace has its own explicit entry
+    * (`overwritePartitions()` → [[overwriteDynamicPartitions]]).
+    * Honoring the V1 conf there would silently retain partitions absent
+    * from the incoming frame when the session conf happens to be
+    * dynamic.
     */
   override def truncate(): WriteBuilder = {
-    val opt = Option(info.options.get("partitionOverwriteMode"))
-    val conf = org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    mode =
-      if (opt.getOrElse(conf).equalsIgnoreCase("dynamic")) DynamicMode
-      else TruncateMode
+    val dynamic = !viaCatalog && {
+      val opt = Option(info.options.get("partitionOverwriteMode"))
+      val conf = org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      opt.getOrElse(conf).equalsIgnoreCase("dynamic")
+    }
+    mode = if (dynamic) DynamicMode else TruncateMode
     this
   }
 

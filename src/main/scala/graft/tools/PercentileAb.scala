@@ -62,12 +62,23 @@ object PercentileAb {
       }.sorted
       ts(ts.size / 2)
     }
+    // Scan twin (r15 attribution): the same group key and the same two
+    // decoded double columns through a fully codegen'd HashAggregate —
+    // parquet-decode floor plus a trivial aggregate. count_map − this =
+    // the ObjectHashAggregate interpreted-update premium q50 actually
+    // pays on top of the unavoidable scan.
+    def scanTwin() =
+      graft.Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sq"), sum("l_extendedprice").as("sp"))
+        .orderBy("l_returnflag")
+
     // equality first (PercentilesSpec pins it at test scale; re-assert here)
     val a = countMap().collect().toSeq
     val b = rankSel().collect().toSeq
     require(a == b, s"surfaces disagree:\n$a\n$b")
     // interleaved reps
-    println(f"""{"count_map_sec":${med(countMap)}%.3f,"rank_selection_sec":${med(rankSel)}%.3f,"dir":"$dir"}""")
+    println(f"""{"count_map_sec":${med(countMap)}%.3f,"rank_selection_sec":${med(rankSel)}%.3f,"scan_twin_sec":${med(scanTwin)}%.3f,"dir":"$dir"}""")
     spark.stop()
   }
 }

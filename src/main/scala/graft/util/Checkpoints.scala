@@ -15,23 +15,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cross-query block-store pressure (a 4.6 GiB store thrashed at 8 g
   * heap in round 12's runs).
   *
-  * The reliable handle is `sc.getPersistentRDDs`: `RDD.localCheckpoint()`
-  * persists the RDD, which registers it there by id. `tracked` snapshots
-  * the registry around the (eager) checkpoint and records exactly the ids
-  * it created, so `release()` can unpersist those RDDs directly. Releasing
+  * The persisted RDD is read directly off the checkpointed Dataset:
+  * `Dataset.localCheckpoint()` executes the plan, calls
+  * `internalRdd.localCheckpoint()` (which persists THAT RDD), and wraps
+  * it in a `LogicalRDD` — so the returned frame's logical plan names the
+  * one RDD whose blocks back the checkpoint, and `release()` can
+  * unpersist it by id. No registry snapshotting, and therefore no lock
+  * held across job execution: concurrent streaming gates' per-batch
+  * materializations and concurrent catalog-query builds checkpoint in
+  * parallel, exactly as bare `localCheckpoint()` calls would. Releasing
   * a local checkpoint makes the frame unrecoverable — callers must only
   * release checkpoints they will never re-read (a superseded iteration
   * round, a previous bench rep's build).
-  *
-  * Driver-side discipline: the snapshot diff assumes no OTHER driver
-  * thread checkpoints concurrently (bench and Verify run queries
-  * sequentially; streaming gates checkpoint inside one foreachBatch
-  * callback at a time). Worst case under a race is releasing a frame the
-  * other thread still needs — hold [[lock]] around concurrent `tracked`
-  * calls if that ever changes.
   */
 object Checkpoints {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Guards [[scopes]] only — never held while a Spark job runs. */
   private val lock = new Object
 
   /** A localCheckpoint'd frame plus the persistent-RDD ids backing it. */
@@ -46,19 +47,34 @@ object Checkpoints {
     }
   }
 
-  /** Eagerly localCheckpoint `df`, recording the persistent-RDD ids the
-    * checkpoint created so they can later be dropped for real. */
-  def tracked(df: DataFrame): Tracked = lock.synchronized {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+  /** Eagerly localCheckpoint `df`, recording the persistent-RDD id the
+    * checkpoint created so it can later be dropped for real. */
+  def tracked(df: DataFrame): Tracked = {
     val cp = df.localCheckpoint()
-    val created = sc.getPersistentRDDs.keySet.diff(before)
-    Tracked(cp, created.toSet)
+    val ids = cp.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Set(l.rdd.id)
+      case other =>
+        // unreachable on Spark 4.x (localCheckpoint always returns a
+        // LogicalRDD wrapper); degrade to the pre-tracking behavior
+        // (leak until ContextCleaner) rather than guess an id to kill
+        log.warn(s"Checkpoints.tracked: unexpected checkpoint plan " +
+          s"${other.getClass.getName}; blocks will not be releasable")
+        Set.empty[Int]
+    }
+    Tracked(cp, ids)
   }
 
   // ---- keyed scope: one live checkpoint per (session, key) ------------
 
-  private val scopes = mutable.Map.empty[(SparkSession, String), Tracked]
+  /** Value = (holder, adoption nanoTime) — the timestamp feeds the
+    * fast-replacement warning below. */
+  private val scopes =
+    mutable.Map.empty[(SparkSession, String), (Tracked, Long)]
+
+  /** Two adoptions of one key closer together than this smell like the
+    * race the scope contract forbids (two concurrent executions of one
+    * builder), not a bench rep / recurring sweep — log loudly. */
+  private val FastReplaceWarnNanos = 5L * 1000 * 1000 * 1000
 
   /** Register an already-tracked checkpoint as the live holder of
     * (session, key), releasing the previous holder. For operators whose
@@ -67,11 +83,31 @@ object Checkpoints {
     * replaces execution N−1's blocks instead of accumulating beside
     * them — the unbounded-accumulation class on a 24/7 stream, the
     * in-bench block-store-pressure class on a 94-query bench.
+    *
+    * Contract: at most one in-flight execution per (session, key).
+    * Concurrent same-key executions would release each other's
+    * still-needed blocks; a replacement arriving suspiciously fast
+    * after its predecessor is logged as a likely contract violation
+    * (callers that legitimately race must use distinct keys).
     */
-  def adopt(key: String, t: Tracked): Tracked = lock.synchronized {
+  def adopt(key: String, t: Tracked): Tracked = {
     val k = (t.df.sparkSession, key)
-    scopes.get(k).foreach(prev => if (prev.rddIds != t.rddIds) prev.release())
-    scopes.update(k, t)
+    val now = System.nanoTime()
+    val prev = lock.synchronized {
+      val p = scopes.get(k)
+      scopes.update(k, (t, now))
+      p
+    }
+    prev.foreach { case (old, adoptedAt) =>
+      if (old.rddIds != t.rddIds) {
+        if (now - adoptedAt < FastReplaceWarnNanos)
+          log.warn(s"Checkpoints.adopt('$key'): replacing a checkpoint " +
+            s"adopted ${(now - adoptedAt) / 1000000} ms ago — if two " +
+            "executions of this builder are racing on one key, the " +
+            "loser's plan now reads released blocks; use distinct keys")
+        old.release()
+      }
+    }
     t
   }
 
@@ -93,19 +129,21 @@ object Checkpoints {
     * is not fixed (a stream that stopped, a store that was dropped).
     * No-op for unknown keys.
     */
-  def close(session: SparkSession, key: String): Unit = lock.synchronized {
-    scopes.remove((session, key)).foreach(_.release())
+  def close(session: SparkSession, key: String): Unit = {
+    val removed = lock.synchronized(scopes.remove((session, key)))
+    removed.foreach(_._1.release())
   }
 
   /** Release every (session, key) entry whose key satisfies `p` —
     * dataset-level teardown for keys that embed a dataset dir.
     */
-  def closeMatching(session: SparkSession, p: String => Boolean): Unit =
-    lock.synchronized {
-      val dead = scopes.keys
-        .filter(k => (k._1 eq session) && p(k._2)).toSeq
-      dead.foreach(k => scopes.remove(k).foreach(_.release()))
+  def closeMatching(session: SparkSession, p: String => Boolean): Unit = {
+    val dead = lock.synchronized {
+      val ks = scopes.keys.filter(k => (k._1 eq session) && p(k._2)).toSeq
+      ks.flatMap(k => scopes.remove(k))
     }
+    dead.foreach(_._1.release())
+  }
 
   /** Segment-boundary test for dataset dirs embedded in scope keys
     * (always as a ':'-delimited segment): plain `contains(dir)` would
@@ -120,8 +158,11 @@ object Checkpoints {
     * teardown in long-lived drivers: the registry itself is otherwise
     * bounded only by distinct-key count.
     */
-  def closeSession(session: SparkSession): Unit = lock.synchronized {
-    val dead = scopes.keys.filter(_._1 eq session).toSeq
-    dead.foreach(k => scopes.remove(k).foreach(_.release()))
+  def closeSession(session: SparkSession): Unit = {
+    val dead = lock.synchronized {
+      val ks = scopes.keys.filter(_._1 eq session).toSeq
+      ks.flatMap(k => scopes.remove(k))
+    }
+    dead.foreach(_._1.release())
   }
 }

@@ -117,6 +117,41 @@ class DailyStoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("catalog front: overwrite(true) TRUNCATES even when the session " +
+      "conf says dynamic (DSv2 contract beats the V1 conf)") {
+    val root = freshDir("catdyn")
+    DailyStoreCatalog.register(spark, "dstore_dyn", root)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("CREATE TABLE dstore_dyn.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val tdir = s"$root/cases"
+      days("y1", ("2020-03-01", 1, "x"), ("2020-03-02", 2, "y"))
+        .writeTo("dstore_dyn.cases").append()
+      // a literal-true overwrite through the catalog front: the DSv2
+      // contract is "replace ALL rows"; before the viaCatalog flag this
+      // silently became a day-replace and 03-01 survived
+      days("y2", ("2020-03-02", 9, "only"))
+        .writeTo("dstore_dyn.cases").overwrite(lit(true))
+      assert(readBack(tdir) == Seq((d("2020-03-02"), 9, "only")),
+        "catalog-front overwrite(true) must not retain days absent " +
+          "from the incoming frame")
+      // the PATH-based writer keeps V1 parity: same conf, same store,
+      // mode("overwrite") day-replaces
+      days("y3", ("2020-03-03", 3, "z"))
+        .write.format("dailystore").option("path", tdir)
+        .mode("overwrite").save()
+      assert(readBack(tdir) == Seq(
+        (d("2020-03-02"), 9, "only"), (d("2020-03-03"), 3, "z")))
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.conf.unset("spark.sql.catalog.dstore_dyn")
+      spark.conf.unset("spark.sql.catalog.dstore_dyn.root")
+      spark.conf.unset("spark.sql.catalog.dstore_dyn.partitionCol")
+    }
+  }
+
   test("filtered overwrite treats the filter array as a CONJUNCTION") {
     val dir = freshDir("conj")
     days("j1", ("2020-03-01", 1, "x"), ("2020-03-02", 2, "y"))

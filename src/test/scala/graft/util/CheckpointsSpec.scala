@@ -60,6 +60,36 @@ class CheckpointsSpec extends SparkSpec {
     assert(persistentCount == afterFirst)
   }
 
+  test("tracked() attributes ids correctly under concurrent checkpoints") {
+    // r15: tracked() reads the RDD id off the returned LogicalRDD plan
+    // instead of diffing the registry under a global lock — two frames
+    // checkpointed in parallel must each see exactly their own id
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future(Checkpoints.tracked(spark.range(1000L * i).toDF("id")))
+    }
+    val ts = Await.result(Future.sequence(fs), 2.minutes)
+    ts.foreach(t => assert(t.rddIds.size == 1))
+    val all = ts.flatMap(_.rddIds)
+    assert(all.distinct.size == all.size, s"shared ids across tracks: $all")
+    ts.zipWithIndex.foreach { case (t, i) =>
+      assert(t.df.count() == 1000L * (i + 1))
+    }
+    ts.foreach(_.release())
+  }
+
+  test("canonicalClusters rejects maxIter < 1") {
+    val ids = spark.range(4).select(col("id").cast("string").as("doc_id"))
+    val pairs = Seq(("0", "1")).toDF("id1", "id2")
+    // with zero rounds the returned labels would read the already-released
+    // edges checkpoint — rejected up front instead of failing at execution
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalClusters(ids, pairs, "doc_id", maxIter = 0)
+    }
+  }
+
   test("canonicalClusters leaves at most one live checkpoint per call") {
     // a 64-node chain forces several pointer-jumping rounds, so the loop
     // creates several per-round label checkpoints — all but the final
