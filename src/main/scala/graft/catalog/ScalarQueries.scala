@@ -251,12 +251,19 @@ object ScalarQueries {
     // per-task sort) is the scale path. PercentilesSpec pins all three
     // implementations bit-equal and the plans' shapes.
     //
-    // Surface choice re-measured solo at sf1 (r14, tools/PercentileAb —
-    // interleaved medians-of-5, one JVM): count-map 1.57 s vs
-    // rank-selection 2.15 s, so the ObjectHashAggregate's interpreted
-    // per-row path still beats the codegen'd two-pass-plus-window shape
-    // here; the residual vs DuckDB (~0.5 s) tracks q12's parquet-decode
-    // floor on the same two double columns, not aggregate overhead.
+    // Surface choice measured to exhaustion solo at sf1 (r15,
+    // tools/PercentileAb — interleaved medians-of-5, one JVM, five
+    // shapes): count-map 1.23 s (with the r15 unboxed BoundReference
+    // update), fused two-column aggregate 1.41, two-scan codegen-count
+    // + weighted fold 1.50, explode codegen-count + weighted fold 1.79,
+    // rank-selection 2.00 — against a 0.49 s codegen scan twin (same
+    // group key, same two decoded columns, sum()s). The ~0.7 s premium
+    // over the twin is ObjectHashAggregate's interpreted per-row
+    // machinery, and every codegen-phase alternative loses because the
+    // distinct-price count rows are near row-scale per task (map-side
+    // combine can't shrink the exchange). Measured irreducible at this
+    // surface; the state bound, single scan, and single aggregated
+    // exchange are the 100 TB properties that matter.
     "q50_percentiles" -> Q(
       (s, dir) => {
         graft.functions.ExactPercentilesF.register(s)

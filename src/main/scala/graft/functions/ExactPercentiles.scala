@@ -91,7 +91,8 @@ case class ExactPercentilesAgg(
     ps: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
-    maxDistinct: Int = ExactPercentilesAgg.DefaultMaxDistinct)
+    maxDistinct: Int = ExactPercentilesAgg.DefaultMaxDistinct,
+    weight: Option[Expression] = None)
   extends TypedImperativeAggregate[ValueCountMap] {
 
   require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
@@ -109,13 +110,15 @@ case class ExactPercentilesAgg(
     buf
   }
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child) ++ weight
 
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case DoubleType => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a double argument, got ${other.simpleString}")
+    (child.dataType, weight.map(_.dataType)) match {
+      case (DoubleType, None | Some(LongType)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (other, w) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double[, bigint weight]), got " +
+          s"${other.simpleString}${w.map(", " + _.simpleString).getOrElse("")}")
     }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -137,14 +140,26 @@ case class ExactPercentilesAgg(
   }
 
   override def update(buf: ValueCountMap, input: InternalRow): ValueCountMap = {
-    val ord = directOrdinal
-    if (ord >= 0) {
-      if (!input.isNullAt(ord))
-        buf.add(java.lang.Double.doubleToLongBits(input.getDouble(ord)), 1L)
-    } else {
-      val v = child.eval(input)
-      if (v != null)
-        buf.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
+    // weight (pre-counted rows: the expanded two-phase shape) — null or
+    // non-positive weights contribute nothing, mirroring null values
+    val w = weight match {
+      case None => 1L
+      case Some(we) => we.eval(input) match {
+        case null => 0L
+        case n: java.lang.Long => n.longValue()
+        case n: java.lang.Number => n.longValue()
+      }
+    }
+    if (w > 0) {
+      val ord = directOrdinal
+      if (ord >= 0) {
+        if (!input.isNullAt(ord))
+          buf.add(java.lang.Double.doubleToLongBits(input.getDouble(ord)), w)
+      } else {
+        val v = child.eval(input)
+        if (v != null)
+          buf.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), w)
+      }
     }
     checkCap(buf)
   }
@@ -158,51 +173,11 @@ case class ExactPercentilesAgg(
     checkCap(buf)
   }
 
-  override def eval(buf: ValueCountMap): Any = {
-    if (buf.size == 0) return null
-    // compact, sort by VALUE (doubles; money/quantity data — no NaN)
-    val vs = new Array[Double](buf.size)
-    val cs = new Array[Long](buf.size)
-    var i = 0; var o = 0
-    while (i < buf.keys.length) {
-      if (buf.cnts(i) != 0L) {
-        vs(o) = java.lang.Double.longBitsToDouble(buf.keys(i))
-        cs(o) = buf.cnts(i)
-        o += 1
-      }
-      i += 1
-    }
-    // indirect sort by value
-    val order = Array.range(0, buf.size).sortBy(vs(_))
-    var n = 0L
-    i = 0
-    while (i < cs.length) { n += cs(i); i += 1 }
-    val out = new Array[Double](ps.length)
-    var pi = 0
-    while (pi < ps.length) {
-      val t = ps(pi) * (n - 1)
-      val lo = math.floor(t).toLong
-      val hi = math.ceil(t).toLong
-      // walk cumulative counts to the bracketing values
-      var cum = 0L
-      var j = 0
-      var lv = 0.0
-      var hv = 0.0
-      var needLo = true
-      var needHi = true
-      while (j < order.length && (needLo || needHi)) {
-        val prev = cum
-        cum += cs(order(j))
-        // value j covers 0-indexed positions [prev, cum)
-        if (needLo && lo >= prev && lo < cum) { lv = vs(order(j)); needLo = false }
-        if (needHi && hi >= prev && hi < cum) { hv = vs(order(j)); needHi = false }
-        j += 1
-      }
-      out(pi) = lv * (lo + 1 - t) + hv * (t - lo)
-      pi += 1
-    }
-    new GenericArrayData(out)
-  }
+  // compact, sort by VALUE (doubles; money/quantity data — no NaN),
+  // walk cumulative counts to the bracketing order statistics — shared
+  // with the fused two-column aggregate
+  override def eval(buf: ValueCountMap): Any =
+    ExactPercentiles2Agg.evalOne(buf, ps)
 
   override def serialize(buf: ValueCountMap): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -234,13 +209,211 @@ case class ExactPercentilesAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0))
+    copy(child = newChildren(0),
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }
 
 object ExactPercentilesAgg {
   /** 2^24 distinct values — clears any 2-dp money / quantity domain;
     * an abort above this means the column is effectively continuous. */
   val DefaultMaxDistinct: Int = 1 << 24
+}
+
+/** TWO-column fused variant: `exact_percentiles2(v1, ps1, v2, ps2)` →
+  * `struct(p1: array<double>, p2: array<double>)`.
+  *
+  * Same count-map state per column as [[ExactPercentilesAgg]]; built to
+  * test whether ObjectHashAggregate's per-AGGREGATE row machinery
+  * (update dispatch, buffer-field read/write, cap check) dominates the
+  * interpreted path once the probe itself is primitive. MEASURED NO
+  * (tools/PercentileAb, solo sf1, medians-of-5): fused 1.41 s vs two
+  * separate aggregates 1.23 s — the Array-indexed double buffer and the
+  * interleaved probes cost more than the saved dispatch, so the catalog
+  * q50 keeps the two single-column aggregates. Kept as a library
+  * surface (one buffer exchange for correlated-column percentile sets)
+  * with the negative result on record. Null handling, linear
+  * interpolation, and the distinct-cap abort are per-column identical
+  * to the single-column aggregate (PercentilesSpec pins equality).
+  */
+case class ExactPercentiles2Agg(
+    c1: Expression, ps1: Seq[Double],
+    c2: Expression, ps2: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+    maxDistinct: Int = ExactPercentilesAgg.DefaultMaxDistinct)
+  extends TypedImperativeAggregate[Array[ValueCountMap]] {
+
+  require(ps1.nonEmpty && ps2.nonEmpty &&
+    (ps1 ++ ps2).forall(p => p >= 0 && p <= 1),
+    s"percentiles must be in [0,1]: $ps1 / $ps2")
+
+  override def children: Seq[Expression] = Seq(c1, c2)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (c1.dataType, c2.dataType) match {
+      case (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two double arguments, got " +
+          s"${a.simpleString}, ${b.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("p1", ArrayType(DoubleType, containsNull = false)),
+    StructField("p2", ArrayType(DoubleType, containsNull = false))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "exact_percentiles2"
+
+  override def createAggregationBuffer(): Array[ValueCountMap] =
+    Array(new ValueCountMap(), new ValueCountMap())
+
+  private def one(p: ValueCountMap, ps: Seq[Double]) =
+    ExactPercentiles2Agg.evalOne(p, ps)
+
+  // same BoundReference fast path as the single-column aggregate
+  private lazy val ord1: Int = c1 match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == DoubleType => b.ordinal
+    case _ => -1
+  }
+  private lazy val ord2: Int = c2 match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == DoubleType => b.ordinal
+    case _ => -1
+  }
+
+  private def checkCap(buf: Array[ValueCountMap]): Array[ValueCountMap] = {
+    if (buf(0).size > maxDistinct || buf(1).size > maxDistinct)
+      throw new IllegalStateException(
+        s"exact_percentiles2: aggregation buffer exceeded $maxDistinct " +
+          "distinct values — use graft.ops.Percentiles for continuous " +
+          "columns, or raise the cap explicitly.")
+    buf
+  }
+
+  override def update(buf: Array[ValueCountMap],
+                      input: InternalRow): Array[ValueCountMap] = {
+    val o1 = ord1
+    if (o1 >= 0) {
+      if (!input.isNullAt(o1))
+        buf(0).add(java.lang.Double.doubleToLongBits(input.getDouble(o1)), 1L)
+    } else {
+      val v = c1.eval(input)
+      if (v != null)
+        buf(0).add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
+    }
+    val o2 = ord2
+    if (o2 >= 0) {
+      if (!input.isNullAt(o2))
+        buf(1).add(java.lang.Double.doubleToLongBits(input.getDouble(o2)), 1L)
+    } else {
+      val v = c2.eval(input)
+      if (v != null)
+        buf(1).add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
+    }
+    checkCap(buf)
+  }
+
+  override def merge(buf: Array[ValueCountMap],
+                     other: Array[ValueCountMap]): Array[ValueCountMap] = {
+    var m = 0
+    while (m < 2) {
+      val o = other(m); val b = buf(m)
+      var i = 0
+      while (i < o.keys.length) {
+        if (o.cnts(i) != 0L) b.add(o.keys(i), o.cnts(i))
+        i += 1
+      }
+      m += 1
+    }
+    checkCap(buf)
+  }
+
+  override def eval(buf: Array[ValueCountMap]): Any =
+    InternalRow(one(buf(0), ps1), one(buf(1), ps2))
+
+  override def serialize(buf: Array[ValueCountMap]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val outS = new DataOutputStream(bos)
+    buf.foreach { m =>
+      outS.writeInt(m.size)
+      var i = 0
+      while (i < m.keys.length) {
+        if (m.cnts(i) != 0L) {
+          outS.writeLong(m.keys(i)); outS.writeLong(m.cnts(i))
+        }
+        i += 1
+      }
+    }
+    outS.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[ValueCountMap] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(2) {
+      val n = in.readInt()
+      val m = new ValueCountMap(math.max(64,
+        java.lang.Integer.highestOneBit(math.max(1, n * 2 - 1)) * 2))
+      var i = 0
+      while (i < n) { m.add(in.readLong(), in.readLong()); i += 1 }
+      m
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ExactPercentiles2Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ExactPercentiles2Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(c1 = newChildren(0), c2 = newChildren(1))
+}
+
+object ExactPercentiles2Agg {
+  /** One column's percentile evaluation — compact, value-sort, cumulative
+    * walk; identical arithmetic to [[ExactPercentilesAgg.eval]]. Null
+    * when the map is empty (all-null column). */
+  private[functions] def evalOne(buf: ValueCountMap,
+                                 ps: Seq[Double]): GenericArrayData = {
+    if (buf.size == 0) return null
+    val vs = new Array[Double](buf.size)
+    val cs = new Array[Long](buf.size)
+    var i = 0; var o = 0
+    while (i < buf.keys.length) {
+      if (buf.cnts(i) != 0L) {
+        vs(o) = java.lang.Double.longBitsToDouble(buf.keys(i))
+        cs(o) = buf.cnts(i)
+        o += 1
+      }
+      i += 1
+    }
+    val order = Array.range(0, buf.size).sortBy(vs(_))
+    var n = 0L
+    i = 0
+    while (i < cs.length) { n += cs(i); i += 1 }
+    val out = new Array[Double](ps.length)
+    var pi = 0
+    while (pi < ps.length) {
+      val t = ps(pi) * (n - 1)
+      val lo = math.floor(t).toLong
+      val hi = math.ceil(t).toLong
+      var cum = 0L
+      var j = 0
+      var lv = 0.0
+      var hv = 0.0
+      var needLo = true
+      var needHi = true
+      while (j < order.length && (needLo || needHi)) {
+        val prev = cum
+        cum += cs(order(j))
+        if (needLo && lo >= prev && lo < cum) { lv = vs(order(j)); needLo = false }
+        if (needHi && hi >= prev && hi < cum) { hv = vs(order(j)); needHi = false }
+        j += 1
+      }
+      out(pi) = lv * (lo + 1 - t) + hv * (t - lo)
+      pi += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object ExactPercentilesF {
@@ -284,5 +457,49 @@ object ExactPercentilesF {
     call_function(name, value,
       org.apache.spark.sql.functions.array(
         ps.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  private val wname = "exact_percentiles_weighted"
+
+  /** Weighted form over PRE-COUNTED (value, count) rows — the final
+    * stage of the expanded two-phase percentile shape: a codegen
+    * HashAggregate counts distinct values first (row-scale work in
+    * whole-stage codegen), then this aggregate folds the ~distinct-many
+    * count rows. Identical result to [[exactPercentiles]] over the raw
+    * rows, pinned by PercentilesSpec.
+    */
+  def registerWeighted(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      wname,
+      exprs => ExactPercentilesAgg(exprs(0), psArg(exprs(2)),
+        weight = Some(exprs(1))),
+      "built-in")
+
+  /** `exactPercentilesWeighted(value, count, ps)`. */
+  def exactPercentilesWeighted(value: Column, count: Column,
+                               ps: Seq[Double]): Column = {
+    SparkSession.getActiveSession.foreach(registerWeighted)
+    call_function(wname, value, count,
+      org.apache.spark.sql.functions.array(
+        ps.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  private val name2 = "exact_percentiles2"
+
+  /** `exact_percentiles2(v1, ps1, v2, ps2)` → struct(p1, p2). */
+  def register2(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name2,
+      exprs => ExactPercentiles2Agg(
+        exprs(0), psArg(exprs(1)), exprs(2), psArg(exprs(3))),
+      "built-in")
+
+  /** Fused two-column percentiles: one aggregate, one per-row update. */
+  def exactPercentiles2(v1: Column, ps1: Seq[Double],
+                        v2: Column, ps2: Seq[Double]): Column = {
+    SparkSession.getActiveSession.foreach(register2)
+    def arr(ps: Seq[Double]) = org.apache.spark.sql.functions.array(
+      ps.map(org.apache.spark.sql.functions.lit): _*)
+    call_function(name2, v1, arr(ps1), v2, arr(ps2))
   }
 }

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evidence generator (r15): scan-only / structure-only TWINS for the
+  * bench's residual-ratio queries (q51/q89, q84), timed solo in one JVM
+  * so each query's ratio splits into "parquet decode + join/exchange
+  * floor" vs "cost the operator itself adds". The q50 twin lives in
+  * [[PercentileAb]] (same session as its surface A/B).
+  *
+  *  - q5189_twin: q51/q89's exact input shape — orders⋈customer
+  *    (shuffle-hash) ⋈ broadcast nation, then a trivial codegen
+  *    aggregate instead of the rank window / top-k aggregate. The
+  *    delta q51−twin is what row_number+filter really costs; q89−twin
+  *    what the k-slot aggregate costs.
+  *  - q84_twin_scan: the gated batch's text decode alone (odd docs,
+  *    sum(length(text))) — the irreducible read.
+  *  - q84_twin_nostore: the full segment gate against a nonexistent
+  *    store — segment hashing, winner exchange, kept-pairs regroup and
+  *    text rebuild, WITHOUT the store probe. q84−this is the store
+  *    join's true incremental cost; this−scan is the gate's own
+  *    exchange/rebuild cost.
+  *
+  *   sbt "runMain graft.tools.FloorTwins data/sf1 5"
+  */
+object FloorTwins {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def q5189Twin(): DataFrame =
+      graft.Tables(spark, dir, "orders")
+        .join(graft.Tables(spark, dir, "customer").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(graft.Tables(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_orderkey"),
+          col("o_totalprice"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+        .orderBy("nation")
+
+    def oddDocs(): DataFrame = graft.Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    def q84TwinScan(): DataFrame =
+      oddDocs().agg(sum(length(col("text"))).as("chars"))
+
+    def q84TwinNostore(): DataFrame =
+      graft.ops.Segments.segmentGate(oddDocs(), 16,
+          "graft_floortwins_no_such_store")
+        .orderBy("doc_id")
+
+    def consume(df: DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def med(f: () => DataFrame): Double = {
+      consume(f()) // warm
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); consume(f()); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2)
+    }
+
+    val j = med(q5189Twin _)
+    val s84 = med(q84TwinScan _)
+    val n84 = med(q84TwinNostore _)
+    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"dir":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -134,6 +134,54 @@ class PercentilesSpec extends SparkSpec {
     assert(ok.toSeq == Seq((0L, 0.0), (1L, 1.0)))
   }
 
+  test("weighted + fused count-map variants == the plain aggregate (r15)") {
+    import graft.functions.ExactPercentilesF.{exactPercentiles,
+      exactPercentilesWeighted, exactPercentiles2}
+    val li = graft.Tables(spark, sf, "lineitem")
+    val plain = li.groupBy("l_returnflag")
+      .agg(exactPercentiles(col("l_quantity"), Seq(0.5, 0.95)).as("qp"),
+        exactPercentiles(col("l_extendedprice"), Seq(0.25)).as("pp"))
+      .orderBy("l_returnflag")
+      .as[(String, Seq[Double], Seq[Double])].collect().toSeq
+    // weighted over PRE-COUNTED (value, n) rows: the expanded two-phase
+    // shape's final stage — identical result by construction
+    val weighted = li.groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(col("l_quantity")).as("n"))
+      .groupBy("l_returnflag")
+      .agg(exactPercentilesWeighted(col("v"), col("n"), Seq(0.5, 0.95)).as("qp"))
+      .join(
+        li.groupBy(col("l_returnflag").as("g2"), col("l_extendedprice").as("v"))
+          .agg(count(col("l_extendedprice")).as("n"))
+          .groupBy("g2")
+          .agg(exactPercentilesWeighted(col("v"), col("n"), Seq(0.25)).as("pp")),
+        col("l_returnflag") === col("g2"))
+      .select(col("l_returnflag"), col("qp"), col("pp"))
+      .orderBy("l_returnflag")
+      .as[(String, Seq[Double], Seq[Double])].collect().toSeq
+    assert(weighted == plain)
+    // fused two-column aggregate: same maps, one update call per row
+    val fused = li.groupBy("l_returnflag")
+      .agg(exactPercentiles2(col("l_quantity"), Seq(0.5, 0.95),
+        col("l_extendedprice"), Seq(0.25)).as("b"))
+      .select(col("l_returnflag"), col("b.p1").as("qp"), col("b.p2").as("pp"))
+      .orderBy("l_returnflag")
+      .as[(String, Seq[Double], Seq[Double])].collect().toSeq
+    assert(fused == plain)
+  }
+
+  test("weighted aggregate: null and non-positive weights contribute nothing") {
+    import graft.functions.ExactPercentilesF.exactPercentilesWeighted
+    val df = Seq(("a", 10.0, Some(2L)), ("a", 20.0, Some(0L)),
+      ("a", 30.0, None), ("a", 40.0, Some(2L)))
+      .toDF("g", "v", "n")
+    val got = df.groupBy("g")
+      .agg(exactPercentilesWeighted(col("v"), col("n"),
+        Seq(0.0, 0.5, 1.0)).as("ps"))
+      .select(col("g"), col("ps")).as[(String, Seq[Double])].collect()
+    // only 10.0 (x2) and 40.0 (x2) count: sorted 10,10,40,40 -> p50 = 25
+    assert(got.toSeq == Seq(("a", Seq(10.0, 25.0, 40.0))))
+  }
+
   test("plan: no buffer-everything percentile aggregate; counts agg is two-phase") {
     val li = graft.Tables(spark, sf, "lineitem")
     val plan = Percentiles.exact(li, "l_returnflag", "l_quantity",
