@@ -54,11 +54,13 @@ import org.apache.spark.util.SerializableConfiguration
   * ordinary hive-layout parquet (`<pcol>=<value>/part-*.parquet`)
   * through parquet-hadoop's public writer into a per-query staging dir;
   * commit is directory surgery on the driver — delete the partitions the
-  * mode condemns, then rename staged files in. Rename-based commit keeps
-  * the same single-writer contract as [[graft.pipelines.Sinks
-  * .upsertByKey]]: a crash mid-commit needs recovery, concurrent
-  * readers need a transactional table format — documented there, not
-  * re-solved here.
+  * mode condemns, then rename staged files in, bridged by a durable
+  * manifest so a crash anywhere in the window replays mechanically
+  * ([[DailyStoreRecovery]]; the next write self-heals). Rename-based
+  * commit keeps the same single-writer contract as
+  * [[graft.pipelines.Sinks.upsertByKey]]; concurrent readers of a torn
+  * store still need a transactional table format — documented there,
+  * not re-solved here.
   *
   * The store READS as plain partitioned parquet
   * (`spark.read.parquet(dir)` — partition pruning included); this class
@@ -235,10 +237,29 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     * commit duplicate rows (two attempts of one task) or a footer-less
     * partial (executor death mid-write). Everything unnamed dies with
     * the staging root.
+    *
+    * Crash safety (r15): the delete-then-rename window is bridged by a
+    * MANIFEST — `_commit-<queryId>.json` at the store root, written
+    * BEFORE any partition is condemned, listing the condemned dirs and
+    * every staged rename, deleted only after the staging root is gone.
+    * A driver crash anywhere inside the window leaves the manifest
+    * behind, and [[DailyStoreRecovery.recoverPendingCommits]] replays
+    * it to exactly the committed end state (old files in condemned
+    * dirs are those NOT named by the manifest; staged files still in
+    * staging are the renames that did not happen yet). The next
+    * commit() on the same store self-heals by running recovery first —
+    * a torn store is repaired the moment anything writes to it again.
+    * Readers between the crash and the repair see plain parquet with
+    * the torn subset of files (the same non-transactional-read caveat
+    * as any bare-parquet overwrite; a transactional table format is
+    * the answer where that matters).
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val live = new Path(path)
+    // replay any torn commit a crashed driver left behind: its manifest
+    // names a DIFFERENT queryId's staging, never this write's
+    DailyStoreRecovery.recoverPendingCommits(path, conf.value)
     def partDirs(): Seq[Path] =
       if (!fs.exists(live)) Nil
       else fs.listStatus(live).filter(s => s.isDirectory &&
@@ -253,6 +274,12 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
       case DynamicMode => written.map(v => new Path(live, s"$pcol=$v"))
       case ValuesMode(vs) => vs.map(v => new Path(live, s"$pcol=$v"))
     }
+    val manifest = DailyStoreRecovery.manifestPath(live, queryId)
+    if (condemned.nonEmpty || committed.nonEmpty) {
+      fs.mkdirs(live)
+      DailyStoreRecovery.writeManifest(fs, manifest, pcol,
+        new Path(staging).getName, condemned.map(_.getName), committed)
+    }
     condemned.foreach(fs.delete(_, true))
     // staged files carry task+uuid names, so append never collides
     committed.foreach { case (pv, name) =>
@@ -265,11 +292,128 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
           s"dailystore: commit rename failed: $from -> $to")
     }
     fs.delete(new Path(staging), true)
+    fs.delete(manifest, false)
   }
 
+  /** Before the manifest exists the commit is undecided — roll BACK
+    * (drop staging). Once the manifest is durable the commit is
+    * decided — roll FORWARD (replay it), because the condemned
+    * partitions may already be gone and dropping staging would lose
+    * both the old and the new rows.
+    */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(staging).getFileSystem(conf.value)
-    fs.delete(new Path(staging), true)
+    val manifest = DailyStoreRecovery.manifestPath(new Path(path), queryId)
+    if (fs.exists(manifest))
+      DailyStoreRecovery.recoverPendingCommits(path, conf.value)
+    else fs.delete(new Path(staging), true)
+  }
+}
+
+/** Replay of torn `dailystore` commits from their durable manifests.
+  *
+  * The manifest (`_commit-<queryId>.json` at the store root) is the
+  * commit point: written before any partition is condemned, it lists
+  * the condemned partition dirs, the staging dir name, and every
+  * (partition value, staged file name) rename. Replay is idempotent
+  * and correct from ANY crash point inside the window, because the two
+  * halves are distinguishable by name: in a condemned dir, OLD files
+  * are exactly those the manifest does not name (staged names are
+  * task-id + UUID — collision-free), and the renames still outstanding
+  * are exactly the manifest-named files still present in staging.
+  *
+  *  - crash after manifest, before deletes: old files deleted now,
+  *    every rename replays;
+  *  - crash mid-deletes or mid-renames: surviving old files deleted,
+  *    remaining renames replay, already-renamed files are kept;
+  *  - crash after renames, before cleanup: nothing to delete or
+  *    rename — staging and manifest are dropped.
+  *
+  * [[DailyStoreBatchWrite.commit]] runs this before every write
+  * (self-healing store) and [[DailyStoreBatchWrite.abort]] rolls
+  * forward through it once its own manifest is durable; operators can
+  * also invoke it directly on a store that crashed with no follow-up
+  * write.
+  */
+object DailyStoreRecovery {
+
+  def manifestPath(live: Path, queryId: String): Path =
+    new Path(live, s"_commit-$queryId.json")
+
+  private[sources] def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, manifest: Path, pcol: String,
+      stagingName: String, condemnedDirs: Seq[String],
+      files: Seq[(String, String)]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("pcol", pcol)
+    root.put("staging", stagingName)
+    val c = root.putArray("condemned")
+    condemnedDirs.foreach(c.add)
+    val f = root.putArray("files")
+    files.foreach { case (pv, name) =>
+      val a = f.addArray(); a.add(pv); a.add(name)
+    }
+    val out = fs.create(manifest, true)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+  }
+
+  /** Replay every pending manifest under `path` to its committed end
+    * state. No-op on a clean store. */
+  def recoverPendingCommits(path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val live = new Path(path)
+    val fs = live.getFileSystem(hadoopConf)
+    if (!fs.exists(live)) return
+    fs.listStatus(live)
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith("_commit-") &&
+        s.getPath.getName.endsWith(".json"))
+      .foreach(m => replay(fs, live, m.getPath))
+  }
+
+  private def replay(fs: org.apache.hadoop.fs.FileSystem, live: Path,
+                     manifest: Path): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(manifest)
+    val bytes = try in.readAllBytes() finally in.close()
+    val root = om.readTree(bytes)
+    val pcol = root.get("pcol").asText()
+    val stagingName = root.get("staging").asText()
+    val files = root.get("files").elements().asScala.map { a =>
+      (a.get(0).asText(), a.get(1).asText())
+    }.toSeq
+    val keepByPv: Map[String, Set[String]] =
+      files.groupBy(_._1).map { case (pv, fs0) => pv -> fs0.map(_._2).toSet }
+    // 1. finish the deletes: in each condemned dir, anything the
+    // manifest does not name is an OLD file
+    root.get("condemned").elements().asScala.foreach { cn =>
+      val dirName = cn.asText()
+      val dir = new Path(live, dirName)
+      val keep = keepByPv.getOrElse(dirName.stripPrefix(s"$pcol="),
+        Set.empty[String])
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          if (!st.isDirectory && !keep.contains(st.getPath.getName))
+            fs.delete(st.getPath, false)
+        }
+    }
+    // 2. finish the renames: manifest-named files still in staging
+    val staging = new Path(live, stagingName)
+    files.foreach { case (pv, name) =>
+      val from = new Path(new Path(staging, s"$pcol=$pv"), name)
+      if (fs.exists(from)) {
+        val target = new Path(live, s"$pcol=$pv")
+        fs.mkdirs(target)
+        val to = new Path(target, name)
+        if (fs.exists(to)) fs.delete(from, false) // rename already done
+        else if (!fs.rename(from, to))
+          throw new java.io.IOException(
+            s"dailystore recovery: rename failed: $from -> $to")
+      }
+    }
+    fs.delete(staging, true)
+    fs.delete(manifest, false)
   }
 }
 

@@ -69,6 +69,30 @@ object StreamingOps {
       batch: DataFrame, batchId: Long): Unit =
     Sinks.upsertByKey(batch.sparkSession, batch.dropDuplicates(key), path, key)
 
+  /** The reference's daily re-ingest loop, fully ENGINE-NATIVE end to
+    * end (r15): each micro-batch carries complete day slices (the
+    * re-fetch shape of cv-api.py's truncate-per-run, narrowed to the
+    * days present) and day-replaces them into a `dailystore` CATALOG
+    * table via the engine's own `OverwritePartitionsDynamic` plan —
+    * `writeTo(table).overwritePartitions()` — instead of the
+    * hand-rolled [[graft.pipelines.Sinks.upsertByKey]] swap. The
+    * connector's clustered-by-day required distribution plans the
+    * one-file-per-day shuffle, and its staged-rename commit gives
+    * micro-batch REPLAY idempotence for free: a re-run batch rewrites
+    * exactly the same day partitions to the same content.
+    *
+    * Use as `stream.writeStream.foreachBatch(dailyReplaceEachBatch(
+    * "dstore.cases") _)` with a [[graft.sources.DailyStoreCatalog]]
+    * registered on the session. Batches must carry ENTIRE days — a
+    * partial day's batch replaces the day with the partial slice
+    * (exactly what the reference's re-ingest does mid-day).
+    */
+  def dailyReplaceEachBatch(catalogTable: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    // an empty batch dynamic-overwrites zero partitions — a no-op by
+    // construction, no emptiness probe job needed
+    batch.writeTo(catalogTable).overwritePartitions()
+
   /** Streaming corpus novelty gate: each micro-batch of documents dedups
     * against the persisted corpus hash store ([[graft.dedup.Dedup
     * .exactGate]]) and appends only corpus-new documents to `outPath` —

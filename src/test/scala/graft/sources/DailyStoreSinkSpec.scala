@@ -177,6 +177,83 @@ class DailyStoreSinkSpec extends SparkSpec {
     assert(readBack(dir) == Seq((d("2020-03-02"), 2, "y")))
   }
 
+  test("commit manifest: a crash anywhere in the delete-rename window " +
+      "replays to the committed end state") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+
+    // builds a store with days 1+2, stages a replacement file for day 1,
+    // writes the manifest, then stops at the requested crash point
+    def tornStore(tag: String, crashAfterDelete: Boolean,
+                  alsoRenameFirst: Boolean = false): (String, String) = {
+      val dir = freshDir(s"recov$tag")
+      days(tag, ("2020-03-01", 1, "old"), ("2020-03-02", 2, "keep"))
+        .write.format("dailystore").option("path", dir)
+        .mode("append").save()
+      val fs = new Path(dir).getFileSystem(hconf)
+      // stage two replacement files for day 1 (as two tasks would)
+      val stagingName = s"__stage_crash-$tag"
+      val names = Seq("part-0-aaaa.parquet", "part-1-bbbb.parquet")
+      names.zipWithIndex.foreach { case (n, i) =>
+        val src = freshDir(s"recovsrc$tag$i")
+        days(s"$tag$i", ("2020-03-01", 10 + i, "new"))
+          .write.format("dailystore").option("path", src)
+          .mode("append").save()
+        val f = new java.io.File(s"$src/d=2020-03-01").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        fs.mkdirs(new Path(s"$dir/$stagingName/d=2020-03-01"))
+        fs.rename(new Path(f.getPath),
+          new Path(s"$dir/$stagingName/d=2020-03-01/$n"))
+      }
+      DailyStoreRecovery.writeManifest(fs,
+        DailyStoreRecovery.manifestPath(new Path(dir), s"crash-$tag"),
+        "d", stagingName, Seq("d=2020-03-01"),
+        names.map(n => ("2020-03-01", n)))
+      if (crashAfterDelete)
+        fs.delete(new Path(s"$dir/d=2020-03-01"), true)
+      if (alsoRenameFirst) {
+        fs.mkdirs(new Path(s"$dir/d=2020-03-01"))
+        fs.rename(new Path(s"$dir/$stagingName/d=2020-03-01/${names.head}"),
+          new Path(s"$dir/d=2020-03-01/${names.head}"))
+      }
+      (dir, stagingName)
+    }
+    def assertHealed(dir: String, stagingName: String): Unit = {
+      assert(readBack(dir) == Seq(
+        (d("2020-03-01"), 10, "new"), (d("2020-03-01"), 11, "new"),
+        (d("2020-03-02"), 2, "keep")))
+      assert(!new java.io.File(dir, stagingName).exists(), "staging remains")
+      assert(new java.io.File(dir).listFiles()
+        .forall(!_.getName.startsWith("_commit-")), "manifest remains")
+    }
+
+    // crash BEFORE the delete: old day-1 files still present
+    val (a, sa) = tornStore("a", crashAfterDelete = false)
+    DailyStoreRecovery.recoverPendingCommits(a, hconf)
+    assertHealed(a, sa)
+    // crash AFTER the delete, before any rename
+    val (b, sb) = tornStore("b", crashAfterDelete = true)
+    DailyStoreRecovery.recoverPendingCommits(b, hconf)
+    assertHealed(b, sb)
+    // crash MID-rename (one of two staged files already in place) —
+    // recovered not by an explicit call but by the next WRITE's
+    // self-heal (the commit() preamble)
+    val (c, sc) = tornStore("c", crashAfterDelete = true,
+      alsoRenameFirst = true)
+    days("heal", ("2020-03-05", 5, "later"))
+      .write.format("dailystore").option("path", c)
+      .mode("append").save()
+    assert(readBack(c) == Seq(
+      (d("2020-03-01"), 10, "new"), (d("2020-03-01"), 11, "new"),
+      (d("2020-03-02"), 2, "keep"), (d("2020-03-05"), 5, "later")))
+    assert(!new java.io.File(c, sc).exists())
+    assert(new java.io.File(c).listFiles()
+      .forall(!_.getName.startsWith("_commit-")))
+    // replay is idempotent
+    DailyStoreRecovery.recoverPendingCommits(a, hconf)
+    assertHealed(a, sa)
+  }
+
   test("path-unsafe string partition values are rejected loudly") {
     val dir = freshDir("unsafe")
     val e = intercept[Exception] {

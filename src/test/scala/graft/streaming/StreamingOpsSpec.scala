@@ -126,6 +126,56 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "Yes"), (2, "No")))
   }
 
+  test("dailyReplaceEachBatch: stream day-replaces into a dailystore " +
+      "catalog table, matching the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Date
+    def d(s: String): Date = Date.valueOf(s)
+    val root = Files.createTempDirectory("graft-dstream").toString
+    graft.sources.DailyStoreCatalog.register(spark, "dstore_stream", root)
+    try {
+      spark.sql("CREATE TABLE dstore_stream.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      // the same batch sequence drives the stream and the batch twin:
+      // day 1 lands, then a RE-INGEST of day 1 (the reference's daily
+      // re-fetch: fewer rows, corrected labels) plus day 2
+      val b1 = Seq((d("2020-03-01"), 1, "x"), (d("2020-03-01"), 2, "y"),
+        (d("2020-03-02"), 3, "z"))
+      val b2 = Seq((d("2020-03-01"), 9, "corrected"),
+        (d("2020-03-03"), 4, "w"))
+      val input = MemoryStream[(Date, Int, String)]
+      val query = input.toDF().toDF("d", "n", "label")
+        .writeStream
+        .foreachBatch(StreamingOps.dailyReplaceEachBatch("dstore_stream.cases") _)
+        .outputMode("update").start()
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(s"$root/cases")
+        .select("d", "n", "label").orderBy("d", "n")
+        .as[(Date, Int, String)].collect().toSeq
+      // day 1 fully replaced by the re-ingest, day 2 untouched, day 3 new
+      assert(got == Seq(
+        (d("2020-03-01"), 9, "corrected"), (d("2020-03-02"), 3, "z"),
+        (d("2020-03-03"), 4, "w")))
+      // batch twin: the same frames through writeTo().overwritePartitions()
+      spark.sql("CREATE TABLE dstore_stream.twin (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      Seq(b1, b2).foreach(b => b.toDF("d", "n", "label")
+        .writeTo("dstore_stream.twin").overwritePartitions())
+      val twin = spark.read.parquet(s"$root/twin")
+        .select("d", "n", "label").orderBy("d", "n")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(twin == got, "streaming day-replace must equal the batch twin")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_stream")
+      spark.conf.unset("spark.sql.catalog.dstore_stream.root")
+      spark.conf.unset("spark.sql.catalog.dstore_stream.partitionCol")
+    }
+  }
+
   test("noveltyGateEachBatch: stream dedups against the persisted corpus store") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-novelty")
