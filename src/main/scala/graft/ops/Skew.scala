@@ -12,7 +12,23 @@ import org.apache.spark.sql.functions._
   * dimension where one fact key dominates.
   *
   * Both are pure plan rewrites with identical results to their naive
-  * forms (pinned by SkewSpec).
+  * forms (pinned by SkewSpec). MEASURED (r15, `tools.SkewAb`: 20M rows,
+  * 90% on one key, 1M-row dim, broadcast disabled, medians-of-3):
+  *
+  *  - groupBy-COUNT: naive 0.45 s vs salted 0.72 s — for decomposable
+  *    aggregates, map-side partial aggregation already collapses the hot
+  *    key to one row per task, so [[saltedCount]]'s extra exchange width
+  *    is a pessimization. Salt aggregations only when the partial can't
+  *    combine (collect_list/exact-distinct payloads, windows over the
+  *    hot key) — for plain counts, trust the partial aggregate.
+  *  - shuffle JOIN: naive 8.4 s (AQE off) / 7.4 s (AQE on, defaults!) vs
+  *    [[saltedJoin]] 4.7 s. AQE's skew split judges partitions by
+  *    COMPRESSED shuffle bytes, and a single-key partition compresses
+  *    far below the 256 MB default threshold while its 18M rows still
+  *    straggle one task — lowering
+  *    `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes` to
+  *    16 MB gets AQE to 5.7 s; the salted plan stays ahead because it
+  *    also spreads the SORT of the hot partition, not just the join.
   */
 object Skew {
 
