@@ -98,20 +98,52 @@ class DailyStoreDataSource extends TableProvider with DataSourceRegister {
   * catalog table must honor the DSv2 contract — `overwrite(true)` /
   * TRUNCATE replaces ALL rows regardless of that conf (dynamic replace
   * has its own explicit front there, `overwritePartitions()`).
+  *
+  * READ side (r15): the table is also BATCH_READ, by delegating
+  * `newScanBuilder` to Spark's own DSv2 parquet `FileTable` over the
+  * store directory — so `SELECT * FROM dstore.t` / `spark.table(...)`
+  * / `spark.read.format("dailystore").load()` work through the catalog
+  * with the engine's vectorized reader, partition pruning, and
+  * `FileScan`'s statistics report (AQE sees store sizes from the scan
+  * instead of guessing). This keeps the r14 judgment — no hand-rolled
+  * parquet reader — while closing the read-front gap; the delegate is
+  * built lazily per table resolution, so reads always list the CURRENT
+  * store state (no stale FileIndex across writes). Staging dirs and
+  * commit manifests are underscore-prefixed, which Spark's file index
+  * already treats as hidden.
   */
 class DailyStoreTable(path: String, pcol: String, schema0: StructType,
                       viaCatalog: Boolean = false)
-  extends Table with SupportsWrite {
+  extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"dailystore($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+    Set(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DailyStoreWriteBuilder(path, pcol, info, viaCatalog)
+
+  // hive-layout stores carry the partition column in directory names;
+  // FileTable puts partition columns after data columns, so hand it the
+  // schema in that order or column resolution misaligns
+  private def delegateSchema: StructType = StructType(
+    schema0.fields.filter(_.name != pcol) ++
+      schema0.fields.filter(_.name == pcol))
+
+  private lazy val readDelegate =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name(), org.apache.spark.sql.SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(path), Some(delegateSchema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    readDelegate.newScanBuilder(options)
 }
 
 /** What commit() condemns before moving staged files in. */

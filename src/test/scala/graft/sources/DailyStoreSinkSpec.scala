@@ -177,6 +177,57 @@ class DailyStoreSinkSpec extends SparkSpec {
     assert(readBack(dir) == Seq((d("2020-03-02"), 2, "y")))
   }
 
+  test("read front (r15): SELECT through the catalog and format().load() " +
+      "serve the store with pruning and scan statistics") {
+    val root = freshDir("read")
+    DailyStoreCatalog.register(spark, "dstore_read", root)
+    try {
+      spark.sql("CREATE TABLE dstore_read.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      days("r1", ("2020-03-01", 1, "x"), ("2020-03-02", 2, "y"),
+          ("2020-03-03", 3, "z"))
+        .writeTo("dstore_read.cases").append()
+      // catalog front reads: spark.table and SQL
+      val t = spark.table("dstore_read.cases")
+        .select("d", "n", "label").orderBy("d")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(t == Seq((d("2020-03-01"), 1, "x"), (d("2020-03-02"), 2, "y"),
+        (d("2020-03-03"), 3, "z")))
+      assert(spark.sql(
+        "SELECT SUM(n) AS s FROM dstore_read.cases").head().getLong(0) == 6L)
+      // read-after-write through the SAME catalog table name
+      days("r2", ("2020-03-02", 9, "new")).writeTo("dstore_read.cases")
+        .overwritePartitions()
+      assert(spark.sql(
+        "SELECT SUM(n) AS s FROM dstore_read.cases").head().getLong(0) == 13L)
+      // partition pruning reaches the scan
+      val pruned = spark.table("dstore_read.cases")
+        .filter(col("d") === lit(d("2020-03-03")))
+      val physical = pruned.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters"), physical)
+      assert(pruned.count() == 1)
+      // the delegate reports statistics (AQE's size source)
+      val scan = pruned.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      assert(scan.exists {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics().sizeInBytes().isPresent
+        case _ => false
+      }, "scan must report statistics")
+      // path-based read front
+      val got = spark.read.format("dailystore").option("path", s"$root/cases")
+        .load().select("d", "n", "label").orderBy("d", "n")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(got.map(_._2).sorted == Seq(1, 3, 9))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_read")
+      spark.conf.unset("spark.sql.catalog.dstore_read.root")
+      spark.conf.unset("spark.sql.catalog.dstore_read.partitionCol")
+    }
+  }
+
   test("commit manifest: a crash anywhere in the delete-rename window " +
       "replays to the committed end state") {
     import org.apache.hadoop.fs.Path
