@@ -149,7 +149,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("top_k_pairs", classOf[TopKPairs].getName,
         es => TopKPairs(es(0), es(1), intArg(es(2)))),
       ("exact_percentiles", classOf[ExactPercentilesAgg].getName,
-        es => ExactPercentilesAgg(es(0), ExactPercentilesF.psArg(es(1)))),
+        es => {
+          val base = ExactPercentilesAgg(es(0), ExactPercentilesF.psArg(es(1)))
+          if (es.length >= 3) base.copy(maxDistinct = intArg(es(2))) else base
+        }),
+      ("exact_percentiles_weighted", classOf[ExactPercentilesAgg].getName,
+        es => ExactPercentilesAgg(es(0), ExactPercentilesF.psArg(es(2)),
+          weight = Some(es(1)))),
+      ("exact_percentiles2", classOf[ExactPercentiles2Agg].getName,
+        es => ExactPercentiles2Agg(es(0), ExactPercentilesF.psArg(es(1)),
+          es(2), ExactPercentilesF.psArg(es(3)))),
       ("vec_centroid", classOf[VecCentroidQ].getName,
         es => VecCentroidQ(es(0), longArg(es(1)))),
       ("bloom_any", classOf[BloomAny].getName,

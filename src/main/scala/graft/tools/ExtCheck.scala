@@ -34,7 +34,10 @@ object ExtCheck {
     """).head()
     println(s"[extcheck] $out")
     val pcts = spark.sql("""
-      SELECT exact_percentiles(CAST(x AS DOUBLE), array(0.5))[0] AS p50
+      SELECT exact_percentiles(CAST(x AS DOUBLE), array(0.5))[0] AS p50,
+             exact_percentiles_weighted(CAST(x AS DOUBLE), x, array(0.5))[0] AS wp50,
+             exact_percentiles2(CAST(x AS DOUBLE), array(0.5),
+                                CAST(x*2 AS DOUBLE), array(0.5)).p2[0] AS fp50
       FROM VALUES (1L), (2L), (3L) AS t(x)
     """).head()
     println(s"[extcheck] $pcts")
