@@ -51,6 +51,84 @@ object DailyStorePropertySpec extends Properties("DailyStore") {
       (Date.valueOf(day0.plusDays(d.toLong)), n)
     }.toDF("d", "n").repartition(3) // multi-partition input every time
 
+  /** r15 recovery property: for ANY seeded store, ANY staged
+    * replacement write, ANY condemned-day set, and a crash after ANY
+    * number of the deletes and ANY number of the renames have run, the
+    * manifest replay lands on exactly the committed end state:
+    *   final = seed minus condemned-day rows ++ staged rows.
+    * (Stricter than the real commit, which orders all deletes before
+    * any rename — the replay rule is order-independent, so the
+    * property interleaves them arbitrarily.)
+    */
+  property("manifest replay from ANY crash point = the committed state") =
+    forAll(for {
+      seedRows <- Gen.listOfN(6, rowGen)
+      stagedRows <- Gen.listOfN(4, rowGen)
+      condemned <- Gen.listOf(Gen.chooseNum(0, 5)).map(_.toSet)
+      k <- Gen.chooseNum(0, 6) // deletes executed before the crash
+      m <- Gen.chooseNum(0, 4) // renames executed before the crash
+    } yield (seedRows, stagedRows, condemned, k, m)) {
+      case (seedRows, stagedRows, condemned, k, m) =>
+        val hconf = spark.sessionState.newHadoopConf()
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"dailystore_recov_${seq.incrementAndGet()}_${System.nanoTime()}")
+          .getPath
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+        def dayStr(d: Int) = day0.plusDays(d.toLong).toString
+        // seed the live store and a source for the staged files
+        toDf(seedRows).write.format("dailystore").option("path", dir)
+          .mode("append").save()
+        val src = dir + "_src"
+        toDf(stagedRows).write.format("dailystore").option("path", src)
+          .mode("append").save()
+        // move the source's per-day files into this commit's staging
+        val stagingName = "__stage_prop"
+        val files: Seq[(String, String)] =
+          stagedRows.map(_._1).distinct.sorted.zipWithIndex.map {
+            case (d, i) =>
+              val pv = dayStr(d)
+              val f = new java.io.File(s"$src/d=$pv").listFiles()
+                .filter(_.getName.endsWith(".parquet")).head
+              val name = s"part-prop-$i.parquet"
+              fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/$stagingName/d=$pv"))
+              fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+                new org.apache.hadoop.fs.Path(s"$dir/$stagingName/d=$pv/$name"))
+              (pv, name)
+          }
+        val condemnedDirs = condemned.toSeq.sorted.map(d => s"d=${dayStr(d)}")
+        DailyStoreRecovery.writeManifest(fs,
+          DailyStoreRecovery.manifestPath(
+            new org.apache.hadoop.fs.Path(dir), "prop"),
+          "d", stagingName, condemnedDirs, files)
+        // crash simulation: k deletes, then m renames, then nothing
+        condemnedDirs.take(k).foreach(cd =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$cd"), true))
+        files.take(m).foreach { case (pv, name) =>
+          val from = new org.apache.hadoop.fs.Path(
+            s"$dir/$stagingName/d=$pv/$name")
+          if (fs.exists(from)) {
+            fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/d=$pv"))
+            fs.rename(from,
+              new org.apache.hadoop.fs.Path(s"$dir/d=$pv/$name"))
+          }
+        }
+        DailyStoreRecovery.recoverPendingCommits(dir, hconf)
+        val got = spark.read.parquet(dir)
+          .select(datediff(col("d"), lit(Date.valueOf(day0))).as("d"), col("n"))
+          .as[(Int, Int)].collect().sorted.toSeq
+        val want = (seedRows.filterNot(r => condemned(r._1)) ++ stagedRows)
+          .sorted.toSeq
+        val manifestsLeft = new java.io.File(dir).listFiles()
+          .count(_.getName.startsWith("_commit-"))
+        val stagingLeft = new java.io.File(dir, stagingName).exists()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+        if (got != want || manifestsLeft != 0 || stagingLeft)
+          println(s"[dailystore-recov] condemned=$condemned k=$k m=$m\n" +
+            s" got=$got\nwant=$want manifests=$manifestsLeft staging=$stagingLeft")
+        got == want && manifestsLeft == 0 && !stagingLeft
+    }
+
   property("any append/static/dynamic sequence matches the model") =
     forAll(Gen.listOfN(5, opGen)) { ops =>
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
