@@ -556,8 +556,12 @@ object Bench {
         }
         val ((m1, e1), f1) =
           withForeignCores(timeQueries(spark, sf1Dir, headline, sf1Reps))
+        // gate medians are sub-second — stamp their block too, so a
+        // drifted gate number can be dismissed (or not) on evidence
+        val (g1, fg) =
+          withForeignCores(incGateScale(spark, sfDir, sf1Dir, sf1Reps))
         Some((m1, e1, duck(sf1Dir, headline, sf1Reps),
-          incGateScale(spark, sfDir, sf1Dir, sf1Reps), f1))
+          g1 :+ ("foreign_cores_gates" -> fg), f1))
       }
     def sf1OracleSec(m1: Seq[(String, Double)]): Double =
       // like-for-like with duckdb_oneshot_total_sec: spark time over
