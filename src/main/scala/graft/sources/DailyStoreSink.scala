@@ -372,6 +372,47 @@ object DailyStoreRecovery {
   def manifestPath(live: Path, queryId: String): Path =
     new Path(live, s"_commit-$queryId.json")
 
+  /** File-count maintenance for append-heavy stores: every day partition
+    * holding more than `maxFiles` data files is rewritten as ONE file.
+    * The reference's daily re-ingest appends a file per day per run, so
+    * a long-lived store trends toward files ∝ runs — this is the
+    * scheduled compaction op, the dailystore analogue of
+    * `Dedup.compactHashStore`. Returns the number of days compacted.
+    *
+    * Implementation is the CONNECTOR AGAINST ITSELF: read the crowded
+    * days (partition-pruned scan through the plain-parquet read layout)
+    * and dynamic-day-overwrite them back through the `dailystore`
+    * writer — ONE distributed job, the clustered required distribution
+    * yields exactly one file per day, and the staged-rename commit with
+    * its durable manifest makes the self-overwrite crash-safe: source
+    * files are only read while tasks run, the commit's delete-rename
+    * happens after the job completes, and a crash mid-commit replays
+    * via [[recoverPendingCommits]] like any other write. Single-writer
+    * contract as everywhere in the store.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              pcol: String = "d", maxFiles: Int = 1): Int = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(live)) return 0
+    recoverPendingCommits(path, spark.sessionState.newHadoopConf())
+    val crowded = fs.listStatus(live)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+      .filter(d => fs.listStatus(d.getPath).count(f => !f.isDirectory &&
+        f.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix(s"$pcol="))
+    if (crowded.isEmpty) return 0
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col(pcol).cast("string").isin(crowded.toSeq: _*))
+      .write.format("dailystore")
+      .option("path", path).option("partitionCol", pcol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").save()
+    crowded.length
+  }
+
   private[sources] def writeManifest(
       fs: org.apache.hadoop.fs.FileSystem, manifest: Path, pcol: String,
       stagingName: String, condemnedDirs: Seq[String],

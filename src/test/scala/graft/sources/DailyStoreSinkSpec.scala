@@ -305,6 +305,32 @@ class DailyStoreSinkSpec extends SparkSpec {
     assertHealed(a, sa)
   }
 
+  test("compact rewrites crowded days to one file through the connector " +
+      "itself; untouched days keep their files") {
+    val dir = freshDir("compact")
+    // three append runs crowd day 1 with three files; day 2 gets one
+    days("c1", ("2020-03-01", 1, "a"), ("2020-03-02", 9, "keep"))
+      .write.format("dailystore").option("path", dir).mode("append").save()
+    days("c2", ("2020-03-01", 2, "b"))
+      .write.format("dailystore").option("path", dir).mode("append").save()
+    days("c3", ("2020-03-01", 3, "c"))
+      .write.format("dailystore").option("path", dir).mode("append").save()
+    def fileCount(day: String): Int = new java.io.File(dir, s"d=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCount("2020-03-01") == 3 && fileCount("2020-03-02") == 1)
+    val before = readBack(dir)
+    assert(DailyStoreRecovery.compact(spark, dir) == 1)
+    assert(fileCount("2020-03-01") == 1, "crowded day must compact to 1 file")
+    assert(fileCount("2020-03-02") == 1)
+    assert(readBack(dir) == before, "compaction must not change content")
+    // second run: nothing crowded, no work
+    assert(DailyStoreRecovery.compact(spark, dir) == 0)
+    assert(readBack(dir) == before)
+    // no staging or manifest debris
+    assert(new java.io.File(dir).listFiles().forall(f =>
+      !f.getName.startsWith("__stage") && !f.getName.startsWith("_commit-")))
+  }
+
   test("path-unsafe string partition values are rejected loudly") {
     val dir = freshDir("unsafe")
     val e = intercept[Exception] {
