@@ -316,6 +316,37 @@ object ScalarQueries {
           |WHERE rk <= 3 ORDER BY nation, rk""".stripMargin),
       "per-group top-n via ranking window"),
 
+    // ----- weighted percentiles over a pre-counted histogram (r15) -----
+    // The warehouse shape the weighted aggregate exists for: row-scale
+    // work (the per-value counts) runs in a codegen HashAggregate, and
+    // the interpreted count-map fold touches only the ~distinct-many
+    // histogram rows. The oracle computes the same percentiles directly
+    // over the raw rows — so the row pins that a histogram-mediated
+    // percentile is EXACTLY the raw-data percentile (same linear
+    // interpolation as q50, weights folded correctly).
+    "q97_weighted_percentiles" -> Q(
+      (s, dir) => {
+        import graft.functions.ExactPercentilesF.exactPercentilesWeighted
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("v"))
+          .agg(count(col("o_totalprice")).as("n"))
+          .groupBy("o_orderpriority")
+          .agg(exactPercentilesWeighted(col("v"), col("n"),
+            Seq(0.1, 0.9)).as("ps"))
+          .select(col("o_orderpriority"),
+            round(element_at(col("ps"), 1), 6).as("p10"),
+            round(element_at(col("ps"), 2), 6).as("p90"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority,
+          |  ROUND(QUANTILE_CONT(o_totalprice, 0.1), 6) AS p10,
+          |  ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin),
+      "exact percentiles from a (value, count) histogram == raw-data percentiles"),
+
     // ----- q51's semantics as a bounded-buffer AGGREGATE (r12) -----
     // Same output, same oracle — different physical contract: the window
     // form (even with partial WindowGroupLimit) sorts every map
