@@ -66,14 +66,17 @@ object Checkpoints {
 
   // ---- keyed scope: one live checkpoint per (session, key) ------------
 
-  /** Value = (holder, adoption nanoTime) — the timestamp feeds the
-    * fast-replacement warning below. */
+  /** Value = (holder, adoption nanoTime, adopting thread id) — the
+    * latter two feed the fast-replacement warning below. */
   private val scopes =
-    mutable.Map.empty[(SparkSession, String), (Tracked, Long)]
+    mutable.Map.empty[(SparkSession, String), (Tracked, Long, Long)]
 
-  /** Two adoptions of one key closer together than this smell like the
-    * race the scope contract forbids (two concurrent executions of one
-    * builder), not a bench rep / recurring sweep — log loudly. */
+  /** A CROSS-THREAD adoption of one key this soon after its predecessor
+    * smells like the race the scope contract forbids (two concurrent
+    * executions of one builder) — log loudly. Same-thread fast
+    * replacement is the legitimate bench-rep / per-batch cadence and is
+    * provably race-free (sequential on one thread), so it never warns.
+    */
   private val FastReplaceWarnNanos = 5L * 1000 * 1000 * 1000
 
   /** Register an already-tracked checkpoint as the live holder of
@@ -93,18 +96,20 @@ object Checkpoints {
   def adopt(key: String, t: Tracked): Tracked = {
     val k = (t.df.sparkSession, key)
     val now = System.nanoTime()
+    val tid = Thread.currentThread().getId
     val prev = lock.synchronized {
       val p = scopes.get(k)
-      scopes.update(k, (t, now))
+      scopes.update(k, (t, now, tid))
       p
     }
-    prev.foreach { case (old, adoptedAt) =>
+    prev.foreach { case (old, adoptedAt, oldTid) =>
       if (old.rddIds != t.rddIds) {
-        if (now - adoptedAt < FastReplaceWarnNanos)
-          log.warn(s"Checkpoints.adopt('$key'): replacing a checkpoint " +
-            s"adopted ${(now - adoptedAt) / 1000000} ms ago — if two " +
-            "executions of this builder are racing on one key, the " +
-            "loser's plan now reads released blocks; use distinct keys")
+        if (oldTid != tid && now - adoptedAt < FastReplaceWarnNanos)
+          log.warn(s"Checkpoints.adopt('$key'): thread $tid is replacing " +
+            s"a checkpoint thread $oldTid adopted " +
+            s"${(now - adoptedAt) / 1000000} ms ago — if two executions " +
+            "of this builder are racing on one key, the loser's plan now " +
+            "reads released blocks; use distinct keys")
         old.release()
       }
     }
