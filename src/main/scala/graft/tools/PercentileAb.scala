@@ -3,13 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Evidence generator: times q50's two exact-percentile surfaces on the
-  * same frame in one JVM — the count-map `TypedImperativeAggregate`
-  * (`exact_percentiles`, an ObjectHashAggregate whose per-row path is
-  * interpreted) against the rank-selection operator
-  * (`graft.ops.Percentiles.exactMulti`, whose row-scale aggregates are
-  * whole-stage-codegen'd). Both are pinned bit-equal by PercentilesSpec;
-  * this probe decides which one the catalog's q50 should run.
+/** Evidence generator: times SIX shapes of q50's exact-percentile
+  * computation on the same frame in one JVM — the count-map
+  * `TypedImperativeAggregate` (`exact_percentiles`), the rank-selection
+  * operator (`graft.ops.Percentiles.exactMulti`), a codegen scan twin
+  * (decode floor), two codegen-count two-phase shapes (explode and
+  * two-scan, folding through `exact_percentiles_weighted`), and the
+  * fused two-column aggregate (`exact_percentiles2`). All result-equal
+  * (asserted here and pinned by PercentilesSpec); the r15 measurement
+  * (solo sf1, medians-of-5: 1.23 / 2.00 / 0.49 / 1.79 / 1.55 / 1.41)
+  * keeps the count-map in the catalog and records the premium over the
+  * scan twin as the irreducible interpreted-aggregate cost.
   *
   *   sbt "runMain graft.tools.PercentileAb data/sf1 5"
   */
