@@ -105,7 +105,10 @@ object Bench {
     // r13: near-dup-cluster split — the full near-dup tier (signatures,
     // bands, verify, CC) keyed into the split; answer-key oracle, so
     // its sf1 time is an absolute datum like q45's
-    "q95_neardup_safe_split")
+    "q95_neardup_safe_split",
+    // r15: histogram-mediated weighted percentiles — the codegen-count +
+    // weighted-fold two-phase shape over orders; scale-growing
+    "q97_weighted_percentiles")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -145,7 +148,8 @@ object Bench {
     // q92 scores every document token; q93 folds every embedding row;
     // q94 streams the full corpus through k-element group buffers
     "q92_quality_classifier", "q93_embedding_centroids",
-    "q94_balanced_sample", "q95_neardup_safe_split")
+    "q94_balanced_sample", "q95_neardup_safe_split",
+    "q97_weighted_percentiles")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let

@@ -326,6 +326,10 @@ object ScalarQueries {
     // interpolation as q50, weights folded correctly).
     "q97_weighted_percentiles" -> Q(
       (s, dir) => {
+        // register against the query's OWN session: the helper's
+        // active-session fallback lands in the wrong registry under
+        // `newSession()` audits (PlanAudit) and `Verify`'s child session
+        graft.functions.ExactPercentilesF.registerWeighted(s)
         import graft.functions.ExactPercentilesF.exactPercentilesWeighted
         Tables(s, dir, "orders")
           .groupBy(col("o_orderpriority"),

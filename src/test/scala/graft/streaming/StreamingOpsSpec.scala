@@ -169,6 +169,14 @@ class StreamingOpsSpec extends SparkSpec {
         .select("d", "n", "label").orderBy("d", "n")
         .as[(Date, Int, String)].collect().toSeq
       assert(twin == got, "streaming day-replace must equal the batch twin")
+      // micro-batch REPLAY idempotence: re-delivering the last batch
+      // day-replaces the same days to the same content
+      StreamingOps.dailyReplaceEachBatch("dstore_stream.cases")(
+        b2.toDF("d", "n", "label"), 99L)
+      val replayed = spark.read.parquet(s"$root/cases")
+        .select("d", "n", "label").orderBy("d", "n")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(replayed == got, "replayed batch must be a no-op")
     } finally {
       spark.conf.unset("spark.sql.catalog.dstore_stream")
       spark.conf.unset("spark.sql.catalog.dstore_stream.root")
