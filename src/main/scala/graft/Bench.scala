@@ -107,7 +107,9 @@ object Bench {
     // its sf1 time is an absolute datum like q45's
     "q95_neardup_safe_split",
     // r15: histogram-mediated weighted percentiles — the codegen-count +
-    // weighted-fold two-phase shape over orders; scale-growing
+    // weighted-fold two-phase shape on a low-cardinality column
+    // (l_discount, 11 distinct): the exchange ships ~66 rows for the
+    // 60M-row sf1 scan while DuckDB buffers the full column
     "q97_weighted_percentiles")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap

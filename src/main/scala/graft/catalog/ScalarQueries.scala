@@ -317,13 +317,23 @@ object ScalarQueries {
       "per-group top-n via ranking window"),
 
     // ----- weighted percentiles over a pre-counted histogram (r15) -----
-    // The warehouse shape the weighted aggregate exists for: row-scale
-    // work (the per-value counts) runs in a codegen HashAggregate, and
-    // the interpreted count-map fold touches only the ~distinct-many
-    // histogram rows. The oracle computes the same percentiles directly
-    // over the raw rows — so the row pins that a histogram-mediated
-    // percentile is EXACTLY the raw-data percentile (same linear
-    // interpolation as q50, weights folded correctly).
+    // The warehouse shape the weighted aggregate exists for — and the
+    // shape only pays on a LOW-CARDINALITY value column: row-scale work
+    // (the per-value counts) runs in a codegen HashAggregate whose
+    // map-side combine collapses each task's rows to ~distinct-many
+    // histogram rows BEFORE the exchange, and the interpreted count-map
+    // fold touches only those. l_discount holds 11 distinct values, so
+    // at sf1 the exchange ships ≤ 66 rows for a 60M-row scan — against
+    // DuckDB's QUANTILE_CONT buffering the full column. (The r15
+    // exhaustion measurements in tools/PercentileAb show the same
+    // two-phase shape LOSING on near-unique columns — distinct ≈ rows
+    // per task means the combine can't shrink the exchange — which is
+    // why q50's raw-value percentiles stay on the count-map aggregate
+    // and this query demonstrates the histogram regime instead.) The
+    // oracle computes the same percentiles directly over the raw rows,
+    // pinning that a histogram-mediated percentile is EXACTLY the
+    // raw-data percentile (same linear interpolation as q50, weights
+    // folded correctly).
     "q97_weighted_percentiles" -> Q(
       (s, dir) => {
         // register against the query's OWN session: the helper's
@@ -331,24 +341,26 @@ object ScalarQueries {
         // `newSession()` audits (PlanAudit) and `Verify`'s child session
         graft.functions.ExactPercentilesF.registerWeighted(s)
         import graft.functions.ExactPercentilesF.exactPercentilesWeighted
-        Tables(s, dir, "orders")
-          .groupBy(col("o_orderpriority"),
-            col("o_totalprice").cast("double").as("v"))
-          .agg(count(col("o_totalprice")).as("n"))
-          .groupBy("o_orderpriority")
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            col("l_discount").as("v"))
+          .agg(count(col("l_discount")).as("n"))
+          .groupBy("l_returnflag", "l_linestatus")
           .agg(exactPercentilesWeighted(col("v"), col("n"),
-            Seq(0.1, 0.9)).as("ps"))
-          .select(col("o_orderpriority"),
-            round(element_at(col("ps"), 1), 6).as("p10"),
-            round(element_at(col("ps"), 2), 6).as("p90"))
-          .orderBy("o_orderpriority")
+            Seq(0.25, 0.75, 0.99)).as("ps"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(element_at(col("ps"), 1), 6).as("p25"),
+            round(element_at(col("ps"), 2), 6).as("p75"),
+            round(element_at(col("ps"), 3), 6).as("p99"))
+          .orderBy("l_returnflag", "l_linestatus")
       },
       Some(
-        """SELECT o_orderpriority,
-          |  ROUND(QUANTILE_CONT(o_totalprice, 0.1), 6) AS p10,
-          |  ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90
-          |FROM orders GROUP BY o_orderpriority
-          |ORDER BY o_orderpriority""".stripMargin),
+        """SELECT l_returnflag, l_linestatus,
+          |  ROUND(QUANTILE_CONT(l_discount, 0.25), 6) AS p25,
+          |  ROUND(QUANTILE_CONT(l_discount, 0.75), 6) AS p75,
+          |  ROUND(QUANTILE_CONT(l_discount, 0.99), 6) AS p99
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "exact percentiles from a (value, count) histogram == raw-data percentiles"),
 
     // ----- q51's semantics as a bounded-buffer AGGREGATE (r12) -----
