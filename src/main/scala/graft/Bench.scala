@@ -162,7 +162,7 @@ object Bench {
     * consumption is the whole comparison.
     */
   private def consume(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.toRdd.foreach(_ => ())
+    graft.tools.Timing.materialize(df)
 
   /** Host-contention stamps (r15): five same-code sessions spread the
     * sf1 full-cut ratio 1.69–2.16× purely environmentally, so every
@@ -178,9 +178,13 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       val line = try src.getLines().next() finally src.close()
       val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
-      // busy = everything minus idle+iowait; USER_HZ=100 jiffies
+      // busy = everything minus idle+iowait; USER_HZ=100 jiffies.
+      // Sum only the first 8 fields (user nice system idle iowait irq
+      // softirq steal): the kernel already folds guest/guest_nice
+      // (fields 9-10) into user/nice, so including them would count a
+      // co-resident VM's CPU twice and overstate the stamp
       val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
-      (f.sum - idle) / 100.0
+      (f.take(8).sum - idle) / 100.0
     } catch { case _: Throwable => -1.0 }
     val own = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean match {

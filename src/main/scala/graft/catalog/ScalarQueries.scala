@@ -255,7 +255,7 @@ object ScalarQueries {
     // tools/PercentileAb — interleaved medians-of-5, one JVM, five
     // shapes): count-map 1.23 s (with the r15 unboxed BoundReference
     // update), fused two-column aggregate 1.41, two-scan codegen-count
-    // + weighted fold 1.50, explode codegen-count + weighted fold 1.79,
+    // + weighted fold 1.55, explode codegen-count + weighted fold 1.79,
     // rank-selection 2.00 — against a 0.49 s codegen scan twin (same
     // group key, same two decoded columns, sum()s). The ~0.7 s premium
     // over the twin is ObjectHashAggregate's interpreted per-row

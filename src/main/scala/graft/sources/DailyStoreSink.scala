@@ -404,12 +404,27 @@ object DailyStoreRecovery {
       .map(_.getPath.getName.stripPrefix(s"$pcol="))
     if (crowded.isEmpty) return 0
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(path)
-      .filter(col(pcol).cast("string").isin(crowded.toSeq: _*))
-      .write.format("dailystore")
-      .option("path", path).option("partitionCol", pcol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").save()
+    // Resolve the read with partition-type INFERENCE OFF: a string
+    // pcol holding digit-like values ("20240101") would otherwise be
+    // inferred as integer and the write side would reject the rewrite
+    // ("partition column must be date or string"). With inference off
+    // the partition value surfaces as its exact directory string, so
+    // the rewrite lands in the same `pcol=<value>` dirs for date and
+    // string stores alike.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try
+      spark.read.parquet(path)
+        .filter(col(pcol).isin(crowded.toSeq: _*))
+        .write.format("dailystore")
+        .option("path", path).option("partitionCol", pcol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").save()
+    finally prevInfer match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None => spark.conf.unset(inferKey)
+    }
     crowded.length
   }
 
@@ -427,20 +442,36 @@ object DailyStoreRecovery {
     files.foreach { case (pv, name) =>
       val a = f.addArray(); a.add(pv); a.add(name)
     }
-    val out = fs.create(manifest, true)
+    // write-then-RENAME so the manifest appears atomically: a crash
+    // mid-write leaves only a `.tmp` the recovery filter ignores (and
+    // sweeps), never a torn `.json` that would poison every later
+    // commit()'s recovery preamble
+    val tmp = new Path(manifest.getParent, manifest.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"dailystore: manifest rename failed: $tmp -> $manifest")
   }
 
   /** Replay every pending manifest under `path` to its committed end
-    * state. No-op on a clean store. */
+    * state. No-op on a clean store. Manifest `.tmp` leftovers (a crash
+    * mid-manifest-write — the commit was still UNDECIDED, nothing had
+    * been condemned yet) are swept along with their staging dirs. */
   def recoverPendingCommits(path: String,
       hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(hadoopConf)
     if (!fs.exists(live)) return
-    fs.listStatus(live)
-      .filter(s => !s.isDirectory &&
-        s.getPath.getName.startsWith("_commit-") &&
+    val entries = fs.listStatus(live).filter(!_.isDirectory)
+    entries.filter(_.getPath.getName.matches("_commit-.*\\.json\\.tmp"))
+      .foreach { t =>
+        val qid = t.getPath.getName
+          .stripPrefix("_commit-").stripSuffix(".json.tmp")
+        fs.delete(new Path(live, s"__stage_$qid"), true)
+        fs.delete(t.getPath, false)
+      }
+    entries.filter(s => s.getPath.getName.startsWith("_commit-") &&
         s.getPath.getName.endsWith(".json"))
       .foreach(m => replay(fs, live, m.getPath))
   }
@@ -450,7 +481,21 @@ object DailyStoreRecovery {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val in = fs.open(manifest)
     val bytes = try in.readAllBytes() finally in.close()
-    val root = om.readTree(bytes)
+    val root = try om.readTree(bytes) catch { case _: Exception => null }
+    if (root == null || !root.hasNonNull("pcol") ||
+        !root.hasNonNull("staging")) {
+      // Unparseable manifest: under write-then-rename this can only be
+      // a non-atomic-rename filesystem catching the writer INSIDE the
+      // rename — and deletes start strictly after the rename returns,
+      // so the commit was still undecided. Roll BACK (drop staging +
+      // manifest) instead of throwing, which would brick every later
+      // write to the store.
+      val qid = manifest.getName
+        .stripPrefix("_commit-").stripSuffix(".json")
+      fs.delete(new Path(live, s"__stage_$qid"), true)
+      fs.delete(manifest, false)
+      return
+    }
     val pcol = root.get("pcol").asText()
     val stagingName = root.get("staging").asText()
     val files = root.get("files").elements().asScala.map { a =>
@@ -459,17 +504,22 @@ object DailyStoreRecovery {
     val keepByPv: Map[String, Set[String]] =
       files.groupBy(_._1).map { case (pv, fs0) => pv -> fs0.map(_._2).toSet }
     // 1. finish the deletes: in each condemned dir, anything the
-    // manifest does not name is an OLD file
+    // manifest does not name is an OLD file. Match commit()'s
+    // RECURSIVE partition delete: nested junk goes too, and a
+    // condemned dir receiving no renamed files is removed outright
+    // rather than left behind empty.
     root.get("condemned").elements().asScala.foreach { cn =>
       val dirName = cn.asText()
       val dir = new Path(live, dirName)
       val keep = keepByPv.getOrElse(dirName.stripPrefix(s"$pcol="),
         Set.empty[String])
-      if (fs.exists(dir))
-        fs.listStatus(dir).foreach { st =>
-          if (!st.isDirectory && !keep.contains(st.getPath.getName))
-            fs.delete(st.getPath, false)
+      if (fs.exists(dir)) {
+        if (keep.isEmpty) fs.delete(dir, true)
+        else fs.listStatus(dir).foreach { st =>
+          if (!keep.contains(st.getPath.getName))
+            fs.delete(st.getPath, st.isDirectory)
         }
+      }
     }
     // 2. finish the renames: manifest-named files still in staging
     val staging = new Path(live, stagingName)

@@ -62,15 +62,7 @@ object FloorTwins {
           "graft_floortwins_no_such_store")
         .orderBy("doc_id")
 
-    def consume(df: DataFrame): Unit =
-      df.queryExecution.toRdd.foreach(_ => ())
-    def med(f: () => DataFrame): Double = {
-      consume(f()) // warm
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); consume(f()); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(ts.size / 2)
-    }
+    def med(f: () => DataFrame): Double = Timing.medianDf(reps)(f)
 
     val j = med(q5189Twin _)
     val s84 = med(q84TwinScan _)

@@ -44,13 +44,8 @@ object ListingProbe {
         .mode("append").save()
       dir
     }
-    def medTime(f: () => Unit): Double = {
-      f() // warm (JIT; listing still re-runs per fresh read)
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(ts.size / 2)
-    }
+    // listing still re-runs per fresh read after the warm pass
+    def medTime(f: () => Unit): Double = Timing.medianSec(reps)(f)
     val big = build(days)
     val small = build(5)
     val oneDay = java.sql.Date.valueOf("2020-01-03")

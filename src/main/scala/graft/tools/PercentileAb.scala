@@ -57,15 +57,8 @@ object PercentileAb {
         .orderBy("l_returnflag")
     }
 
-    def consume(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.toRdd.foreach(_ => ())
-    def med(f: () => org.apache.spark.sql.DataFrame): Double = {
-      consume(f()) // warm
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); consume(f()); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(ts.size / 2)
-    }
+    def med(f: () => org.apache.spark.sql.DataFrame): Double =
+      Timing.medianDf(reps)(f)
     // Scan twin (r15 attribution): the same group key and the same two
     // decoded double columns through a fully codegen'd HashAggregate —
     // parquet-decode floor plus a trivial aggregate. count_map − this =

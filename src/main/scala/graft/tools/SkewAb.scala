@@ -49,15 +49,7 @@ object SkewAb {
       .unionByName(spark.range(1).select(lit("hot").as("k"), lit(0L).as("pay")))
       .localCheckpoint()
 
-    def consume(df: DataFrame): Unit =
-      df.queryExecution.toRdd.foreach(_ => ())
-    def med(f: () => DataFrame): Double = {
-      consume(f()) // warm
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); consume(f()); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(ts.size / 2)
-    }
+    def med(f: () => DataFrame): Double = Timing.medianDf(reps)(f)
     def withConf[T](kvs: (String, String)*)(body: => T): T = {
       val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
       kvs.foreach { case (k, v) => spark.conf.set(k, v) }

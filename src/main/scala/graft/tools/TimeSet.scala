@@ -37,7 +37,7 @@ object TimeSet {
       s"SPARK_GRAFT_CONSUME must be materialize|count, got $mode")
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       if (mode == "count") { df.count(); () }
-      else df.queryExecution.toRdd.foreach(_ => ())
+      else Timing.materialize(df)
     val names = sys.env.get("SPARK_GRAFT_SET")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(graft.SparkEntry.queries.keys.toSeq.sorted)

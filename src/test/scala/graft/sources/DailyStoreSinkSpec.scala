@@ -305,6 +305,78 @@ class DailyStoreSinkSpec extends SparkSpec {
     assertHealed(a, sa)
   }
 
+  test("a crash MID-manifest-write (torn .tmp) rolls back instead of " +
+      "poisoning every later commit") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = freshDir("torntmp")
+    days("tt", ("2020-03-01", 1, "keep")).write.format("dailystore")
+      .option("path", dir).mode("append").save()
+    val fs = new Path(dir).getFileSystem(hconf)
+    // simulate the writer dying inside writeManifest: a partial .tmp
+    // plus its staging dir, but NO durable manifest — nothing was
+    // condemned yet, so the correct recovery is rollback
+    fs.mkdirs(new Path(s"$dir/__stage_tornq/d=2020-03-02"))
+    val out = fs.create(new Path(s"$dir/_commit-tornq.json.tmp"), true)
+    try out.write("{\"pcol\":\"d\",\"stag".getBytes) finally out.close()
+    // the next WRITE's recovery preamble sweeps both and proceeds
+    days("tt2", ("2020-03-03", 3, "later")).write.format("dailystore")
+      .option("path", dir).mode("append").save()
+    assert(readBack(dir) == Seq(
+      (d("2020-03-01"), 1, "keep"), (d("2020-03-03"), 3, "later")))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_commit-")), "tmp manifest remains")
+    assert(!names.exists(_.startsWith("__stage")), "staging remains")
+  }
+
+  test("an unparseable durable manifest is treated as UNDECIDED: " +
+      "rollback, not a thrown replay") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = freshDir("badmanifest")
+    days("bm", ("2020-03-01", 1, "keep")).write.format("dailystore")
+      .option("path", dir).mode("append").save()
+    val fs = new Path(dir).getFileSystem(hconf)
+    fs.mkdirs(new Path(s"$dir/__stage_badq/d=2020-03-02"))
+    val out = fs.create(new Path(s"$dir/_commit-badq.json"), true)
+    try out.write("not json at all".getBytes) finally out.close()
+    DailyStoreRecovery.recoverPendingCommits(dir, hconf)
+    assert(readBack(dir) == Seq((d("2020-03-01"), 1, "keep")))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_commit-")))
+    assert(!names.exists(_.startsWith("__stage")))
+  }
+
+  test("replay of a truncate-condemned day removes the DIRECTORY, " +
+      "not just its files") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = freshDir("emptydir")
+    days("ed", ("2020-03-01", 1, "old"), ("2020-03-02", 2, "gone"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    val fs = new Path(dir).getFileSystem(hconf)
+    // truncate-shaped manifest: day 1 is replaced (one staged file),
+    // day 2 is condemned with NO replacement
+    val src = freshDir("edsrc")
+    days("eds", ("2020-03-01", 9, "new")).write.format("dailystore")
+      .option("path", src).mode("append").save()
+    val f = new java.io.File(s"$src/d=2020-03-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.mkdirs(new Path(s"$dir/__stage_edq/d=2020-03-01"))
+    fs.rename(new Path(f.getPath),
+      new Path(s"$dir/__stage_edq/d=2020-03-01/part-0-cccc.parquet"))
+    DailyStoreRecovery.writeManifest(fs,
+      DailyStoreRecovery.manifestPath(new Path(dir), "edq"),
+      "d", "__stage_edq", Seq("d=2020-03-01", "d=2020-03-02"),
+      Seq(("2020-03-01", "part-0-cccc.parquet")))
+    // crash before any delete; recover
+    DailyStoreRecovery.recoverPendingCommits(dir, hconf)
+    assert(readBack(dir) == Seq((d("2020-03-01"), 9, "new")))
+    assert(!new java.io.File(dir, "d=2020-03-02").exists(),
+      "condemned day dir must be gone, not left empty")
+  }
+
   test("compact rewrites crowded days to one file through the connector " +
       "itself; untouched days keep their files") {
     val dir = freshDir("compact")
@@ -329,6 +401,27 @@ class DailyStoreSinkSpec extends SparkSpec {
     // no staging or manifest debris
     assert(new java.io.File(dir).listFiles().forall(f =>
       !f.getName.startsWith("__stage") && !f.getName.startsWith("_commit-")))
+  }
+
+  test("compact handles digit-like STRING partition values (no " +
+      "partition-type inference on the rewrite read)") {
+    val dir = freshDir("compactstr")
+    // string pcol whose values would infer as integers
+    def batch(n: Int, s: String) =
+      Seq(("20240101", n, s)).toDF("d", "n", "label")
+    batch(1, "a").write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    batch(2, "b").write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    def files(): Int = new java.io.File(dir, "d=20240101")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 2)
+    assert(DailyStoreRecovery.compact(spark, dir) == 1)
+    assert(files() == 1)
+    assert(spark.read.parquet(dir)
+      .select(col("d").cast("string"), col("n"), col("label"))
+      .orderBy("n").as[(String, Int, String)].collect().toSeq ==
+      Seq(("20240101", 1, "a"), ("20240101", 2, "b")))
   }
 
   test("path-unsafe string partition values are rejected loudly") {
