@@ -112,12 +112,16 @@ case class ExactPercentilesAgg(
 
   override def children: Seq[Expression] = Seq(child) ++ weight
 
+  // Any integral weight type is accepted (update() reads it through
+  // java.lang.Number): an INT count column or literal weight should not
+  // force callers to cast to BIGINT by hand (r15 ADVICE).
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, weight.map(_.dataType)) match {
-      case (DoubleType, None | Some(LongType)) =>
+      case (DoubleType,
+            None | Some(ByteType | ShortType | IntegerType | LongType)) =>
         TypeCheckResult.TypeCheckSuccess
       case (other, w) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (double[, bigint weight]), got " +
+        s"$prettyName requires (double[, integral weight]), got " +
           s"${other.simpleString}${w.map(", " + _.simpleString).getOrElse("")}")
     }
 
@@ -467,12 +471,23 @@ object ExactPercentilesF {
     * whole-stage codegen), then this aggregate folds the ~distinct-many
     * count rows. Identical result to [[exactPercentiles]] over the raw
     * rows, pinned by PercentilesSpec.
+    *
+    * `exact_percentiles_weighted(value, weight, ps[, maxDistinct])` —
+    * the weight may be any integral type, and the optional fourth
+    * argument overrides the distinct-value abort cap, mirroring the
+    * plain registration.
     */
   def registerWeighted(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       wname,
-      exprs => ExactPercentilesAgg(exprs(0), psArg(exprs(2)),
-        weight = Some(exprs(1))),
+      exprs => {
+        val base = ExactPercentilesAgg(exprs(0), psArg(exprs(2)),
+          weight = Some(exprs(1)))
+        if (exprs.length >= 4)
+          base.copy(maxDistinct =
+            exprs(3).eval().asInstanceOf[Number].intValue())
+        else base
+      },
       "built-in")
 
   /** `exactPercentilesWeighted(value, count, ps)`. */

@@ -29,6 +29,35 @@ import org.apache.spark.sql.functions._
   *    `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes` to
   *    16 MB gets AQE to 5.7 s; the salted plan stays ahead because it
   *    also spreads the SORT of the hot partition, not just the join.
+  *
+  * DECISION RULE for a hot key on a real cluster (r16, from the numbers
+  * above — each step is the cheapest fix that can work):
+  *
+  *  1. AGGREGATION with a decomposable function (count/sum/min/max/avg,
+  *     any partial-merge aggregate): do NOTHING. Map-side partial
+  *     aggregation already collapses the hot key to one row per task
+  *     (naive 0.45 s beat salted 0.72 s); salting only widens the
+  *     exchange. Reach for [[saltedCount]]'s two-phase shape only when
+  *     the partial can't combine — collect_list/exact-distinct payloads,
+  *     or a window computed over the hot key's rows.
+  *  2. JOIN where the skewed-side partition is LARGE IN BYTES
+  *     (uncompressible payloads): trust AQE's skew split — it is on by
+  *     default and needs no code change.
+  *  3. JOIN where the hot partition is large in ROWS but compresses
+  *     well (low-cardinality keys, repetitive payloads — the common
+  *     fact-table case): AQE's default will NOT fire, because it judges
+  *     by compressed shuffle bytes (7.4 s ≈ AQE-off 8.4 s at defaults).
+  *     First lower `spark.sql.adaptive.skewJoin
+  *     .skewedPartitionThresholdInBytes` (and the companion
+  *     `advisoryPartitionSizeInBytes`) toward ~16 MB — conf-only,
+  *     5.7 s. The symptom to look for: one straggler task whose input
+  *     ROWS dwarf its siblings' while its shuffle bytes look ordinary.
+  *  4. Straggler still standing (or the hot partition's SORT itself is
+  *     the cost): [[saltedJoin]] — it spreads both the join AND the
+  *     sort of the hot partition (4.7 s), at the price of replicating
+  *     the dimension `buckets` times, so the dim must be small-ish.
+  *     If the dim is small enough to broadcast, broadcast instead —
+  *     no shuffle on the fact side at all beats either.
   */
 object Skew {
 

@@ -62,6 +62,15 @@ import org.apache.spark.util.SerializableConfiguration
   * store still need a transactional table format — documented there,
   * not re-solved here.
   *
+  * ABORT CONTRACT (operator-facing): once the commit manifest is
+  * durable the commit is DECIDED — a job Spark reports as FAILED after
+  * that point still rolls FORWARD, so the new data may be fully
+  * visible despite the failure status (the inverse of the usual abort
+  * contract; rollback would lose the already-condemned old rows).
+  * Retrying the same write is safe — the day-replace is idempotent —
+  * and the roll-forward logs a driver-side warning so the case is
+  * visible. Before the manifest exists, abort rolls back normally.
+  *
   * The store READS as plain partitioned parquet
   * (`spark.read.parquet(dir)` — partition pruning included); this class
   * deliberately adds no Scan: a second parquet reader would be worse
@@ -144,6 +153,121 @@ class DailyStoreTable(path: String, pcol: String, schema0: StructType,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
     readDelegate.newScanBuilder(options)
+}
+
+/** A second writer's commit window overlapped a live writer's lease
+  * (see [[WriterLease]]) — the single-writer contract failed LOUDLY
+  * instead of the second writer replaying the live peer's commit
+  * manifest mid-window.
+  */
+class DailyStoreConcurrentWriteException(msg: String)
+  extends IllegalStateException(msg)
+
+/** The dailystore single-writer contract, ENFORCED (r15 VERDICT: it was
+  * documented but trusted). A `_writer.lock` marker at the store root is
+  * taken at `commit()` entry — BEFORE the recovery preamble, so a second
+  * writer can never replay a LIVE peer's manifest — and released after
+  * manifest cleanup. Acquisition is create-fail (`fs.create(lock,
+  * overwrite = false)`, atomic on HDFS-like stores; best-effort
+  * check-then-act on local FS, backed by a read-back verification of the
+  * holder id so a lost race is still detected). A lock older than the
+  * TTL is a crashed writer's leftover: it is taken over (deleted and
+  * re-acquired), and [[DailyStoreRecovery.recoverPendingCommits]]
+  * self-heals it the same way. The TTL bounds the COMMIT window
+  * (driver-side directory surgery — seconds), not the write job; the
+  * default is generous for that.
+  */
+private[sources] object WriterLease {
+  val DefaultTtlMs: Long = 10 * 60 * 1000L
+
+  def lockPath(live: Path): Path = new Path(live, "_writer.lock")
+
+  private def holderOf(fs: org.apache.hadoop.fs.FileSystem,
+                       lock: Path): Option[(String, Long)] =
+    try {
+      val st = fs.getFileStatus(lock)
+      val in = fs.open(lock)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes)
+      Some((node.get("queryId").asText(), st.getModificationTime))
+    } catch { case _: Exception => None }
+
+  /** Live (unexpired) holder's queryId, if any. An unreadable lock file
+    * counts as live under an unknown holder — failing loudly beats
+    * assuming a torn lock means no writer. */
+  def liveHolder(fs: org.apache.hadoop.fs.FileSystem, live: Path,
+                 ttlMs: Long): Option[String] = {
+    val lock = lockPath(live)
+    if (!fs.exists(lock)) return None
+    val now = System.currentTimeMillis()
+    holderOf(fs, lock) match {
+      case Some((qid, mtime)) if now - mtime <= ttlMs => Some(qid)
+      case Some(_) => None // expired: takeover candidate
+      case None =>
+        // unreadable: expired by mtime? (torn write from a crashed peer)
+        try {
+          if (now - fs.getFileStatus(lock).getModificationTime <= ttlMs)
+            Some("<unreadable>")
+          else None
+        } catch { case _: java.io.FileNotFoundException => None }
+    }
+  }
+
+  def acquire(fs: org.apache.hadoop.fs.FileSystem, live: Path,
+              queryId: String, ttlMs: Long): Unit = {
+    val lock = lockPath(live)
+    fs.mkdirs(live)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          s"""{"queryId":"$queryId","acquiredAt":${System.currentTimeMillis()}}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      liveHolder(fs, live, ttlMs) match {
+        case Some(qid) if qid != queryId =>
+          throw new DailyStoreConcurrentWriteException(
+            s"dailystore: $live is being written by query $qid (live " +
+              "_writer.lock) — the store is single-writer; serialize " +
+              "writes, or delete the lock only if that writer is known " +
+              "dead (a crashed writer's lock expires after " +
+              s"${ttlMs / 1000}s on its own)")
+        case Some(_) => return // re-entrant: we already hold it
+        case None => // expired leftover: take over
+          fs.delete(lock, false)
+          if (!tryCreate()) throw new DailyStoreConcurrentWriteException(
+            s"dailystore: lost the lease takeover race on $live — " +
+              "another writer acquired _writer.lock concurrently")
+      }
+    }
+    // read-back verification: on filesystems where create(false) is
+    // check-then-act rather than atomic, a racing writer may have
+    // overwritten the slot — the content names the winner
+    holderOf(fs, lockPath(live)) match {
+      case Some((qid, _)) if qid == queryId => ()
+      case Some((qid, _)) => throw new DailyStoreConcurrentWriteException(
+        s"dailystore: lost the lease race on $live to query $qid")
+      case None => throw new DailyStoreConcurrentWriteException(
+        s"dailystore: lease on $live vanished during acquisition " +
+          "(concurrent takeover)")
+    }
+  }
+
+  /** Delete the lock if this writer still holds it (a pathological
+    * over-TTL commit may have been taken over — don't delete the
+    * taker's lock). */
+  def release(fs: org.apache.hadoop.fs.FileSystem, live: Path,
+              queryId: String): Unit = {
+    val lock = lockPath(live)
+    holderOf(fs, lock) match {
+      case Some((qid, _)) if qid == queryId => fs.delete(lock, false)
+      case _ => ()
+    }
+  }
 }
 
 /** What commit() condemns before moving staged files in. */
@@ -246,13 +370,17 @@ class DailyStoreWriteBuilder(path: String, pcol: String,
 
     override def toBatch: BatchWrite =
       new DailyStoreBatchWrite(path, pcol, pIdx, info.schema(),
-        mode, info.queryId())
+        mode, info.queryId(),
+        Option(info.options.get("leaseTtlMs")).map(_.toLong)
+          .getOrElse(WriterLease.DefaultTtlMs))
   }
 }
 
 class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
                            schema: StructType, mode: ReplaceMode,
-                           queryId: String) extends BatchWrite {
+                           queryId: String,
+                           leaseTtlMs: Long = WriterLease.DefaultTtlMs)
+  extends BatchWrite {
 
   private val staging = s"$path/__stage_$queryId"
   private val conf = new SerializableConfiguration(
@@ -289,9 +417,20 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val live = new Path(path)
+    // the single-writer lease covers the whole window — recovery
+    // preamble through manifest cleanup — so a concurrent writer fails
+    // loudly instead of replaying THIS write's live manifest
+    WriterLease.acquire(fs, live, queryId, leaseTtlMs)
+    try commitLocked(fs, live, messages)
+    finally WriterLease.release(fs, live, queryId)
+  }
+
+  private def commitLocked(fs: org.apache.hadoop.fs.FileSystem, live: Path,
+                           messages: Array[WriterCommitMessage]): Unit = {
     // replay any torn commit a crashed driver left behind: its manifest
     // names a DIFFERENT queryId's staging, never this write's
-    DailyStoreRecovery.recoverPendingCommits(path, conf.value)
+    DailyStoreRecovery.recoverPendingCommits(path, conf.value,
+      heldBy = Some(queryId), ttlMs = leaseTtlMs)
     def partDirs(): Seq[Path] =
       if (!fs.exists(live)) Nil
       else fs.listStatus(live).filter(s => s.isDirectory &&
@@ -331,14 +470,36 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     * (drop staging). Once the manifest is durable the commit is
     * decided — roll FORWARD (replay it), because the condemned
     * partitions may already be gone and dropping staging would lose
-    * both the old and the new rows.
+    * both the old and the new rows. See the class docs of
+    * [[DailyStoreDataSource]] for the operator-facing consequence (a
+    * FAILED overwrite may still be committed); the roll-forward logs a
+    * warning so a committed-on-failure write is visible in driver logs.
     */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(staging).getFileSystem(conf.value)
-    val manifest = DailyStoreRecovery.manifestPath(new Path(path), queryId)
-    if (fs.exists(manifest))
-      DailyStoreRecovery.recoverPendingCommits(path, conf.value)
-    else fs.delete(new Path(staging), true)
+    val live = new Path(path)
+    val manifest = DailyStoreRecovery.manifestPath(live, queryId)
+    if (fs.exists(manifest)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dailystore: abort after durable commit manifest for query " +
+          s"$queryId on $path — rolling FORWARD (the write commits " +
+          "despite the reported failure; a retry of the same day-replace " +
+          "is idempotent)")
+      // under the same lease as a commit; if a LIVE later writer
+      // already holds it, ITS recovery preamble replays this manifest —
+      // skip rather than race it
+      try {
+        WriterLease.acquire(fs, live, queryId, leaseTtlMs)
+        try DailyStoreRecovery.recoverPendingCommits(path, conf.value,
+          heldBy = Some(queryId), ttlMs = leaseTtlMs)
+        finally WriterLease.release(fs, live, queryId)
+      } catch {
+        case e: DailyStoreConcurrentWriteException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dailystore: abort roll-forward deferred to the live " +
+              s"writer's recovery preamble (${e.getMessage})")
+      }
+    } else fs.delete(new Path(staging), true)
   }
 }
 
@@ -411,19 +572,29 @@ object DailyStoreRecovery {
     // the partition value surfaces as its exact directory string, so
     // the rewrite lands in the same `pcol=<value>` dirs for date and
     // string stores alike.
+    //
+    // The toggle runs on an ISOLATED session (`newSession()`: shared
+    // SparkContext, own SQLConf), not the caller's: flipping the
+    // session-wide conf for the duration of a distributed job would
+    // make any CONCURRENT partitioned-parquet read on the caller's
+    // session silently resolve its partition columns as strings — the
+    // single-writer contract covers store writes, not unrelated
+    // session queries (r15 ADVICE).
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
+    val compactSession = spark.newSession()
+    compactSession.conf.set(inferKey, "false")
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(compactSession)
     try
-      spark.read.parquet(path)
+      compactSession.read.parquet(path)
         .filter(col(pcol).isin(crowded.toSeq: _*))
         .write.format("dailystore")
         .option("path", path).option("partitionCol", pcol)
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").save()
-    finally prevInfer match {
-      case Some(v) => spark.conf.set(inferKey, v)
-      case None => spark.conf.unset(inferKey)
+    finally prevActive match {
+      case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+      case None => org.apache.spark.sql.SparkSession.clearActiveSession()
     }
     crowded.length
   }
@@ -457,12 +628,33 @@ object DailyStoreRecovery {
   /** Replay every pending manifest under `path` to its committed end
     * state. No-op on a clean store. Manifest `.tmp` leftovers (a crash
     * mid-manifest-write — the commit was still UNDECIDED, nothing had
-    * been condemned yet) are swept along with their staging dirs. */
+    * been condemned yet) are swept along with their staging dirs.
+    *
+    * Lease-aware (r16): if a LIVE `_writer.lock` names a writer other
+    * than `heldBy`, recovery throws [[DailyStoreConcurrentWriteException]]
+    * instead of replaying a mid-window peer's manifest; an EXPIRED lock
+    * (crashed writer) is swept so the store self-heals. `heldBy` is the
+    * caller's own queryId when it already holds the lease (commit's
+    * recovery preamble).
+    */
   def recoverPendingCommits(path: String,
-      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      heldBy: Option[String] = None,
+      ttlMs: Long = WriterLease.DefaultTtlMs): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(hadoopConf)
     if (!fs.exists(live)) return
+    WriterLease.liveHolder(fs, live, ttlMs) match {
+      case Some(qid) if !heldBy.contains(qid) =>
+        throw new DailyStoreConcurrentWriteException(
+          s"dailystore: refusing recovery on $live — query $qid holds a " +
+            "live _writer.lock; its own commit window is in progress")
+      case _ =>
+        // expired leftover from a crashed writer: self-heal it (unless
+        // it is the caller's own held lease)
+        if (heldBy.isEmpty && fs.exists(WriterLease.lockPath(live)))
+          fs.delete(WriterLease.lockPath(live), false)
+    }
     val entries = fs.listStatus(live).filter(!_.isDirectory)
     entries.filter(_.getPath.getName.matches("_commit-.*\\.json\\.tmp"))
       .foreach { t =>

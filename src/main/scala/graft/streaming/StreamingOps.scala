@@ -87,11 +87,57 @@ object StreamingOps {
     * partial day's batch replaces the day with the partial slice
     * (exactly what the reference's re-ingest does mid-day).
     */
-  def dailyReplaceEachBatch(catalogTable: String)(
-      batch: DataFrame, batchId: Long): Unit =
+  def dailyReplaceEachBatch(catalogTable: String,
+                            requireWholeDays: Boolean = false,
+                            pcol: String = "d")(
+      batch: DataFrame, batchId: Long): Unit = {
     // an empty batch dynamic-overwrites zero partitions — a no-op by
     // construction, no emptiness probe job needed
+    if (requireWholeDays) assertWholeDays(batch, catalogTable, pcol)
     batch.writeTo(catalogTable).overwritePartitions()
+  }
+
+  /** Opt-in partial-day guard (r16): `dailyReplaceEachBatch` trusts
+    * whole-day batches — a partial-day micro-batch silently replaces the
+    * day with the partial slice, which IS the reference's mid-day
+    * re-ingest semantics, but not every upstream can promise whole days.
+    * With `requireWholeDays = true` the batch's per-day counts are
+    * compared against the store FIRST, and any day whose incoming count
+    * is smaller than its stored count fails the batch loudly before a
+    * row is condemned.
+    *
+    * Cost: one aggregate over the (micro-scale) batch, one collect
+    * bounded by days-per-batch, and one partition-PRUNED store scan of
+    * exactly the touched days (the collected day list becomes a static
+    * `isin` filter, so a 10-year store reads only the batch's days).
+    * Count-based, not content-based: a same-count different-content
+    * replace (a correction) passes — that is the loop's purpose.
+    */
+  private[streaming] def assertWholeDays(batch: DataFrame,
+                                         catalogTable: String,
+                                         pcol: String): Unit = {
+    val spark = batch.sparkSession
+    val newCounts: Map[Any, Long] =
+      batch.groupBy(col(pcol)).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    if (newCounts.isEmpty) return
+    val oldCounts: Map[Any, Long] =
+      spark.table(catalogTable)
+        .filter(col(pcol).isin(newCounts.keys.toSeq: _*))
+        .groupBy(col(pcol)).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    val shrunk = newCounts.collect {
+      case (day, n) if oldCounts.getOrElse(day, 0L) > n =>
+        s"$day (${oldCounts(day)} -> $n)"
+    }.toSeq.sorted
+    if (shrunk.nonEmpty) throw new IllegalStateException(
+      s"dailyReplaceEachBatch(requireWholeDays): batch would SHRINK " +
+        s"${shrunk.size} day(s) of $catalogTable — ${shrunk.mkString(", ")}. " +
+        "A whole-day re-ingest only grows or corrects a day in place; a " +
+        "smaller slice means the upstream delivered a partial day. Fix " +
+        "the upstream batching, or drop requireWholeDays if partial-day " +
+        "replace is intended.")
+  }
 
   /** Streaming corpus novelty gate: each micro-batch of documents dedups
     * against the persisted corpus hash store ([[graft.dedup.Dedup

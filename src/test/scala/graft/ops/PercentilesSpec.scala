@@ -182,6 +182,32 @@ class PercentilesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", Seq(10.0, 25.0, 40.0))))
   }
 
+  test("weighted aggregate accepts INT weights and the optional " +
+      "maxDistinct cap arg (r16, ADVICE)") {
+    import graft.functions.ExactPercentilesF.exactPercentilesWeighted
+    // an INT count column must not force a BIGINT cast by hand
+    val df = Seq(("a", 10.0, 2), ("a", 40.0, 2)).toDF("g", "v", "n")
+    val got = df.groupBy("g")
+      .agg(exactPercentilesWeighted(col("v"), col("n"), Seq(0.5)).as("ps"))
+      .select("ps").as[Seq[Double]].collect()
+    assert(got.toSeq == Seq(Seq(25.0)))
+    // the SQL registration mirrors the plain function's cap argument
+    graft.functions.ExactPercentilesF.registerWeighted(spark)
+    df.createOrReplaceTempView("wcap_in")
+    val e = intercept[Exception] {
+      spark.sql("SELECT exact_percentiles_weighted(v, n, array(0.5d), 1) " +
+        "FROM wcap_in GROUP BY g").collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("distinct values")),
+      s"expected the distinct-cap abort, got $messages")
+    val ok = spark.sql(
+      "SELECT exact_percentiles_weighted(v, n, array(0.5d), 10)[0] " +
+        "FROM wcap_in GROUP BY g").as[Double].collect()
+    assert(ok.toSeq == Seq(25.0))
+  }
+
   test("plan: no buffer-everything percentile aggregate; counts agg is two-phase") {
     val li = graft.Tables(spark, sf, "lineitem")
     val plan = Percentiles.exact(li, "l_returnflag", "l_quantity",

@@ -487,4 +487,84 @@ class DailyStoreSinkSpec extends SparkSpec {
     assert(readBack(dir) == Seq(
       (d("2020-03-01"), 7, "rep"), (d("2020-03-02"), 2, "y")))
   }
+
+  private def storeFs(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("writer lease (r16): a live peer's _writer.lock makes a second " +
+      "writer's commit fail loudly; release unblocks it") {
+    val dir = freshDir("lease")
+    days("l1", ("2020-03-01", 1, "x"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    // simulate writer A mid-commit-window: its lease is live at the
+    // moment writer B's commit() tries to enter
+    val fs = storeFs(dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    WriterLease.acquire(fs, live, "writer-A", WriterLease.DefaultTtlMs)
+    val e = intercept[Exception] {
+      days("l2", ("2020-03-02", 2, "y"))
+        .write.format("dailystore").option("path", dir)
+        .mode("append").save()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[DailyStoreConcurrentWriteException]),
+      s"expected DailyStoreConcurrentWriteException in ${chain(e)}")
+    // the failed writer aborted cleanly: no staging dirs or torn files
+    assert(!fs.listStatus(live).exists(_.getPath.getName.startsWith("__stage_")))
+    assert(readBack(dir) == Seq((d("2020-03-01"), 1, "x")))
+    // writer A finishes and releases: writer B's retry succeeds
+    WriterLease.release(fs, live, "writer-A")
+    days("l3", ("2020-03-02", 2, "y"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    assert(readBack(dir) == Seq(
+      (d("2020-03-01"), 1, "x"), (d("2020-03-02"), 2, "y")))
+    assert(!fs.exists(WriterLease.lockPath(live)), "lease released after commit")
+  }
+
+  test("writer lease (r16): an EXPIRED lock (crashed writer) is taken " +
+      "over by the next commit and swept by recovery") {
+    val dir = freshDir("lease_exp")
+    days("e1", ("2020-03-01", 1, "x"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    val fs = storeFs(dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val lock = WriterLease.lockPath(live)
+    WriterLease.acquire(fs, live, "crashed-writer", WriterLease.DefaultTtlMs)
+    // age the lock past the TTL (mtime is the expiry clock)
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * WriterLease.DefaultTtlMs, -1)
+    // a new write takes the lease over instead of failing
+    days("e2", ("2020-03-02", 2, "y"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    assert(readBack(dir) == Seq(
+      (d("2020-03-01"), 1, "x"), (d("2020-03-02"), 2, "y")))
+    assert(!fs.exists(lock))
+    // standalone recovery also self-heals an expired leftover
+    WriterLease.acquire(fs, live, "crashed-writer", WriterLease.DefaultTtlMs)
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * WriterLease.DefaultTtlMs, -1)
+    DailyStoreRecovery.recoverPendingCommits(dir,
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(lock), "recovery sweeps an expired lease")
+  }
+
+  test("writer lease (r16): standalone recovery refuses to replay under " +
+      "a LIVE foreign lease (a mid-window peer's manifest is not touched)") {
+    val dir = freshDir("lease_rec")
+    days("r1", ("2020-03-01", 1, "x"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    val fs = storeFs(dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    WriterLease.acquire(fs, live, "live-peer", WriterLease.DefaultTtlMs)
+    try intercept[DailyStoreConcurrentWriteException] {
+      DailyStoreRecovery.recoverPendingCommits(dir,
+        spark.sessionState.newHadoopConf())
+    }
+    finally WriterLease.release(fs, live, "live-peer")
+  }
 }

@@ -184,6 +184,55 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("dailyReplaceEachBatch(requireWholeDays): a SHRINKING day fails " +
+      "the batch before any row is condemned; growth and same-count " +
+      "corrections pass (r16)") {
+    import java.sql.Date
+    def d(s: String): Date = Date.valueOf(s)
+    val root = Files.createTempDirectory("graft-wholedays").toString
+    graft.sources.DailyStoreCatalog.register(spark, "dstore_whole", root)
+    try {
+      spark.sql("CREATE TABLE dstore_whole.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val guarded = StreamingOps.dailyReplaceEachBatch(
+        "dstore_whole.cases", requireWholeDays = true) _
+      // day 1 with 2 rows lands (store empty: everything grows)
+      guarded(Seq((d("2020-03-01"), 1, "x"), (d("2020-03-01"), 2, "y"))
+        .toDF("d", "n", "label"), 0L)
+      // a GROWING re-ingest of day 1 (3 rows) plus a new day passes
+      guarded(Seq((d("2020-03-01"), 1, "x"), (d("2020-03-01"), 2, "y"),
+        (d("2020-03-01"), 3, "late"), (d("2020-03-02"), 4, "z"))
+        .toDF("d", "n", "label"), 1L)
+      // a SAME-COUNT correction passes (content change is the point)
+      guarded(Seq((d("2020-03-02"), 9, "corrected"))
+        .toDF("d", "n", "label"), 2L)
+      // a PARTIAL day-1 slice (1 row vs stored 3) fails loudly...
+      val e = intercept[IllegalStateException] {
+        guarded(Seq((d("2020-03-01"), 1, "partial"))
+          .toDF("d", "n", "label"), 3L)
+      }
+      assert(e.getMessage.contains("SHRINK") &&
+        e.getMessage.contains("2020-03-01 (3 -> 1)"), e.getMessage)
+      // ...and the store is untouched by the failed batch
+      val got = spark.read.parquet(s"$root/cases")
+        .select("d", "n", "label").orderBy("d", "n")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(got == Seq(
+        (d("2020-03-01"), 1, "x"), (d("2020-03-01"), 2, "y"),
+        (d("2020-03-01"), 3, "late"), (d("2020-03-02"), 9, "corrected")))
+      // the unguarded default keeps the reference's mid-day semantics
+      StreamingOps.dailyReplaceEachBatch("dstore_whole.cases")(
+        Seq((d("2020-03-01"), 1, "partial")).toDF("d", "n", "label"), 4L)
+      assert(spark.read.parquet(s"$root/cases")
+        .filter(org.apache.spark.sql.functions.col("d") === d("2020-03-01"))
+        .count() == 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_whole")
+      spark.conf.unset("spark.sql.catalog.dstore_whole.root")
+      spark.conf.unset("spark.sql.catalog.dstore_whole.partitionCol")
+    }
+  }
+
   test("noveltyGateEachBatch: stream dedups against the persisted corpus store") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-novelty")
