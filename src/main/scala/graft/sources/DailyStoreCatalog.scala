@@ -83,7 +83,12 @@ class DailyStoreCatalog extends TableCatalog {
         val in = f.open(meta)
         val bytes = try in.readAllBytes() finally in.close()
         DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType]
-      } else spark.read.parquet(dir.toString).schema
+      } else
+        // inference is a FULL leaf listing — cached under the store's
+        // commit-state key (r16; ListingProbe measured it doubling the
+        // catalog front's per-query discovery cost)
+        DelegateCache.schemaFor(spark, dir.toString)(
+          spark.read.parquet(dir.toString).schema)
     new DailyStoreTable(dir.toString, pcol, schema, viaCatalog = true)
   }
 

@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   *    join's true incremental cost; this−scan is the gate's own
   *    exchange/rebuild cost.
   *
+  * r16 additions — the two remaining unattributed headline ratios,
+  * with their FULL queries timed in the SAME JVM as the twins so the
+  * split is not polluted by cross-JVM variance (the README's ±10-15%
+  * bar):
+  *
+  *  - q97_full / q97_twin_count / q97_twin_scan: the weighted-histogram
+  *    percentile; its codegen count phase alone (same two groupBys,
+  *    trivial fold instead of the weighted aggregate); the bare
+  *    3-column scan + one tiny exchange. full−count is the typed
+  *    aggregate's cost over ≤66 rows (expected ~zero); count−scan is
+  *    the distinct-count phase's cost.
+  *  - q90_full / q90_twin_scan: sliding-window chunking; the documents
+  *    text decode alone (sum(length(text))). full−scan is the
+  *    expansion+substr projection plus the ~10x-row materialization —
+  *    the operator's declared work, zero shuffle either way.
+  *
   *   sbt "runMain graft.tools.FloorTwins data/sf1 5"
   */
 object FloorTwins {
@@ -62,12 +78,47 @@ object FloorTwins {
           "graft_floortwins_no_such_store")
         .orderBy("doc_id")
 
+    def li() = graft.Tables(spark, dir, "lineitem")
+
+    def q97Full(): DataFrame =
+      graft.SparkEntry.queries("q97_weighted_percentiles")(spark, dir)
+
+    // the codegen count phase + exchange, with a trivial fold in place
+    // of the weighted percentile aggregate
+    def q97TwinCount(): DataFrame =
+      li().groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_discount").as("v"))
+        .agg(count(col("l_discount")).as("n"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("n")).as("total"), sum(col("v") * col("n")).as("wsum"))
+        .orderBy("l_returnflag", "l_linestatus")
+
+    // the 3-column scan floor: same columns, one tiny exchange, no
+    // per-distinct-value grouping
+    def q97TwinScan(): DataFrame =
+      li().groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_discount")).as("s"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+
+    def q90Full(): DataFrame =
+      graft.SparkEntry.queries("q90_chunk_overlap")(spark, dir)
+
+    // the documents text decode alone — q90's irreducible read
+    def q90TwinScan(): DataFrame =
+      graft.Tables(spark, dir, "documents")
+        .agg(sum(length(col("text"))).as("chars"))
+
     def med(f: () => DataFrame): Double = Timing.medianDf(reps)(f)
 
     val j = med(q5189Twin _)
     val s84 = med(q84TwinScan _)
     val n84 = med(q84TwinNostore _)
-    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"dir":"$dir"}""")
+    val f97 = med(q97Full _)
+    val c97 = med(q97TwinCount _)
+    val s97 = med(q97TwinScan _)
+    val f90 = med(q90Full _)
+    val s90 = med(q90TwinScan _)
+    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"dir":"$dir"}""")
     spark.stop()
   }
 }

@@ -552,6 +552,65 @@ class DailyStoreSinkSpec extends SparkSpec {
     assert(!fs.exists(lock), "recovery sweeps an expired lease")
   }
 
+  test("read cache (r16): commit-state key serves cached listings but " +
+      "EVERY write front invalidates — read-after-write stays exact") {
+    val root = freshDir("readcache")
+    DailyStoreCatalog.register(spark, "dstore_rc", root)
+    try {
+      spark.sql("CREATE TABLE dstore_rc.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      def readCat() = spark.table("dstore_rc.cases")
+        .select("d", "n", "label").orderBy("d", "n")
+        .as[(Date, Int, String)].collect().toSeq
+      days("rc1", ("2020-03-01", 1, "x"), ("2020-03-02", 2, "y"))
+        .writeTo("dstore_rc.cases").append()
+      assert(readCat() == Seq(
+        (d("2020-03-01"), 1, "x"), (d("2020-03-02"), 2, "y")))
+      // no write between reads -> the delegate (and its leaf listing)
+      // is REUSED: rebuild count stays flat
+      val before = DelegateCache.rebuilds
+      readCat(); readCat()
+      assert(DelegateCache.rebuilds == before,
+        "repeat reads on an unchanged store must hit the cache")
+      // append through the catalog front -> next read sees it
+      days("rc2", ("2020-03-03", 3, "z")).writeTo("dstore_rc.cases").append()
+      assert(readCat().map(_._2) == Seq(1, 2, 3))
+      // day-replace -> next read sees the replacement
+      days("rc3", ("2020-03-02", 9, "new"))
+        .writeTo("dstore_rc.cases").overwritePartitions()
+      assert(readCat() == Seq(
+        (d("2020-03-01"), 1, "x"), (d("2020-03-02"), 9, "new"),
+        (d("2020-03-03"), 3, "z")))
+      // path-based writer on the same store -> same invalidation
+      days("rc4", ("2020-03-04", 4, "w"))
+        .write.format("dailystore").option("path", s"$root/cases")
+        .mode("append").save()
+      assert(readCat().map(_._2) == Seq(1, 9, 3, 4))
+      // OUT-OF-BAND write (plain parquet into a day dir, bypassing the
+      // connector) still flips the key: dir mtimes are the signal
+      days("rc5", ("2020-03-04", 5, "oob")).drop("d")
+        .write.mode("append").parquet(s"$root/cases/d=2020-03-04")
+      assert(readCat().map(_._2) == Seq(1, 9, 3, 4, 5))
+      // catalog truncate-and-reload (overwrite(true)) -> old days gone
+      days("rc_t", ("2020-03-06", 1, "only"))
+        .writeTo("dstore_rc.cases").overwrite(lit(true))
+      assert(readCat() == Seq((d("2020-03-06"), 1, "only")))
+      // conf off -> every resolution rebuilds (the r15 behavior)
+      spark.conf.set("spark.sql.dailystore.readCache", "false")
+      try {
+        days("rc6", ("2020-03-05", 6, "q")).writeTo("dstore_rc.cases").append()
+        val b2 = DelegateCache.rebuilds
+        readCat(); readCat()
+        assert(DelegateCache.rebuilds >= b2 + 2,
+          "cache off must rebuild per resolution")
+      } finally spark.conf.unset("spark.sql.dailystore.readCache")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_rc")
+      spark.conf.unset("spark.sql.catalog.dstore_rc.root")
+      spark.conf.unset("spark.sql.catalog.dstore_rc.partitionCol")
+    }
+  }
+
   test("writer lease (r16): standalone recovery refuses to replay under " +
       "a LIVE foreign lease (a mid-window peer's manifest is not touched)") {
     val dir = freshDir("lease_rec")
