@@ -110,15 +110,13 @@ object FloorTwins {
 
     def med(f: () => DataFrame): Double = Timing.medianDf(reps)(f)
 
-    val j = med(q5189Twin _)
-    val s84 = med(q84TwinScan _)
-    val n84 = med(q84TwinNostore _)
-    val f97 = med(q97Full _)
-    val c97 = med(q97TwinCount _)
-    val s97 = med(q97TwinScan _)
-    val f90 = med(q90Full _)
-    val s90 = med(q90TwinScan _)
-    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"dir":"$dir"}""")
+    val ((j, s84, n84, f97, c97, s97, f90, s90), foreign) =
+      Timing.withForeignCores {
+        (med(q5189Twin _), med(q84TwinScan _), med(q84TwinNostore _),
+          med(q97Full _), med(q97TwinCount _), med(q97TwinScan _),
+          med(q90Full _), med(q90TwinScan _))
+      }
+    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"foreign_cores":$foreign%.2f,"dir":"$dir"}""")
     spark.stop()
   }
 }

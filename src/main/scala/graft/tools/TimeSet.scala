@@ -56,13 +56,15 @@ object TimeSet {
         System.err.println(s"[timeset] warmup $n failed: ${e.toString.take(200)}") }
     }
     val times = mutable.Map.empty[String, mutable.Buffer[Double]]
-    for (_ <- 1 to reps; n <- names) {
-      val t0 = System.nanoTime()
-      try {
-        consume(graft.SparkEntry.queries(n)(spark, dir))
-        times.getOrElseUpdate(n, mutable.Buffer.empty) +=
-          (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => () }
+    val (_, foreign) = Timing.withForeignCores {
+      for (_ <- 1 to reps; n <- names) {
+        val t0 = System.nanoTime()
+        try {
+          consume(graft.SparkEntry.queries(n)(spark, dir))
+          times.getOrElseUpdate(n, mutable.Buffer.empty) +=
+            (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+      }
     }
     def med(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -70,7 +72,8 @@ object TimeSet {
     }
     val line = names.map { n =>
       f""""$n":${med(times.getOrElse(n, Nil).toSeq)}%.3f"""
-    }.mkString("""{"queries":{""", ",", "}}")
+    }.mkString("""{"queries":{""", ",",
+      f"""},"foreign_cores":$foreign%.2f}""")
     println(line)
     spark.stop()
   }

@@ -31,4 +31,42 @@ object Timing {
     * materialized — the standard per-query probe. */
   def medianDf(reps: Int)(f: () => DataFrame): Double =
     medianSec(reps)(() => materialize(f()))
+
+  /** The r15 host-contention stamp, shared with [[graft.Bench]]'s
+    * private copy: (system busy CPU-seconds, this JVM's CPU-seconds).
+    */
+  private def cpuStamp(): (Double, Double) = {
+    val busy = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+      val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
+      (f.take(8).sum - idle) / 100.0
+    } catch { case _: Throwable => -1.0 }
+    val own = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    (busy, own)
+  }
+
+  /** Run `body`, returning (result, average FOREIGN cores over the
+    * block — cores something other than this JVM was burning). -1 when
+    * /proc/stat or process CPU is unavailable. Solo evidence tools
+    * stamp their timed blocks with this so a quiet-window record
+    * self-identifies pollution (README accept rule: foreign < 2.0).
+    */
+  def withForeignCores[T](body: => T): (T, Double) = {
+    val (b0, o0) = cpuStamp()
+    val t0 = System.nanoTime()
+    val r = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (b1, o1) = cpuStamp()
+    val foreign =
+      if (b0 < 0 || o0 < 0 || wall <= 0) -1.0
+      else math.max(0.0, ((b1 - b0) - (o1 - o0)) / wall)
+    (r, foreign)
+  }
 }
