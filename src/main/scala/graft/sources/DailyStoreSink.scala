@@ -566,12 +566,27 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
       case ValuesMode(vs) => vs.map(v => new Path(live, s"$pcol=$v"))
     }
     val manifest = DailyStoreRecovery.manifestPath(live, queryId)
+    // time-travel retention (r16): when the store carries a retention
+    // marker, this commit's condemned files are ARCHIVED into a version
+    // dir instead of deleted, and the manifest is retained there —
+    // `archiveRel` rides the manifest so crash replay does the same
+    val archiveRel: Option[String] =
+      DailyStoreTimeTravel.retentionOf(fs, live).map(_ =>
+        DailyStoreTimeTravel.versionDirName(
+          DailyStoreTimeTravel.nextSeq(fs, live), queryId))
     if (condemned.nonEmpty || committed.nonEmpty) {
       fs.mkdirs(live)
       DailyStoreRecovery.writeManifest(fs, manifest, pcol,
-        new Path(staging).getName, condemned.map(_.getName), committed)
+        new Path(staging).getName, condemned.map(_.getName), committed,
+        archiveRel)
     }
-    condemned.foreach(fs.delete(_, true))
+    condemned.foreach { dir =>
+      archiveRel match {
+        case Some(rel) =>
+          DailyStoreRecovery.archiveFiles(fs, live, rel, dir, Set.empty)
+        case None => fs.delete(dir, true)
+      }
+    }
     // staged files carry task+uuid names, so append never collides
     committed.foreach { case (pv, name) =>
       val target = new Path(live, s"$pcol=$pv")
@@ -583,7 +598,20 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
           s"dailystore: commit rename failed: $from -> $to")
     }
     fs.delete(new Path(staging), true)
-    fs.delete(manifest, false)
+    archiveRel match {
+      case Some(rel) if fs.exists(manifest) =>
+        // retain the manifest with its version (renamed OUT of the
+        // pending _commit-* namespace in one atomic op), then bound
+        // the archive
+        val adir = new Path(live, rel)
+        fs.mkdirs(adir)
+        if (!fs.rename(manifest, new Path(adir, "manifest.json")))
+          throw new java.io.IOException(
+            s"dailystore: manifest retention rename failed: $manifest")
+        DailyStoreTimeTravel.retentionOf(fs, live).foreach(k =>
+          DailyStoreTimeTravel.prune(fs, live, k))
+      case _ => fs.delete(manifest, false)
+    }
   }
 
   /** Before the manifest exists the commit is undecided — roll BACK
@@ -722,11 +750,15 @@ object DailyStoreRecovery {
   private[sources] def writeManifest(
       fs: org.apache.hadoop.fs.FileSystem, manifest: Path, pcol: String,
       stagingName: String, condemnedDirs: Seq[String],
-      files: Seq[(String, String)]): Unit = {
+      files: Seq[(String, String)],
+      archiveRel: Option[String] = None): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("pcol", pcol)
     root.put("staging", stagingName)
+    // retention mode: condemned files go HERE instead of being deleted
+    // (replay honors the same field, so a torn commit archives too)
+    archiveRel.foreach(root.put("archive", _))
     val c = root.putArray("condemned")
     condemnedDirs.foreach(c.add)
     val f = root.putArray("files")
@@ -788,6 +820,33 @@ object DailyStoreRecovery {
       .foreach(m => replay(fs, live, m.getPath))
   }
 
+  /** Move every entry of `dir` NOT named in `keep` into the version
+    * archive `rel/<dirName>/`, then drop `dir` if that empties it.
+    * Idempotent (an entry already archived under the same name loses
+    * its source copy) — replay-safe from any crash point.
+    */
+  private[sources] def archiveFiles(fs: org.apache.hadoop.fs.FileSystem,
+      live: Path, rel: String, dir: Path, keep: Set[String]): Unit = {
+    if (!fs.exists(dir)) return
+    val target = new Path(live, s"$rel/${dir.getName}")
+    var kept = 0
+    val entries = fs.listStatus(dir)
+    if (entries.exists(e => !keep.contains(e.getPath.getName)))
+      fs.mkdirs(target)
+    entries.foreach { st =>
+      val name = st.getPath.getName
+      if (keep.contains(name)) kept += 1
+      else {
+        val to = new Path(target, name)
+        if (fs.exists(to)) fs.delete(st.getPath, st.isDirectory)
+        else if (!fs.rename(st.getPath, to))
+          throw new java.io.IOException(
+            s"dailystore: archive rename failed: ${st.getPath} -> $to")
+      }
+    }
+    if (kept == 0) fs.delete(dir, true)
+  }
+
   private def replay(fs: org.apache.hadoop.fs.FileSystem, live: Path,
                      manifest: Path): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -810,6 +869,9 @@ object DailyStoreRecovery {
     }
     val pcol = root.get("pcol").asText()
     val stagingName = root.get("staging").asText()
+    val archiveRel =
+      if (root.hasNonNull("archive")) Some(root.get("archive").asText())
+      else None
     val files = root.get("files").elements().asScala.map { a =>
       (a.get(0).asText(), a.get(1).asText())
     }.toSeq
@@ -819,18 +881,24 @@ object DailyStoreRecovery {
     // manifest does not name is an OLD file. Match commit()'s
     // RECURSIVE partition delete: nested junk goes too, and a
     // condemned dir receiving no renamed files is removed outright
-    // rather than left behind empty.
+    // rather than left behind empty. Under retention (the manifest's
+    // `archive` field), old files MOVE to the version dir instead —
+    // the torn commit's archive converges to the same end state.
     root.get("condemned").elements().asScala.foreach { cn =>
       val dirName = cn.asText()
       val dir = new Path(live, dirName)
       val keep = keepByPv.getOrElse(dirName.stripPrefix(s"$pcol="),
         Set.empty[String])
-      if (fs.exists(dir)) {
-        if (keep.isEmpty) fs.delete(dir, true)
-        else fs.listStatus(dir).foreach { st =>
-          if (!keep.contains(st.getPath.getName))
-            fs.delete(st.getPath, st.isDirectory)
-        }
+      archiveRel match {
+        case Some(rel) => archiveFiles(fs, live, rel, dir, keep)
+        case None =>
+          if (fs.exists(dir)) {
+            if (keep.isEmpty) fs.delete(dir, true)
+            else fs.listStatus(dir).foreach { st =>
+              if (!keep.contains(st.getPath.getName))
+                fs.delete(st.getPath, st.isDirectory)
+            }
+          }
       }
     }
     // 2. finish the renames: manifest-named files still in staging
@@ -848,7 +916,17 @@ object DailyStoreRecovery {
       }
     }
     fs.delete(staging, true)
-    fs.delete(manifest, false)
+    archiveRel match {
+      case Some(rel) =>
+        val adir = new Path(live, rel)
+        fs.mkdirs(adir)
+        val to = new Path(adir, "manifest.json")
+        if (fs.exists(to)) fs.delete(manifest, false)
+        else if (!fs.rename(manifest, to))
+          throw new java.io.IOException(
+            s"dailystore recovery: manifest retention rename failed: $manifest")
+      case None => fs.delete(manifest, false)
+    }
   }
 }
 

@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Time-travel-lite (r16): retention-enabled stores archive condemned
+  * files per commit, retain manifests, prune beyond `keep`, and
+  * [[DailyStoreTimeTravel.readVersion]] reconstructs any retained
+  * state exactly — including through a crash-torn commit window.
+  */
+class DailyStoreTimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"dstt_${tag}_${System.nanoTime()}").getPath
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  private def days(rows: (String, Int, String)*) =
+    rows.toSeq.map { case (dt, n, s) => (d(dt), n, s) }
+      .toDF("d", "n", "label")
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String,
+                    mode: String = "append",
+                    dynamic: Boolean = false): Unit = {
+    val w = df.write.format("dailystore").option("path", dir).mode(mode)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w).save()
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Date, Int, String)] =
+    df.select("d", "n", "label").orderBy("d", "n")
+      .as[(Date, Int, String)].collect().toSeq
+
+  private def readV(dir: String, back: Int) =
+    rows(DailyStoreTimeTravel.readVersion(spark, dir, back))
+
+  test("retention: every commit is a version; readVersion walks back " +
+      "exactly through append, day-replace, and truncate") {
+    val dir = freshDir("walk")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    // v1: append days 1+2
+    write(days(("2020-03-01", 1, "a"), ("2020-03-02", 2, "b")), dir)
+    val s1 = rows(spark.read.parquet(dir))
+    // v2: day-replace day 1
+    write(days(("2020-03-01", 9, "fix")), dir, "overwrite", dynamic = true)
+    val s2 = rows(spark.read.parquet(dir))
+    assert(s2 == Seq((d("2020-03-01"), 9, "fix"), (d("2020-03-02"), 2, "b")))
+    // v3: append day 3
+    write(days(("2020-03-03", 3, "c")), dir)
+    val s3 = rows(spark.read.parquet(dir))
+    // v4: TRUNCATE (static overwrite)
+    write(days(("2020-03-09", 99, "reset")), dir, "overwrite")
+    val s4 = rows(spark.read.parquet(dir))
+    assert(s4 == Seq((d("2020-03-09"), 99, "reset")))
+
+    assert(readV(dir, 0) == s4)
+    assert(readV(dir, 1) == s3, "one back = pre-truncate")
+    assert(readV(dir, 2) == s2, "two back = pre-append")
+    assert(readV(dir, 3) == s1, "three back = pre-day-replace")
+    assert(readV(dir, 4) == Nil, "four back = before anything")
+    val e = intercept[IllegalArgumentException] { readV(dir, 5) }
+    assert(e.getMessage.contains("version"), e.getMessage)
+  }
+
+  test("retention: prune keeps only the newest `keep` versions; reads " +
+      "past the horizon fail loudly") {
+    val dir = freshDir("prune")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 2)
+    (1 to 4).foreach { i =>
+      write(days(("2020-03-01", i, s"r$i")), dir, "overwrite", dynamic = true)
+    }
+    val vdir = new java.io.File(dir, "_versions")
+    assert(vdir.listFiles().count(_.isDirectory) == 2,
+      "only keep=2 versions retained")
+    assert(readV(dir, 1) == Seq((d("2020-03-01"), 3, "r3")))
+    assert(readV(dir, 2) == Seq((d("2020-03-01"), 2, "r2")))
+    intercept[IllegalArgumentException] { readV(dir, 3) }
+  }
+
+  test("retention: a crash-torn commit window still archives — replay " +
+      "converges to the committed state AND the version restores the old") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = freshDir("crash")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 5)
+    write(days(("2020-03-01", 1, "old"), ("2020-03-02", 2, "keep")), dir)
+    val fs = new Path(dir).getFileSystem(hconf)
+    // stage a replacement for day 1, write a RETENTION manifest, crash
+    // before any archive/rename happened
+    val stagingName = "__stage_crash-tt"
+    val src = freshDir("crashsrc")
+    write(days(("2020-03-01", 10, "new")), src)
+    val staged = new java.io.File(s"$src/d=2020-03-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.mkdirs(new Path(s"$dir/$stagingName/d=2020-03-01"))
+    fs.rename(new Path(staged.getPath),
+      new Path(s"$dir/$stagingName/d=2020-03-01/part-0-cccc.parquet"))
+    val rel = DailyStoreTimeTravel.versionDirName(
+      DailyStoreTimeTravel.nextSeq(fs, new Path(dir)), "crash-tt")
+    DailyStoreRecovery.writeManifest(fs,
+      DailyStoreRecovery.manifestPath(new Path(dir), "crash-tt"),
+      "d", stagingName, Seq("d=2020-03-01"),
+      Seq(("2020-03-01", "part-0-cccc.parquet")), Some(rel))
+    DailyStoreRecovery.recoverPendingCommits(dir, hconf)
+    // committed end state
+    assert(rows(spark.read.parquet(dir)) == Seq(
+      (d("2020-03-01"), 10, "new"), (d("2020-03-02"), 2, "keep")))
+    // the torn commit's archive holds the condemned old file + manifest
+    assert(readV(dir, 1) == Seq(
+      (d("2020-03-01"), 1, "old"), (d("2020-03-02"), 2, "keep")))
+    // replay idempotent
+    DailyStoreRecovery.recoverPendingCommits(dir, hconf)
+    assert(readV(dir, 1) == Seq(
+      (d("2020-03-01"), 1, "old"), (d("2020-03-02"), 2, "keep")))
+  }
+
+  test("retention: restore is an ordinary (itself versioned) write; " +
+      "plain stores keep exact r15 behavior (no _versions, no marker)") {
+    val dir = freshDir("restore")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 5)
+    write(days(("2020-03-01", 1, "good"), ("2020-03-02", 2, "good")), dir)
+    val good = rows(spark.read.parquet(dir))
+    // a bad re-ingest day-replaces both days
+    write(days(("2020-03-01", 7, "bad"), ("2020-03-02", 8, "bad")),
+      dir, "overwrite", dynamic = true)
+    assert(rows(spark.read.parquet(dir)).forall(_._3 == "bad"))
+    // restore: read the prior version, day-replace it back
+    val restored = DailyStoreTimeTravel.readVersion(spark, dir, 1)
+      .localCheckpoint() // the write targets the store being read
+    write(restored, dir, "overwrite", dynamic = true)
+    assert(rows(spark.read.parquet(dir)) == good)
+    // the restore is itself a version: one back is the bad state
+    assert(readV(dir, 1).forall(_._3 == "bad"))
+
+    // and a store WITHOUT the marker never grows an archive
+    val plain = freshDir("plain")
+    write(days(("2020-03-01", 1, "x")), plain)
+    write(days(("2020-03-01", 2, "y")), plain, "overwrite", dynamic = true)
+    assert(!new java.io.File(plain, "_versions").exists())
+    assert(!new java.io.File(plain, "_retention.json").exists())
+    intercept[IllegalArgumentException] {
+      DailyStoreTimeTravel.readVersion(spark, plain, 1)
+    }
+  }
+}
