@@ -85,6 +85,23 @@ final class ValueCountMap(initialCap: Int = 64) {
   * continuous column. The default cap (2^24 ≈ 1.6·10^7 entries, ≤
   * ~768 MB of map arrays at the 2× load factor) clears every bounded
   * domain the scaladoc promises (~10^7 distinct cents) with room.
+  *
+  * CHOOSING between this and the two-phase histogram shape (a codegen
+  * `groupBy(value).count()` folded through the WEIGHTED form — q97's
+  * shape): there is no auto-rewrite, by measurement (r16,
+  * `tools.PercentileAuto`, sf1 60M rows, same JVM, medians-of-5,
+  * per-column single-shape cells): two-phase 1.06 s vs count-map
+  * 1.34 s at 11 distinct values (l_discount), but count-map 1.03 vs
+  * two-phase 1.22 at 47 distinct (l_quantity) and 1.59 vs 2.19 at
+  * ~600k distinct (l_extendedprice). The crossover sits between 11
+  * and 47 distinct, the best-case win is ~20% — about twice the
+  * same-JVM variance bar — and the mis-routing penalty GROWS with
+  * distinct count, so a threshold rule would be overfit noise.
+  * DEFAULT TO THIS AGGREGATE (never catastrophically wrong, bounded
+  * state everywhere); reach for the two-phase shape by hand only for
+  * very-low-distinct columns (≲ ~20 values — flags, discounts,
+  * ratings) where the count phase's exchange collapses to
+  * groups×distinct rows, and confirm on your own cluster.
   */
 case class ExactPercentilesAgg(
     child: Expression,
