@@ -172,42 +172,12 @@ object Bench {
     * /proc/stat minus this JVM's own CPU-seconds, over the block's wall
     * time = how many cores something ELSE was burning while we timed.
     * README's bench section states the accept rule (foreign < 2.0).
+    * The implementation lives in [[graft.tools.Timing.withForeignCores]]
+    * (r16: ONE copy — the solo tools stamp the same number, and the
+    * accept rule compares it across them).
     */
-  private def cpuStamp(): (Double, Double) = {
-    val busy = try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      val line = try src.getLines().next() finally src.close()
-      val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
-      // busy = everything minus idle+iowait; USER_HZ=100 jiffies.
-      // Sum only the first 8 fields (user nice system idle iowait irq
-      // softirq steal): the kernel already folds guest/guest_nice
-      // (fields 9-10) into user/nice, so including them would count a
-      // co-resident VM's CPU twice and overstate the stamp
-      val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
-      (f.take(8).sum - idle) / 100.0
-    } catch { case _: Throwable => -1.0 }
-    val own = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean =>
-          os.getProcessCpuTime / 1e9
-        case _ => -1.0
-      }
-    (busy, own)
-  }
-
-  /** Run `body`, returning (result, foreign-cores average over the
-    * block). -1 when /proc/stat or process CPU is unavailable. */
-  private def withForeignCores[T](body: => T): (T, Double) = {
-    val (b0, o0) = cpuStamp()
-    val t0 = System.nanoTime()
-    val r = body
-    val wall = (System.nanoTime() - t0) / 1e9
-    val (b1, o1) = cpuStamp()
-    val foreign =
-      if (b0 < 0 || o0 < 0 || wall <= 0) -1.0
-      else math.max(0.0, ((b1 - b0) - (o1 - o0)) / wall)
-    (r, foreign)
-  }
+  private def withForeignCores[T](body: => T): (T, Double) =
+    graft.tools.Timing.withForeignCores(body)
 
   private def loadAvg1m(): Double =
     java.lang.management.ManagementFactory

@@ -185,9 +185,16 @@ class DailyStoreTable(path: String, pcol: String, schema0: StructType,
   * `spark.sql.dailystore.readCache=false` (every resolution then
   * re-lists, the r15 behavior); (2) sub-millisecond same-dir rewrites
   * within one mtime tick could alias — unreachable through this
-  * connector, whose commit window does multiple root touches per write.
-  * Entries are per (session, store path); a session's cache is dropped
-  * wholesale when the session is GC'd (weak keys).
+  * connector, whose commit window does multiple root touches per write;
+  * (3) the key sees CREATE/DELETE/RENAME-shaped changes only — an
+  * out-of-band IN-PLACE rewrite of an existing leaf file under the
+  * same name (distcp -overwrite, manual fixup) touches the file's
+  * mtime but not its parent dir's, so the cached FileIndex would keep
+  * the old file length; such maintenance must go through the connector
+  * (whose commit renames fresh names in) or run with the cache conf
+  * off. Entries are per (session, store path), LRU-bounded per
+  * session; a session's cache is dropped wholesale when the session is
+  * GC'd (weak keys).
   */
 private[sources] object DelegateCache {
   import org.apache.spark.sql.SparkSession
@@ -196,10 +203,23 @@ private[sources] object DelegateCache {
   private final case class Entry(stateKey: Long, schema: Option[StructType],
                                  delegate: Option[ParquetTable])
 
+  /** Stores cached per session — each Entry pins a ParquetTable whose
+    * lazy FileIndex holds a full leaf listing, so the per-session map
+    * is LRU-bounded (a long-lived multi-store driver must not grow
+    * heap ∝ distinct store paths touched). */
+  private val MaxStoresPerSession = 64
+
   // weak session keys: a dropped session must not pin its FileIndexes
   private val cache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.HashMap[String, Entry]]()
+      java.util.LinkedHashMap[String, Entry]]()
+
+  private def newLru() =
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Entry]): Boolean =
+        size() > MaxStoresPerSession
+    }
 
   /** Rebuild count, exposed for the read-after-write specs: hits don't
     * increment it. */
@@ -208,13 +228,17 @@ private[sources] object DelegateCache {
   private def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.sql.dailystore.readCache", "true").toBoolean
 
-  /** One root listStatus → exact commit-state key (see class doc). */
+  /** One root listStatus → exact commit-state key (see class doc).
+    * Entries are sorted by name before folding: the FileSystem contract
+    * does not fix listStatus order, and an order-sensitive hash on a
+    * connector with unstable enumeration would silently rebuild on
+    * every resolution — defeating the cache with no error. */
   private def stateKey(spark: SparkSession, path: String): Long = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(live)) return 0L
     var h = fs.getFileStatus(live).getModificationTime
-    fs.listStatus(live).foreach { s =>
+    fs.listStatus(live).sortBy(_.getPath.getName).foreach { s =>
       h = h * 31 + s.getPath.getName.hashCode
       h = h * 31 + s.getModificationTime
       h = h * 31 + (if (s.isDirectory) 1 else 0)
@@ -226,7 +250,7 @@ private[sources] object DelegateCache {
     val key = stateKey(spark, path)
     cache.synchronized {
       var m = cache.get(spark)
-      if (m == null) { m = new java.util.HashMap[String, Entry](); cache.put(spark, m) }
+      if (m == null) { m = newLru(); cache.put(spark, m) }
       val e = m.get(path)
       if (e != null && e.stateKey == key) e
       else { val fresh = Entry(key, None, None); m.put(path, fresh); fresh }
@@ -388,6 +412,22 @@ private[sources] object WriterLease {
       case _ => ()
     }
   }
+
+  /** Re-verify the lease mid-window: a commit stalled past the TTL may
+    * have been taken over, and continuing the directory surgery then
+    * would interleave two writers' deletes/renames. Called before each
+    * destructive phase — failing loudly here is the contract.
+    */
+  def assertHeld(fs: org.apache.hadoop.fs.FileSystem, live: Path,
+                 queryId: String): Unit =
+    holderOf(fs, lockPath(live)) match {
+      case Some((qid, _)) if qid == queryId => ()
+      case other => throw new DailyStoreConcurrentWriteException(
+        s"dailystore: writer $queryId lost its lease on $live mid-commit " +
+          s"(now held by ${other.map(_._1).getOrElse("nobody")}) — the " +
+          "commit stalled past the lease TTL and was taken over; " +
+          "aborting before touching the store further")
+    }
 }
 
 /** What commit() condemns before moving staged files in. */
@@ -580,6 +620,11 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
         new Path(staging).getName, condemned.map(_.getName), committed,
         archiveRel)
     }
+    // a window stalled past the TTL may have been taken over — verify
+    // before the destructive phase rather than interleave two writers'
+    // surgery (the manifest is durable, so the taker's recovery
+    // preamble completes this commit either way)
+    WriterLease.assertHeld(fs, live, queryId)
     condemned.foreach { dir =>
       archiveRel match {
         case Some(rel) =>
@@ -587,6 +632,9 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
         case None => fs.delete(dir, true)
       }
     }
+    // the condemned phase can be long (per-file archive renames under
+    // retention) — re-verify before the second long phase too
+    if (condemned.nonEmpty) WriterLease.assertHeld(fs, live, queryId)
     // staged files carry task+uuid names, so append never collides
     committed.foreach { case (pv, name) =>
       val target = new Path(live, s"$pcol=$pv")
@@ -782,12 +830,15 @@ object DailyStoreRecovery {
     * mid-manifest-write — the commit was still UNDECIDED, nothing had
     * been condemned yet) are swept along with their staging dirs.
     *
-    * Lease-aware (r16): if a LIVE `_writer.lock` names a writer other
-    * than `heldBy`, recovery throws [[DailyStoreConcurrentWriteException]]
-    * instead of replaying a mid-window peer's manifest; an EXPIRED lock
-    * (crashed writer) is swept so the store self-heals. `heldBy` is the
-    * caller's own queryId when it already holds the lease (commit's
-    * recovery preamble).
+    * Lease-aware (r16): recovery runs UNDER the writer lease. When the
+    * caller already holds it (commit's recovery preamble passes its own
+    * queryId as `heldBy`), the held lease is verified; a standalone
+    * invocation ACQUIRES the lease itself — taking over an expired
+    * (crashed-writer) lock, self-healing it — and releases it after
+    * replay, so it can never race a newly-entering writer's preamble
+    * over the same manifest (both would rename the same files). A LIVE
+    * foreign lock throws [[DailyStoreConcurrentWriteException]] either
+    * way: a mid-window peer's manifest must not be replayed.
     */
   def recoverPendingCommits(path: String,
       hadoopConf: org.apache.hadoop.conf.Configuration,
@@ -796,17 +847,20 @@ object DailyStoreRecovery {
     val live = new Path(path)
     val fs = live.getFileSystem(hadoopConf)
     if (!fs.exists(live)) return
-    WriterLease.liveHolder(fs, live, ttlMs) match {
-      case Some(qid) if !heldBy.contains(qid) =>
-        throw new DailyStoreConcurrentWriteException(
-          s"dailystore: refusing recovery on $live — query $qid holds a " +
-            "live _writer.lock; its own commit window is in progress")
-      case _ =>
-        // expired leftover from a crashed writer: self-heal it (unless
-        // it is the caller's own held lease)
-        if (heldBy.isEmpty && fs.exists(WriterLease.lockPath(live)))
-          fs.delete(WriterLease.lockPath(live), false)
+    heldBy match {
+      case Some(qid) =>
+        WriterLease.assertHeld(fs, live, qid)
+        recoverLocked(fs, live)
+      case None =>
+        val qid = s"recovery-${java.util.UUID.randomUUID()}"
+        WriterLease.acquire(fs, live, qid, ttlMs)
+        try recoverLocked(fs, live)
+        finally WriterLease.release(fs, live, qid)
     }
+  }
+
+  private def recoverLocked(fs: org.apache.hadoop.fs.FileSystem,
+                            live: Path): Unit = {
     val entries = fs.listStatus(live).filter(!_.isDirectory)
     entries.filter(_.getPath.getName.matches("_commit-.*\\.json\\.tmp"))
       .foreach { t =>

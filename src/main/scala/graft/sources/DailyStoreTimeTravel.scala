@@ -151,6 +151,22 @@ object DailyStoreTimeTravel {
     if (versionsBack == 0) return current
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // a TORN store (pending _commit-* manifest from a crashed commit)
+    // would reconstruct WRONG here — the torn commit's archive has no
+    // retained manifest yet, so its day would silently vanish from the
+    // rollback. Fail loudly instead of mutating inside a reader; this
+    // is exactly the post-crash moment a rollback reader gets reached
+    // for, so the message names the repair.
+    val pending = fs.listStatus(live).filter(!_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_commit-") &&
+        (n.endsWith(".json") || n.endsWith(".json.tmp")))
+    require(pending.isEmpty,
+      s"dailystore: $path has ${pending.length} pending commit " +
+        s"manifest(s) (${pending.mkString(", ")}) from a crashed write — " +
+        "run DailyStoreRecovery.recoverPendingCommits(path, conf) (or any " +
+        "write, which self-heals) before readVersion, or the torn " +
+        "commit's days would be reconstructed incorrectly")
     val vs = versions(fs, live)
     require(vs.size >= versionsBack,
       s"dailystore: only ${vs.size} version(s) retained at $path, " +

@@ -32,14 +32,21 @@ object Timing {
   def medianDf(reps: Int)(f: () => DataFrame): Double =
     medianSec(reps)(() => materialize(f()))
 
-  /** The r15 host-contention stamp, shared with [[graft.Bench]]'s
-    * private copy: (system busy CPU-seconds, this JVM's CPU-seconds).
+  /** The r15 host-contention stamp — THE one implementation, used by
+    * [[graft.Bench]] and the solo tools alike (the README accept rule
+    * compares `foreign_cores` across them, so the formula must not
+    * fork): (system busy CPU-seconds, this JVM's CPU-seconds).
     */
   private def cpuStamp(): (Double, Double) = {
     val busy = try {
       val src = scala.io.Source.fromFile("/proc/stat")
       val line = try src.getLines().next() finally src.close()
       val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+      // busy = everything minus idle+iowait; USER_HZ=100 jiffies.
+      // Sum only the first 8 fields (user nice system idle iowait irq
+      // softirq steal): the kernel already folds guest/guest_nice
+      // (fields 9-10) into user/nice, so including them would count a
+      // co-resident VM's CPU twice and overstate the stamp
       val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
       (f.take(8).sum - idle) / 100.0
     } catch { case _: Throwable => -1.0 }

@@ -625,5 +625,32 @@ class DailyStoreSinkSpec extends SparkSpec {
         spark.sessionState.newHadoopConf())
     }
     finally WriterLease.release(fs, live, "live-peer")
+    // standalone recovery HOLDS the lease while it works (r16 review:
+    // inspect-only was a TOCTOU against an entering writer) and
+    // releases it after
+    DailyStoreRecovery.recoverPendingCommits(dir,
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(WriterLease.lockPath(live)),
+      "recovery releases its own lease")
+  }
+
+  test("writer lease (r16): a commit that lost its lease mid-window " +
+      "(post-TTL takeover) fails loudly via assertHeld") {
+    val dir = freshDir("lease_mid")
+    days("m1", ("2020-03-01", 1, "x"))
+      .write.format("dailystore").option("path", dir)
+      .mode("append").save()
+    val fs = storeFs(dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    WriterLease.acquire(fs, live, "writer-A", WriterLease.DefaultTtlMs)
+    WriterLease.assertHeld(fs, live, "writer-A") // held: no-op
+    // simulate the takeover: A's lock expired and B claimed it
+    fs.delete(WriterLease.lockPath(live), false)
+    WriterLease.acquire(fs, live, "writer-B", WriterLease.DefaultTtlMs)
+    val e = intercept[DailyStoreConcurrentWriteException] {
+      WriterLease.assertHeld(fs, live, "writer-A")
+    }
+    assert(e.getMessage.contains("writer-B"), e.getMessage)
+    WriterLease.release(fs, live, "writer-B")
   }
 }

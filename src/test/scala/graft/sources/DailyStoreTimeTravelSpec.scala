@@ -105,6 +105,13 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
       DailyStoreRecovery.manifestPath(new Path(dir), "crash-tt"),
       "d", stagingName, Seq("d=2020-03-01"),
       Seq(("2020-03-01", "part-0-cccc.parquet")), Some(rel))
+    // a TORN store must fail the rollback reader loudly, not
+    // reconstruct without the un-replayed commit's day (r16 review)
+    val torn = intercept[IllegalArgumentException] {
+      DailyStoreTimeTravel.readVersion(spark, dir, 1)
+    }
+    assert(torn.getMessage.contains("pending commit manifest"),
+      torn.getMessage)
     DailyStoreRecovery.recoverPendingCommits(dir, hconf)
     // committed end state
     assert(rows(spark.read.parquet(dir)) == Seq(
@@ -128,10 +135,14 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
     write(days(("2020-03-01", 7, "bad"), ("2020-03-02", 8, "bad")),
       dir, "overwrite", dynamic = true)
     assert(rows(spark.read.parquet(dir)).forall(_._3 == "bad"))
-    // restore: read the prior version, day-replace it back
-    val restored = DailyStoreTimeTravel.readVersion(spark, dir, 1)
-      .localCheckpoint() // the write targets the store being read
-    write(restored, dir, "overwrite", dynamic = true)
+    // restore: read the prior version, day-replace it back (tracked
+    // checkpoint: the write targets the store being read, and the
+    // blocks must not outlive the test — a leaked localCheckpoint
+    // perturbs the registry-counting CheckpointsSpec)
+    val restored = graft.util.Checkpoints.tracked(
+      DailyStoreTimeTravel.readVersion(spark, dir, 1))
+    try write(restored.df, dir, "overwrite", dynamic = true)
+    finally restored.release()
     assert(rows(spark.read.parquet(dir)) == good)
     // the restore is itself a version: one back is the bad state
     assert(readV(dir, 1).forall(_._3 == "bad"))
