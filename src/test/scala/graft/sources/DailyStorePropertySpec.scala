@@ -160,4 +160,52 @@ object DailyStorePropertySpec extends Properties("DailyStore") {
         println(s"[dailystore-prop] ops=$ops\n got=$got\nwant=$want")
       got == want
     }
+
+  /** r16 time-travel property: on a retention-enabled store, for ANY
+    * sequence of append/static/dynamic commits, `readVersion(n)` equals
+    * the model's snapshot n commits back, for EVERY n from 0 (current)
+    * to the full history — the manifest set algebra (remove each rolled
+    * commit's added files, restore its archived ones) reconstructs
+    * every retained state exactly, across mode interleavings, multi-day
+    * batches, and repeated days.
+    */
+  property("time travel: readVersion(n) = the model n commits back") =
+    forAll(Gen.listOfN(4, opGen)) { ops =>
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"dailystore_tt_${seq.incrementAndGet()}_${System.nanoTime()}")
+        .getPath
+      DailyStoreTimeTravel.enable(spark, dir, keep = 16)
+      var model = Vector.empty[(Int, Int)]
+      var snapshots = Vector(model) // snapshots(i) = state after i commits
+      ops.foreach { op =>
+        val w = toDf(op.rows).write.format("dailystore").option("path", dir)
+        op match {
+          case Append(rows) =>
+            w.mode("append").save()
+            model = model ++ rows
+          case Static(rows) =>
+            w.mode("overwrite").save()
+            model = rows.toVector
+          case Dynamic(rows) =>
+            w.option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite").save()
+            val touched = rows.map(_._1).toSet
+            model = model.filterNot(r => touched(r._1)) ++ rows
+        }
+        snapshots :+= model
+      }
+      val results = (0 to ops.length).map { back =>
+        val got = DailyStoreTimeTravel.readVersion(spark, dir, back)
+          .select(datediff(col("d"), lit(Date.valueOf(day0))).as("d"),
+            col("n"))
+          .as[(Int, Int)].collect().sorted.toSeq
+        val want = snapshots(snapshots.length - 1 - back).sorted.toSeq
+        (back, got, want)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val bad = results.filter(r => r._2 != r._3)
+      if (bad.nonEmpty)
+        println(s"[dailystore-tt] ops=$ops\n bad=$bad")
+      bad.isEmpty
+    }
 }
