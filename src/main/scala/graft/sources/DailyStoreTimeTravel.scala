@@ -141,6 +141,49 @@ object DailyStoreTimeTravel {
   private[sources] def prune(fs: FileSystem, live: Path, keep: Int): Unit =
     versions(fs, live).drop(keep).foreach(v => fs.delete(v.dir, true))
 
+  /** Manual archive maintenance: keep only the newest `keep` versions
+    * (the commit-time prune bounds growth already; this is for
+    * tightening the horizon after the fact, e.g. before handing a
+    * store off). Returns the number of versions deleted. */
+  def vacuum(spark: SparkSession, path: String, keep: Int): Int = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val victims = versions(fs, live).drop(keep)
+    victims.foreach(v => fs.delete(v.dir, true))
+    victims.size
+  }
+
+  /** The store's commit history as a DataFrame, newest first — the
+    * DESCRIBE-HISTORY analogue for deciding how far a rollback can and
+    * should go: one row per retained version with its sequence number,
+    * writer queryId, commit time (the version dir's mtime), the days
+    * it replaced (condemned), the days it wrote, and its file counts.
+    * `versions_back` is the value to hand [[readVersion]] to read the
+    * state BEFORE that commit.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(fs, live)
+    vs.zipWithIndex.map { case (v, i) =>
+      val qid = v.dir.getName match {
+        case VersionName(_, q) => q
+        case _ => ""
+      }
+      val added = v.manifest.get("files").elements().asScala
+        .map(_.get(0).asText()).toSeq
+      val condemned = v.manifest.get("condemned").elements().asScala
+        .map(_.asText()).toSeq
+      val ts = new java.sql.Timestamp(fs.getFileStatus(v.dir)
+        .getModificationTime)
+      (v.seq, i + 1, qid, ts, condemned.sorted, added.distinct.sorted,
+        added.size)
+    }.toDF("seq", "versions_back", "query_id", "committed_at",
+      "replaced_partitions", "written_days", "n_files_written")
+  }
+
   /** The table as of `versionsBack` commits ago (0 = current state).
     * Throws if the store does not retain that many versions. The
     * returned frame has the live store's column order. */

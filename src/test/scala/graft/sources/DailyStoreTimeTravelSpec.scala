@@ -64,6 +64,24 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
     assert(readV(dir, 4) == Nil, "four back = before anything")
     val e = intercept[IllegalArgumentException] { readV(dir, 5) }
     assert(e.getMessage.contains("version"), e.getMessage)
+
+    // the DESCRIBE-HISTORY analogue: newest first, versions_back maps
+    // straight onto readVersion, day sets name what each commit did
+    val h = DailyStoreTimeTravel.history(spark, dir)
+      .select("versions_back", "replaced_partitions", "written_days",
+        "n_files_written")
+      .as[(Int, Seq[String], Seq[String], Int)].collect().toSeq
+    assert(h.map(_._1) == Seq(1, 2, 3, 4))
+    assert(h.head._2.nonEmpty, "the truncate names its replaced partitions")
+    assert(h.head._3 == Seq("2020-03-09"))
+    assert(h(2)._2 == Seq("d=2020-03-01"), "the day-replace condemned day 1")
+    assert(h(3)._2.isEmpty && h(3)._3 == Seq("2020-03-01", "2020-03-02"),
+      "the first append condemned nothing")
+
+    // vacuum tightens the horizon after the fact
+    assert(DailyStoreTimeTravel.vacuum(spark, dir, keep = 2) == 2)
+    assert(readV(dir, 2) == s2)
+    intercept[IllegalArgumentException] { readV(dir, 3) }
   }
 
   test("retention: prune keeps only the newest `keep` versions; reads " +
