@@ -175,4 +175,46 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
       DailyStoreTimeTravel.readVersion(spark, plain, 1)
     }
   }
+
+  test("integration: the streaming daily re-ingest loop composes with " +
+      "retention — a garbage micro-batch is rolled back via history + " +
+      "readVersion + an ordinary day-replace") {
+    val root = freshDir("stream_tt")
+    DailyStoreCatalog.register(spark, "dstore_tt", root)
+    try {
+      spark.sql("CREATE TABLE dstore_tt.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val tdir = s"$root/cases"
+      DailyStoreTimeTravel.enable(spark, tdir, keep = 5)
+      val ingest = graft.streaming.StreamingOps
+        .dailyReplaceEachBatch("dstore_tt.cases") _
+      // two good daily batches through the STREAMING loop's writer
+      ingest(days(("2020-03-01", 1, "good"), ("2020-03-01", 2, "good")), 0L)
+      ingest(days(("2020-03-02", 3, "good")), 1L)
+      val goodState = rows(spark.read.parquet(tdir))
+      // the garbage re-ingest day-replaces day 1 with junk
+      ingest(days(("2020-03-01", 99, "garbage")), 2L)
+      assert(rows(spark.read.parquet(tdir)).exists(_._3 == "garbage"))
+      // operator: history names the culprit commit and its day...
+      val h = DailyStoreTimeTravel.history(spark, tdir)
+        .select("versions_back", "replaced_partitions")
+        .as[(Int, Seq[String])].collect().toSeq
+      assert(h.head == ((1, Seq("d=2020-03-01"))),
+        s"newest history row must be the garbage day-replace: $h")
+      // ...and restores the pre-garbage state with an ordinary write
+      val t = graft.util.Checkpoints.tracked(
+        DailyStoreTimeTravel.readVersion(spark, tdir, 1)
+          .filter(col("d") === d("2020-03-01")))
+      try t.df.writeTo("dstore_tt.cases").overwritePartitions()
+      finally t.release()
+      assert(rows(spark.read.parquet(tdir)) == goodState)
+      // the stream keeps running on the healed store
+      ingest(days(("2020-03-03", 4, "good")), 3L)
+      assert(rows(spark.read.parquet(tdir)).map(_._2) == Seq(1, 2, 3, 4))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_tt")
+      spark.conf.unset("spark.sql.catalog.dstore_tt.root")
+      spark.conf.unset("spark.sql.catalog.dstore_tt.partitionCol")
+    }
+  }
 }
