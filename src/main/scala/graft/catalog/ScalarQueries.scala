@@ -435,6 +435,62 @@ object ScalarQueries {
       Some(
         """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      "P6 midnight truncation == 1-day tumbling window on events")
+      "P6 midnight truncation == 1-day tumbling window on events"),
+
+    // ----- dailystore time-travel rollback read (r16) -----
+    // The store is seeded ONCE per (session, dataset): v1 appends one
+    // month of orders day-partitioned on the order date, v2 day-replaces
+    // the first third of the month with corrupted (doubled) prices —
+    // the reference's "garbage re-ingest" shape. The QUERY is the
+    // read-only rollback `readVersion(1)`, whose reconstruction (manifest
+    // set algebra over live + archived files) must equal the pre-replace
+    // state — which the oracle computes INDEPENDENTLY from the raw
+    // orders table, so a reconstruction bug (file lost, day doubled,
+    // archive misread) hash-fails rather than round-tripping unnoticed.
+    // Row-level output, no aggregates: float-sum order effects can't
+    // mask anything.
+    "q98_time_travel" -> Q(
+      (s, dir) => {
+        val path = ttStore(s, dir)
+        graft.sources.DailyStoreTimeTravel.readVersion(s, path, 1)
+          .select(col("d"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("d", "o_orderkey")
+      },
+      Some(
+        """SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1995-02-01'
+          |ORDER BY d, o_orderkey""".stripMargin),
+      "time-travel rollback read == the pre-replace state, from raw data")
   )
+
+  private val ttStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val ttNonce = java.lang.Long.toHexString(System.nanoTime())
+
+  /** Seed the retention-enabled store once per (session, dataset):
+    * append the month (v1), then day-replace days 1-10 with doubled
+    * prices (v2). Calls after the first return the existing store —
+    * reps and audit sessions re-run only the read. */
+  private def ttStore(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String =
+    ttStoreCache.getOrElseUpdate((s, dir), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ttstore_${ttNonce}_${ttStoreCache.size}").getPath
+      val month = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.sources.DailyStoreTimeTravel.enable(s, path, keep = 4)
+      month.write.format("dailystore").option("path", path)
+        .mode("append").save()
+      month.filter(col("d") < lit("1995-01-11").cast("date"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.format("dailystore").option("path", path)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").save()
+      path
+    })
 }
