@@ -39,6 +39,18 @@ import org.apache.spark.sql.types.{DateType, StructType}
   * days per commit, so a rollback read is the pruned store scan plus a
   * handful of day-level unions.
   *
+  * Why no SQL `VERSION AS OF` front: Spark routes that syntax through
+  * `TableCatalog.loadTable(ident, version)`, which must return a Table
+  * whose DSv2 Scan serves the historical file set — but a rollback
+  * state mixes live files with archived ones whose partition values
+  * exist only in their directory names under `_versions/`, and Spark's
+  * parquet FileTable cannot attach per-file partition values across
+  * disjoint roots. Serving it would mean a hand-rolled parquet Scan
+  * (rejected in r14 — worse than the engine's own reader) or
+  * materializing a snapshot. The Scala [[readVersion]] composes the
+  * engine's reader per day instead; an operator action, not a query
+  * surface, by scope.
+  *
   * This is deliberately NOT a transactional table format: concurrent
   * readers of a mid-commit store see the same torn-read caveat as
   * ever, and version history is bounded by `keep`. What it adds is the
