@@ -202,10 +202,25 @@ object DailyStoreTimeTravel {
   def readVersion(spark: SparkSession, path: String, versionsBack: Int,
                   pcol: String = "d"): DataFrame = {
     require(versionsBack >= 0, s"versionsBack must be >= 0, got $versionsBack")
-    val current = spark.read.parquet(path)
-    if (versionsBack == 0) return current
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // An EMPTIED store (a truncate-to-empty commit — exactly the state
+    // a rollback reader gets reached for) has no live parquet to infer
+    // a schema from; the newest version dir is itself a hive layout
+    // (pcol= subdirs of archived files), so infer there and start from
+    // an empty frame. Plain empty-store reads still fail as ever.
+    val current =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if versionsBack > 0 =>
+          versions(fs, live).headOption match {
+            case Some(v) =>
+              val shaped = spark.read.parquet(v.dir.toString)
+              shaped.filter(org.apache.spark.sql.functions.lit(false))
+            case None => throw e
+          }
+      }
+    if (versionsBack == 0) return current
     // a TORN store (pending _commit-* manifest from a crashed commit)
     // would reconstruct WRONG here — the torn commit's archive has no
     // retained manifest yet, so its day would silently vanish from the

@@ -143,6 +143,25 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
       (d("2020-03-01"), 1, "old"), (d("2020-03-02"), 2, "keep")))
   }
 
+  test("retention: rolling back a truncate-to-EMPTY store works — the " +
+      "schema comes from the newest archive when no live parquet exists") {
+    val dir = freshDir("empty")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 5)
+    write(days(("2020-03-01", 1, "a"), ("2020-03-02", 2, "b")), dir)
+    // truncate to EMPTY: static overwrite with zero rows condemns every
+    // day and writes none — the exact state a rollback reader exists for
+    write(days().filter(lit(false)), dir, "overwrite")
+    intercept[Exception] { spark.read.parquet(dir).collect() }
+    assert(readV(dir, 1) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-02"), 2, "b")),
+      "one back = the pre-truncate table")
+    assert(readV(dir, 2) == Nil, "two back = before anything")
+    // restore through the ordinary write path brings the store back
+    write(DailyStoreTimeTravel.readVersion(spark, dir, 1), dir, "overwrite")
+    assert(rows(spark.read.parquet(dir)) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-02"), 2, "b")))
+  }
+
   test("retention: restore is an ordinary (itself versioned) write; " +
       "plain stores keep exact r15 behavior (no _versions, no marker)") {
     val dir = freshDir("restore")
