@@ -636,6 +636,46 @@ object TextQueries {
            |      ORDER BY ${bucketSql("doc_id", "v1")}, doc_id) AS rk
            |  FROM documents)
            |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
-      "exactly-k-per-group hash-ranked sample via the bounded-buffer aggregate")
+      "exactly-k-per-group hash-ranked sample via the bounded-buffer aggregate"),
+
+    // ----- BM25 retrieval: top-10 docs for a fixed query (r16) -----
+    // Rational (ln-free) Robertson idf + long micro-point score sums
+    // keep the hash compare exact cross-engine (Bm25 scaladoc); the
+    // narrow tokenize projection is checkpointed once (the q85 pattern)
+    // and feeds all three consumers. Full-work oracle: DuckDB rebuilds
+    // df/dl/corpus stats from the same tokens with the identically
+    // parenthesized score expression.
+    "q99_bm25_topk" -> Q(
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window", "vector")
+        val narrow = graft.util.Checkpoints.scoped(s"q99:$dir")(
+          graft.text.Bm25.narrowForTerms(Tables(s, dir, "documents"), terms))
+        graft.text.Bm25.topKFromNarrow(narrow, k = 10)
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |              CAST(SUM(LEN(toks)) AS BIGINT) AS tot_tokens FROM t),
+           |h AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |      FROM (SELECT doc_id, UNNEST(toks) AS term FROM t)
+           |      WHERE term IN ('spark', 'join', 'window', 'vector')
+           |      GROUP BY 1, 2),
+           |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1),
+           |dls AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM t),
+           |sc AS (SELECT h.doc_id,
+           |  CAST(FLOOR(
+           |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |      / (CAST(df AS DOUBLE) + 0.5))
+           |    * ((CAST(tf AS DOUBLE) * 2.25)
+           |      / (CAST(tf AS DOUBLE) + 1.25 * (1.0 - 0.75 + 0.75
+           |          * (CAST(dl AS DOUBLE)
+           |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+           |    * 1000000.0) AS BIGINT) AS micro
+           |  FROM h JOIN dfc USING (term) JOIN dls USING (doc_id) CROSS JOIN st)
+           |SELECT doc_id, COUNT(*) AS n_terms,
+           |  CAST(SUM(micro) AS BIGINT) AS score_micro
+           |FROM sc GROUP BY doc_id
+           |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
+      "BM25 top-k retrieval; ln-free idf + micro-point long sums, hash-exact")
   )
 }
