@@ -676,6 +676,38 @@ object TextQueries {
            |  CAST(SUM(micro) AS BIGINT) AS score_micro
            |FROM sc GROUP BY doc_id
            |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
-      "BM25 top-k retrieval; ln-free idf + micro-point long sums, hash-exact")
+      "BM25 top-k retrieval; ln-free idf + micro-point long sums, hash-exact"),
+
+    // ----- PMI collocations: top-20 bigrams by lift (r16) -----
+    // Linear lift (PMI minus the monotone log) keeps the double
+    // arithmetic bit-identical cross-engine; counts are exact longs
+    // (DuckDB SUMs cast to BIGINT before the double division — the
+    // HUGEINT trap). The Spark side memoizes the two count tables so
+    // the corpus tokenizes twice, not five times (Collocations scaladoc).
+    "q100_pmi_bigrams" -> Q(
+      (s, dir) => graft.text.Collocations.topBigramsByLift(
+        Tables(s, dir, "documents"), minCount = 5L, k = 20,
+        memoKey = Some(s"q100:$dir")),
+      Some(
+        s"""WITH t AS (SELECT $toksSql AS t FROM documents),
+           |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+           |       FROM t, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)),
+           |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+           |        FROM bi GROUP BY 1, 2),
+           |unic AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM (SELECT UNNEST(t) AS w FROM t) GROUP BY 1),
+           |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM unic) AS n_uni,
+           |               (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bic) AS n_bi)
+           |SELECT w1 || ' ' || w2 AS bigram, c_xy, x.c AS c_x, y.c AS c_y,
+           |  (CAST(c_xy AS DOUBLE) / CAST(n_bi AS DOUBLE))
+           |    / ((CAST(x.c AS DOUBLE) / CAST(n_uni AS DOUBLE))
+           |       * (CAST(y.c AS DOUBLE) / CAST(n_uni AS DOUBLE))) AS lift
+           |FROM bic
+           |JOIN unic x ON bic.w1 = x.w
+           |JOIN unic y ON bic.w2 = y.w
+           |CROSS JOIN tot
+           |WHERE c_xy >= 5
+           |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin),
+      "top-k adjacent-bigram collocations by ln-free PMI lift")
   )
 }

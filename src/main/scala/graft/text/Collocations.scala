@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collocation mining: top-k adjacent bigrams by PMI lift.
+  *
+  * The corpus-analysis companion to [[graft.ops.Segments.topSegments]]
+  * (boilerplate = repeated LONG spans): collocations are the SHORT
+  * spans whose parts co-occur far above chance — multiword entities,
+  * templated phrases — the units a tokenizer-vocabulary or phrase-table
+  * builder extracts, and another lens a curation pipeline uses to tell
+  * natural prose from keyword-stuffed spam (whose adjacent pairs hug
+  * independence).
+  *
+  * The score is the LINEAR lift `p(xy) / (p(x) p(y))` — PMI without the
+  * `log`: `log` is monotone so the ranking is identical, and dropping
+  * it keeps every op an exactly-rounded IEEE division/multiplication
+  * that is bit-identical cross-engine (the [[Tfidf]] / [[Bm25]] ln-free
+  * doctrine), so the oracle hash-compares the raw doubles. All counts
+  * are exact longs; the lift expression tree is mirrored token-for-token
+  * in the oracle SQL.
+  *
+  * Plan shape (scale): bigram and unigram counts are partial-aggregated
+  * map-side before their exchanges (decomposable counts — the
+  * [[graft.ops.Skew]] doctrine's good case: hot tokens collapse in the
+  * partial phase). The unigram table is vocabulary-sized, so the two
+  * enrichment joins (`w1`, `w2`) are deliberately SHUFFLE joins of
+  * pre-aggregated frames — broadcasting an unbounded vocabulary is the
+  * scale-killer [[Tfidf]]'s df-table note rejects; both join inputs
+  * ship one row per key, never tokens. Corpus totals ride a 1-row
+  * broadcast cross join, and the final top-k is a
+  * `TakeOrderedAndProject`, so nothing unbounded ever converges on one
+  * node. `minCount` prunes the singleton-bigram tail BEFORE the joins —
+  * on a web corpus that is the mass of the bigram table, and dropping
+  * it early also drops the lift-ranking pathology (rare pairs of rare
+  * words have unbounded lift).
+  */
+object Collocations {
+
+  /** Top-`k` bigrams with `c_xy >= minCount` by descending lift, ties
+    * broken by the bigram text. Returns
+    * `(bigram, c_xy, c_x, c_y, lift)`.
+    *
+    * `memoKey` (the q85/q99 pattern): the unigram and bigram COUNT
+    * tables are each consumed more than once (joins + corpus totals);
+    * a key scopes a [[graft.util.Checkpoints]] checkpoint of the two
+    * AGGREGATED frames — vocabulary-sized, never the token stream — so
+    * the corpus tokenizes exactly twice (once per count shape) instead
+    * of five times. Without a key the frames re-derive from the scan.
+    */
+  def topBigramsByLift(docs: DataFrame, minCount: Long, k: Int,
+                       memoKey: Option[String] = None): DataFrame = {
+    def memo(tag: String)(df: DataFrame): DataFrame =
+      memoKey.fold(df)(mk => graft.util.Checkpoints.scoped(s"$mk:$tag")(df))
+    val toks = docs.select(TextAnalysis.wsTokens(col("text")).as("t"))
+    val n1 = greatest(size(col("t")) - lit(1), lit(0))
+    val bi = toks
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), n1).as("w1"),
+        slice(col("t"), lit(2), n1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biAll = memo("bi")(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
+    val uniC = memo("uni")(
+      toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val biC = biAll.filter(col("c_xy") >= minCount)
+    val totals = uniC.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(biAll.agg(sum(col("c_xy")).as("n_bi")))
+
+    val lift =
+      (col("c_xy").cast("double") / col("n_bi").cast("double")) /
+        ((col("c_x").cast("double") / col("n_uni").cast("double")) *
+          (col("c_y").cast("double") / col("n_uni").cast("double")))
+
+    biC
+      .join(uniC.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uniC.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(k)
+  }
+}
