@@ -300,7 +300,60 @@ object SimilarityQueries {
           |FROM e JOIN n USING (grp)
           |GROUP BY e.grp, e.pos
           |ORDER BY grp, pos""".stripMargin),
-      "grouped exact-quantized mean vectors: dense aggregate buffer vs the oracle's explode plan")
+      "grouped exact-quantized mean vectors: dense aggregate buffer vs the oracle's explode plan"),
+
+    // ----- int8-quantized cosine top-10 (r16) -----
+    // The 4x-cheaper ANN scan: per-vector symmetric int8 quantization
+    // (floor(x*127/max|x| + 0.5)) + a LONG-accumulated dot, both native
+    // codegen (QuantizedVec scaladoc). Integer accumulation makes the
+    // score order-independent-exact, so this entry hash-matches a
+    // full-work DuckDB oracle that quantizes and scores the same way —
+    // where the float cosine entries need ROUND(6) to mask double-sum
+    // ordering, the int8 path is exact BY CONSTRUCTION (rounded here
+    // only because the final division is mirrored, not summed).
+    "q101_quantized_cosine_topk" -> Q(
+      (s, dir) => {
+        graft.functions.QuantizedVec.register(s)
+        val qBytes = graft.functions.QuantizedVec.quantizeFloats(
+          queryVec(s, dir).toArray)
+        val qLit = array(qBytes.map(b => lit(b)): _*)
+        Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.functions.QuantizedVec.int8Cosine(
+              graft.functions.QuantizedVec.int8Quantize(col("embedding")),
+              qLit), 6).as("cosine_q"))
+          .orderBy(desc("cosine_q"), col("vec_id")).limit(10)
+      },
+      Some(
+        """WITH qm AS (
+          |  SELECT embedding AS e,
+          |    LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+          |  FROM embeddings WHERE vec_id = 0),
+          |q AS (
+          |  SELECT i, CASE WHEN m > 0.0
+          |    THEN CAST(FLOOR(CAST(e[i] AS DOUBLE) * (127.0 / m) + 0.5) AS BIGINT)
+          |    ELSE 0 END AS qx
+          |  FROM qm, UNNEST(RANGE(1, LEN(e) + 1)) AS u(i)),
+          |em AS (
+          |  SELECT vec_id, embedding AS e,
+          |    LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+          |  FROM embeddings),
+          |ev AS (
+          |  SELECT vec_id, i, CASE WHEN m > 0.0
+          |    THEN CAST(FLOOR(CAST(e[i] AS DOUBLE) * (127.0 / m) + 0.5) AS BIGINT)
+          |    ELSE 0 END AS x
+          |  FROM em, UNNEST(RANGE(1, LEN(e) + 1)) AS u(i)),
+          |dots AS (
+          |  SELECT ev.vec_id, CAST(SUM(ev.x * q.qx) AS BIGINT) AS dot,
+          |         CAST(SUM(ev.x * ev.x) AS BIGINT) AS n2
+          |  FROM ev JOIN q USING (i) GROUP BY ev.vec_id),
+          |qn AS (SELECT CAST(SUM(qx * qx) AS BIGINT) AS qn2 FROM q)
+          |SELECT vec_id,
+          |  ROUND(CAST(dot AS DOUBLE)
+          |    / (SQRT(CAST(n2 AS DOUBLE)) * SQRT(CAST(qn2 AS DOUBLE))), 6) AS cosine_q
+          |FROM dots, qn WHERE vec_id <> 0
+          |ORDER BY cosine_q DESC, vec_id LIMIT 10""".stripMargin),
+      "int8-quantized cosine top-k: 4x scan-byte cut, exact long accumulation")
   )
 
   /** Drop the memoized per-dataset state ([[graft.catalog.DedupQueries

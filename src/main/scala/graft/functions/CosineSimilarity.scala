@@ -122,6 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("cosine_sim", classOf[CosineSimilarity].getName,
         es => CosineSimilarity(es(0), es(1))),
+      ("int8_quantize", classOf[Int8Quantize].getName,
+        es => Int8Quantize(es(0))),
+      ("int8_cosine", classOf[Int8Cosine].getName,
+        es => Int8Cosine(es(0), es(1))),
       ("stopword_counts", classOf[StopwordCountsExpr].getName,
         es => StopwordCountsExpr(es(0))),
       ("sig_overlap", classOf[SigOverlap].getName,
