@@ -110,7 +110,14 @@ object Bench {
     // weighted-fold two-phase shape on a low-cardinality column
     // (l_discount, 11 distinct): the exchange ships ~66 rows for the
     // 60M-row sf1 scan while DuckDB buffers the full column
-    "q97_weighted_percentiles")
+    "q97_weighted_percentiles",
+    // r16: BM25 top-k (memoized narrow tokenize + broadcast df table,
+    // one doc-keyed exchange) and PMI bigram lift (memoized count
+    // tables, minCount prune before the vocab-keyed joins) — both scan
+    // the full documents table; q101 is the int8-quantized cosine scan
+    // over the full embeddings table (zero shuffles, 4x scan-byte cut
+    // vs the float path it A/Bs against via q43)
+    "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -151,7 +158,10 @@ object Bench {
     // q94 streams the full corpus through k-element group buffers
     "q92_quality_classifier", "q93_embedding_centroids",
     "q94_balanced_sample", "q95_neardup_safe_split",
-    "q97_weighted_percentiles")
+    "q97_weighted_percentiles",
+    // q99/q100 tokenize the full documents table (query terms / the
+    // minCount threshold stay fixed); q101 scans every embedding row
+    "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let

@@ -682,12 +682,15 @@ object TextQueries {
     // Linear lift (PMI minus the monotone log) keeps the double
     // arithmetic bit-identical cross-engine; counts are exact longs
     // (DuckDB SUMs cast to BIGINT before the double division — the
-    // HUGEINT trap). The Spark side memoizes the two count tables so
-    // the corpus tokenizes twice, not five times (Collocations scaladoc).
+    // HUGEINT trap). No memoKey: the same-JVM A/B (FloorTwins r16)
+    // measured the checkpointed count tables at 2.82 s vs 1.46 s
+    // recomputed at sf1 — ReuseExchange already dedups the identical
+    // count subtrees, so the memo only adds block-store round-trips of
+    // the corpus-bigram-scaled table (Collocations scaladoc).
     "q100_pmi_bigrams" -> Q(
       (s, dir) => graft.text.Collocations.topBigramsByLift(
         Tables(s, dir, "documents"), minCount = 5L, k = 20,
-        memoKey = Some(s"q100:$dir")),
+        memoKey = None),
       Some(
         s"""WITH t AS (SELECT $toksSql AS t FROM documents),
            |bi AS (SELECT t[i] AS w1, t[i+1] AS w2

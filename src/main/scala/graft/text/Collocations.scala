@@ -42,12 +42,16 @@ object Collocations {
     * broken by the bigram text. Returns
     * `(bigram, c_xy, c_x, c_y, lift)`.
     *
-    * `memoKey` (the q85/q99 pattern): the unigram and bigram COUNT
-    * tables are each consumed more than once (joins + corpus totals);
-    * a key scopes a [[graft.util.Checkpoints]] checkpoint of the two
-    * AGGREGATED frames — vocabulary-sized, never the token stream — so
-    * the corpus tokenizes exactly twice (once per count shape) instead
-    * of five times. Without a key the frames re-derive from the scan.
+    * `memoKey` scopes a [[graft.util.Checkpoints]] checkpoint of the
+    * two AGGREGATED count frames. MEASURED NEGATIVE for one-shot use
+    * (FloorTwins r16, sf1, same JVM): 2.82 s checkpointed vs 1.46 s
+    * recomputed — the multiply-consumed count subtrees are CANONICALLY
+    * IDENTICAL, so ReuseExchange already computes each once per
+    * execution, and the checkpoint only adds a block-store write+read
+    * of the corpus-bigram-scaled table. Default to `None`; a key pays
+    * only when the tables outlive one execution (several DIFFERENT
+    * downstream queries over the same corpus's counts), which is why
+    * the parameter survives the measurement.
     */
   def topBigramsByLift(docs: DataFrame, minCount: Long, k: Int,
                        memoKey: Option[String] = None): DataFrame = {

@@ -39,6 +39,27 @@ import org.apache.spark.sql.functions._
   *    the operator's declared work, zero shuffle either way.
   *
   *   sbt "runMain graft.tools.FloorTwins data/sf1 5"
+  *
+  * r16 second wave — the three new headline members, timed full +
+  * floor twin in one JVM:
+  *
+  *  - q99_full / q99_nomemo / q100_full / q100_nomemo / tok_twin: the
+  *    BM25 and PMI queries via the catalog AND with the memo state
+  *    forced off, against the shared tokenize floor (explode(ws_tokens)
+  *    → global count, no vocab exchange). For q99 (narrow frame
+  *    memoized, the q85 pattern) full is the post-seed rep cost and
+  *    nomemo−tok is the scorer/joins cost. For q100 this pair IS the
+  *    measurement that flipped the catalog to memoKey=None: 2.82 s
+  *    checkpointed vs 1.46 s recomputed (ReuseExchange already dedups
+  *    the identical count subtrees), so both legs now time the
+  *    recompute shape.
+  *  - q101_full / q101_twin_scan / q43_full: the int8-quantized cosine
+  *    scan vs the bare embeddings decode (sum(size)) and vs the FLOAT
+  *    cosine top-k (q43) in the SAME JVM — the honest same-session A/B
+  *    for the "cheaper scan" claim (the stored column is float either
+  *    way locally; the 4x byte cut materializes when the int8 column is
+  *    persisted, which [[QuantizedVecSpec]] pins — here the datum is
+  *    the long-dot vs float-dot compute shape).
   */
 object FloorTwins {
   def main(args: Array[String]): Unit = {
@@ -108,6 +129,46 @@ object FloorTwins {
       graft.Tables(spark, dir, "documents")
         .agg(sum(length(col("text"))).as("chars"))
 
+    val bm25Terms = Seq("spark", "join", "window", "vector")
+
+    def q99Full(): DataFrame =
+      graft.SparkEntry.queries("q99_bm25_topk")(spark, dir)
+
+    // memo disabled: the narrow frame is rebuilt by each of its three
+    // consumers — what a one-shot (non-seeded) execution pays
+    def q99Nomemo(): DataFrame =
+      graft.text.Bm25.topKFromNarrow(
+        graft.text.Bm25.narrowForTerms(
+          graft.Tables(spark, dir, "documents"), bm25Terms), k = 10)
+
+    def q100Full(): DataFrame =
+      graft.SparkEntry.queries("q100_pmi_bigrams")(spark, dir)
+
+    def q100Nomemo(): DataFrame =
+      graft.text.Collocations.topBigramsByLift(
+        graft.Tables(spark, dir, "documents"), minCount = 5L, k = 20,
+        memoKey = None)
+
+    // the shared tokenize floor: one explode(ws_tokens) pass, global
+    // count only — no vocab-keyed exchange
+    def tokTwin(): DataFrame =
+      graft.Tables(spark, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.wsTokens(col("text")))
+          .as("w"))
+        .agg(count(lit(1)).as("n"))
+
+    def q101Full(): DataFrame =
+      graft.SparkEntry.queries("q101_quantized_cosine_topk")(spark, dir)
+
+    // the bare embeddings decode: same pushed filter, O(1)/row fold
+    def q101TwinScan(): DataFrame =
+      graft.Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .agg(sum(size(col("embedding"))).as("n"))
+
+    def q43Full(): DataFrame =
+      graft.SparkEntry.queries("q43_cosine_topk_native")(spark, dir)
+
     def med(f: () => DataFrame): Double = Timing.medianDf(reps)(f)
 
     val ((j, s84, n84, f97, c97, s97, f90, s90), foreign) =
@@ -116,7 +177,13 @@ object FloorTwins {
           med(q97Full _), med(q97TwinCount _), med(q97TwinScan _),
           med(q90Full _), med(q90TwinScan _))
       }
-    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"foreign_cores":$foreign%.2f,"dir":"$dir"}""")
+    val ((f99, n99, f100, n100, tok, f101, s101, f43), foreign2) =
+      Timing.withForeignCores {
+        (med(q99Full _), med(q99Nomemo _), med(q100Full _),
+          med(q100Nomemo _), med(tokTwin _), med(q101Full _),
+          med(q101TwinScan _), med(q43Full _))
+      }
+    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"foreign_cores":$foreign%.2f,"q99_full_sec":$f99%.3f,"q99_nomemo_sec":$n99%.3f,"q100_full_sec":$f100%.3f,"q100_nomemo_sec":$n100%.3f,"tok_twin_sec":$tok%.3f,"q101_full_sec":$f101%.3f,"q101_twin_scan_sec":$s101%.3f,"q43_full_sec":$f43%.3f,"foreign_cores_r16":$foreign2%.2f,"dir":"$dir"}""")
     spark.stop()
   }
 }
