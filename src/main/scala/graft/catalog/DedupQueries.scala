@@ -985,7 +985,45 @@ object DedupQueries {
            |       WHEN b < 0.9 THEN 'val'
            |       ELSE 'test' END AS split
            |FROM b ORDER BY doc_id""".stripMargin),
-      "near-dup-cluster-aware split: CC canonical reps key the train/eval assignment")
+      "near-dup-cluster-aware split: CC canonical reps key the train/eval assignment"),
+
+    // ----- span-level exact-substring dedup stats (r16) -----
+    // Lee et al. 2022's exact-substring dedup re-expressed Spark-native
+    // (SpanDedup scaladoc): row-local w-token window keys, one
+    // map-side-combined groupBy(key) exchange, a semi join back, and a
+    // per-document interval union. The Spark side runs its SCALE shape
+    // (xxhash64 window keys, 8 bytes on the wire); the oracle groups by
+    // the window TEXT — identical output unless xxhash64 collides on
+    // two distinct windows of this corpus, which SpanDedupSpec pins
+    // against and this parity row re-checks every round.
+    "q102_span_dedup" -> Q(
+      (s, dir) => graft.dedup.SpanDedup.stats(
+          Tables(s, dir, "documents"), w = 8)
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |                x -> LEN(x) > 0) AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, s AS pos, ARRAY_TO_STRING(t[s:s+7], ' ') AS k
+          |      FROM t, UNNEST(RANGE(1, GREATEST(LEN(t) - 8 + 1, 0) + 1)) AS u(s)),
+          |c AS (SELECT k FROM g GROUP BY k HAVING COUNT(*) >= 2),
+          |p AS (SELECT doc_id, pos FROM g WHERE k IN (SELECT k FROM c)),
+          |i AS (SELECT doc_id, pos,
+          |        CASE WHEN pm IS NULL OR pos > pm + 8 THEN 1 ELSE 0 END AS f
+          |      FROM (SELECT doc_id, pos,
+          |              MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |            FROM p)),
+          |s AS (SELECT doc_id, pos,
+          |        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i),
+          |sp AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 8 AS en
+          |       FROM s GROUP BY doc_id, isl)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+          |       CAST(SUM(en - st) AS BIGINT) AS dup_tokens
+          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "exact-substring span dedup: merged duplicated w-token spans per document")
   )
 
   /** Drop every memoized frame this module holds for `dir` and release

@@ -140,6 +140,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => ShingleFingerprint(es(0), intArg(es(1)))),
       ("repetition_counts", classOf[RepetitionCounts].getName,
         es => RepetitionCounts(es(0))),
+      ("token_window_hashes", classOf[TokenWindowHashes].getName,
+        es => TokenWindowHashes(es(0), intArg(es(1)))),
       ("hashed_score", classOf[HashedScoreExpr].getName,
         es => HashedScoreExpr(es(0), es(1).eval().toString)),
       ("segment_hashes", classOf[SegmentHashes].getName,

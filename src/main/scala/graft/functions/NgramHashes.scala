@@ -241,6 +241,11 @@ object Texts {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_counts", exprs => RepetitionCounts(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_window_hashes",
+      exprs => TokenWindowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_ids",
       exprs => BoundedIds(exprs.init,
         exprs.last.eval().asInstanceOf[Number].intValue()),
