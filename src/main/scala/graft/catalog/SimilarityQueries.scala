@@ -353,7 +353,101 @@ object SimilarityQueries {
           |    / (SQRT(CAST(n2 AS DOUBLE)) * SQRT(CAST(qn2 AS DOUBLE))), 6) AS cosine_q
           |FROM dots, qn WHERE vec_id <> 0
           |ORDER BY cosine_q DESC, vec_id LIMIT 10""".stripMargin),
-      "int8-quantized cosine top-k: 4x scan-byte cut, exact long accumulation")
+      "int8-quantized cosine top-k: 4x scan-byte cut, exact long accumulation"),
+
+    // ----- RRF hybrid retrieval: BM25 arm + int8-cosine arm (r16) -----
+    // The two r16 retrieval arms (q99's lexical top-k on doc_id, q101's
+    // quantized-vector top-k on the 1:1-aligned vec_id) fused on RANKS
+    // via nano-point integer reciprocals (HybridRetrieval scaladoc) —
+    // no float enters the fusion, so the oracle mirrors both arms and
+    // the exact `div`/sum tree and hash-matches.
+    "q103_rrf_fusion" -> Q(
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window", "vector")
+        val narrow = graft.util.Checkpoints.scoped(s"q103:$dir")(
+          graft.text.Bm25.narrowForTerms(Tables(s, dir, "documents"), terms))
+        val lex = graft.similarity.HybridRetrieval.ranked(
+          graft.text.Bm25.topKFromNarrow(narrow, k = 20),
+          "doc_id", col("score_micro").desc, col("doc_id").asc)
+        graft.functions.QuantizedVec.register(s)
+        val qLit = array(graft.functions.QuantizedVec.quantizeFloats(
+          queryVec(s, dir).toArray).map(b => lit(b)): _*)
+        val vecTop = Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.functions.QuantizedVec.int8Cosine(
+              graft.functions.QuantizedVec.int8Quantize(col("embedding")),
+              qLit), 6).as("cosine_q"))
+          .orderBy(desc("cosine_q"), col("vec_id")).limit(20)
+        val vec = graft.similarity.HybridRetrieval.ranked(
+          vecTop, "vec_id", col("cosine_q").desc, col("vec_id").asc)
+        graft.similarity.HybridRetrieval.rrfFuse(Seq(lex, vec), k = 10)
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |                x -> LEN(x) > 0) AS toks
+          |  FROM documents),
+          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |              CAST(SUM(LEN(toks)) AS BIGINT) AS tot_tokens FROM t),
+          |h AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          |      FROM (SELECT doc_id, UNNEST(toks) AS term FROM t)
+          |      WHERE term IN ('spark', 'join', 'window', 'vector')
+          |      GROUP BY 1, 2),
+          |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1),
+          |dls AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM t),
+          |sc AS (SELECT h.doc_id,
+          |  CAST(FLOOR(
+          |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          |      / (CAST(df AS DOUBLE) + 0.5))
+          |    * ((CAST(tf AS DOUBLE) * 2.25)
+          |      / (CAST(tf AS DOUBLE) + 1.25 * (1.0 - 0.75 + 0.75
+          |          * (CAST(dl AS DOUBLE)
+          |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          |    * 1000000.0) AS BIGINT) AS micro
+          |  FROM h JOIN dfc USING (term) JOIN dls USING (doc_id) CROSS JOIN st),
+          |lexs AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+          |         FROM sc GROUP BY doc_id
+          |         ORDER BY score_micro DESC, doc_id LIMIT 20),
+          |lex AS (SELECT doc_id AS id,
+          |          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r
+          |        FROM lexs),
+          |qm AS (SELECT embedding AS e,
+          |         LIST_MAX(LIST_TRANSFORM(embedding,
+          |           x -> ABS(CAST(x AS DOUBLE)))) AS m
+          |       FROM embeddings WHERE vec_id = 0),
+          |q AS (SELECT i, CASE WHEN m > 0.0
+          |        THEN CAST(FLOOR(CAST(e[i] AS DOUBLE) * (127.0 / m) + 0.5) AS BIGINT)
+          |        ELSE 0 END AS qx
+          |      FROM qm, UNNEST(RANGE(1, LEN(e) + 1)) AS u(i)),
+          |em AS (SELECT vec_id, embedding AS e,
+          |         LIST_MAX(LIST_TRANSFORM(embedding,
+          |           x -> ABS(CAST(x AS DOUBLE)))) AS m
+          |       FROM embeddings),
+          |ev AS (SELECT vec_id, i, CASE WHEN m > 0.0
+          |        THEN CAST(FLOOR(CAST(e[i] AS DOUBLE) * (127.0 / m) + 0.5) AS BIGINT)
+          |        ELSE 0 END AS x
+          |      FROM em, UNNEST(RANGE(1, LEN(e) + 1)) AS u(i)),
+          |dots AS (SELECT ev.vec_id, CAST(SUM(ev.x * q.qx) AS BIGINT) AS dot,
+          |                CAST(SUM(ev.x * ev.x) AS BIGINT) AS n2
+          |         FROM ev JOIN q USING (i) GROUP BY ev.vec_id),
+          |qn AS (SELECT CAST(SUM(qx * qx) AS BIGINT) AS qn2 FROM q),
+          |vecs AS (SELECT vec_id,
+          |           ROUND(CAST(dot AS DOUBLE)
+          |             / (SQRT(CAST(n2 AS DOUBLE)) * SQRT(CAST(qn2 AS DOUBLE))), 6)
+          |             AS cosine_q
+          |         FROM dots, qn WHERE vec_id <> 0
+          |         ORDER BY cosine_q DESC, vec_id LIMIT 20),
+          |vec AS (SELECT vec_id AS id,
+          |          ROW_NUMBER() OVER (ORDER BY cosine_q DESC, vec_id) AS r
+          |        FROM vecs),
+          |u AS (SELECT id, 1000000000 // (60 + r) AS pts FROM lex
+          |      UNION ALL
+          |      SELECT id, 1000000000 // (60 + r) AS pts FROM vec)
+          |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+          |       CAST(SUM(pts) AS BIGINT) AS rrf_nano
+          |FROM u GROUP BY id ORDER BY rrf_nano DESC, id LIMIT 10""".stripMargin),
+      "RRF hybrid retrieval: nano-point integer reciprocal ranks fuse the lexical and vector arms")
   )
 
   /** Drop the memoized per-dataset state ([[graft.catalog.DedupQueries
