@@ -117,7 +117,12 @@ object Bench {
     // the full documents table; q101 is the int8-quantized cosine scan
     // over the full embeddings table (zero shuffles, 4x scan-byte cut
     // vs the float path it A/Bs against via q43)
-    "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk")
+    "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk",
+    // r16: span-level exact-substring dedup — the fused window-hash
+    // scan + dup-key exchange + interval union over the full corpus
+    // (q103 is NOT a member: its arms are q99/q101, already timed;
+    // the fusion itself is O(k) rows)
+    "q102_span_dedup")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -160,8 +165,10 @@ object Bench {
     "q94_balanced_sample", "q95_neardup_safe_split",
     "q97_weighted_percentiles",
     // q99/q100 tokenize the full documents table (query terms / the
-    // minCount threshold stay fixed); q101 scans every embedding row
-    "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk")
+    // minCount threshold stay fixed); q101 scans every embedding row;
+    // q102 window-hashes every token of the corpus
+    "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk",
+    "q102_span_dedup")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let

@@ -711,6 +711,37 @@ object TextQueries {
            |CROSS JOIN tot
            |WHERE c_xy >= 5
            |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin),
-      "top-k adjacent-bigram collocations by ln-free PMI lift")
+      "top-k adjacent-bigram collocations by ln-free PMI lift"),
+
+    // ----- bigram-LM fluency scoring: 25 least fluent docs (r16) -----
+    // The CCNet/KenLM-style n-gram quality filter with the model
+    // reduced to exact arithmetic (BigramLm scaladoc): conditional
+    // bigram probabilities in integer micro-points, long sums per doc,
+    // one mirrored double division for the ordering. The Spark side
+    // joins occurrences to the model on the 8-byte bigram hash (the
+    // q102 key doctrine); the oracle joins on the bigram text —
+    // BigramLmSpec pins the equality.
+    "q104_least_fluent" -> Q(
+      (s, dir) => graft.text.BigramLm.leastFluent(
+        Tables(s, dir, "documents"), k = 25),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           |       FROM t, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)),
+           |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+           |        FROM bi GROUP BY 1, 2),
+           |cf AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_first
+           |       FROM bic GROUP BY 1),
+           |m AS (SELECT w1, w2, (c_xy * 1000000) // c_first AS micro
+           |      FROM bic JOIN cf USING (w1)),
+           |occ AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM bi GROUP BY 1, 2, 3),
+           |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(n * micro) AS BIGINT) AS sum_micro
+           |       FROM occ JOIN m USING (w1, w2) GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, sum_micro,
+           |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+           |FROM sc ORDER BY fluency ASC, doc_id LIMIT 25""".stripMargin),
+      "bigram-LM fluency filter: exact micro-point conditional probabilities, least-fluent top-k")
   )
 }

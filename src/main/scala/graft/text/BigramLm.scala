@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model fluency scoring: train conditional-bigram
+  * counts on the corpus, score every document by its average
+  * conditional bigram probability — the n-gram-LM quality filter of
+  * the CCNet/KenLM lineage (documents whose adjacent-word transitions
+  * are improbable under the corpus's own statistics are boilerplate,
+  * keyword stuffing, or mojibake), with the model reduced to what an
+  * exact cross-engine oracle can mirror.
+  *
+  * The score is ln-free and integer-exact (the [[Bm25]] /
+  * [[Collocations]] doctrine): per bigram, `micro(y|x) = (c_xy * 1e6)
+  * div c_first(x)` — the conditional probability in exact micro-points
+  * by integer division, where `c_first(x) = Σ_y c_xy` (x's
+  * first-position occurrences, derived from the bigram table itself so
+  * the distribution sums to 1e6 per head word). A document's
+  * `sum_micro` and `n_bigrams` are exact long sums; the reported
+  * `fluency = sum_micro / n_bigrams` is ONE double division mirrored
+  * in the oracle (exactly rounded IEEE — bit-identical), used only for
+  * the final ordering. A perplexity would be the geometric rather than
+  * arithmetic mean of the same per-bigram probabilities — monotone
+  * log-sums an exact oracle cannot mirror; the arithmetic mean ranks
+  * the same pathologies (a doc of never-seen-together words scores
+  * near zero either way).
+  *
+  * Plan shape (scale): the count tables ship ONE ROW PER KEY after
+  * map-side partial aggregation (never token streams — the
+  * [[Collocations]] join doctrine); the per-document occurrence stream
+  * collapses to one row per DISTINCT (doc, bigram) BEFORE the model
+  * join (spam's repeated bigrams — exactly the skew case — fold
+  * map-side), and that join is keyed by the 8-byte `xxhash64` of the
+  * bigram (`useHashKey`), never the bigram text (the
+  * [[graft.dedup.SpanDedup]] key doctrine: the text-keyed variant
+  * exists for the oracle, BigramLmSpec pins equality, and a collision
+  * only perturbs one bigram's probability). Scoring the corpus the
+  * model was trained on makes the model join an inner join by
+  * construction; scoring OTHER documents against a trained corpus
+  * would left-join with a zero default — the out-of-vocabulary
+  * transition is maximally non-fluent.
+  */
+object BigramLm {
+
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("t"))
+    val n1 = greatest(size(col("t")) - lit(1), lit(0))
+    toks
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), n1).as("w1"),
+        slice(col("t"), lit(2), n1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  private def keyed(df: DataFrame, useHashKey: Boolean): DataFrame =
+    if (useHashKey)
+      df.withColumn("bk", xxhash64(concat_ws(" ", col("w1"), col("w2"))))
+    else
+      df.withColumn("bk", concat_ws(" ", col("w1"), col("w2")))
+
+  /** Per-document fluency: `(doc_id, n_bigrams, sum_micro, fluency)`
+    * for every document with at least one bigram, the corpus itself
+    * being the training set.
+    */
+  def fluencyScores(docs: DataFrame,
+                    useHashKey: Boolean = true): DataFrame = {
+    val bi = bigrams(docs)
+    val bic = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val cFirst = bic.groupBy(col("w1"))
+      .agg(sum(col("c_xy")).as("c_first"))
+    val model = keyed(
+      bic.join(cFirst, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first").as("micro")),
+      useHashKey).select(col("bk"), col("micro"))
+    val occ = keyed(bi, useHashKey)
+      .groupBy(col("doc_id"), col("bk"))
+      .agg(count(lit(1)).as("n"))
+    occ.join(model, Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+        (col("sum_micro").cast("double") /
+          col("n_bigrams").cast("double")).as("fluency"))
+  }
+
+  /** The filter surface: the `k` LEAST fluent documents (ascending
+    * average conditional probability, ties by doc_id) — the ones a
+    * quality gate drops first.
+    */
+  def leastFluent(docs: DataFrame, k: Int,
+                  useHashKey: Boolean = true): DataFrame =
+    fluencyScores(docs, useHashKey)
+      .orderBy(col("fluency").asc, col("doc_id").asc)
+      .limit(k)
+}

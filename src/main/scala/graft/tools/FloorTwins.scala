@@ -169,6 +169,38 @@ object FloorTwins {
     def q43Full(): DataFrame =
       graft.SparkEntry.queries("q43_cosine_topk_native")(spark, dir)
 
+    // r16 third wave: q102 span dedup — the full query, plus the
+    // window-key SCAN alone under both formulations (the fused
+    // TokenWindowHashes expression vs the HOF
+    // explode(transform(slice/array_join/xxhash64)) it replaced), at
+    // the catalog's w=8 and the Lee-et-al w=50 where the per-window
+    // allocation cost scales with w. Same consumption (full
+    // materialization) on identical output schemas.
+    def q102Full(): DataFrame =
+      graft.SparkEntry.queries("q102_span_dedup")(spark, dir)
+
+    def spanScanFused(w: Int): DataFrame =
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.functions.TokenWindowHashes
+            .tokenWindowHashes(col("text"), w)))
+        .select(col("doc_id"), (col("pos") + lit(1)).as("pos"),
+          col("col").as("k"))
+
+    def spanScanHof(w: Int): DataFrame = {
+      val t = graft.text.TextAnalysis.wsTokens(col("text"))
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), explode(transform(
+          when(size(col("t")) >= w,
+            sequence(lit(1), size(col("t")) - lit(w) + lit(1)))
+            .otherwise(array().cast("array<int>")),
+          s => struct(s.as("pos"),
+            xxhash64(array_join(slice(col("t"), s, lit(w)), " "))
+              .as("k")))).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.k").as("k"))
+    }
+
     def med(f: () => DataFrame): Double = Timing.medianDf(reps)(f)
 
     val ((j, s84, n84, f97, c97, s97, f90, s90), foreign) =
@@ -183,7 +215,13 @@ object FloorTwins {
           med(q100Nomemo _), med(tokTwin _), med(q101Full _),
           med(q101TwinScan _), med(q43Full _))
       }
-    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"foreign_cores":$foreign%.2f,"q99_full_sec":$f99%.3f,"q99_nomemo_sec":$n99%.3f,"q100_full_sec":$f100%.3f,"q100_nomemo_sec":$n100%.3f,"tok_twin_sec":$tok%.3f,"q101_full_sec":$f101%.3f,"q101_twin_scan_sec":$s101%.3f,"q43_full_sec":$f43%.3f,"foreign_cores_r16":$foreign2%.2f,"dir":"$dir"}""")
+    val ((f102, fu8, ho8, fu50, ho50), foreign3) =
+      Timing.withForeignCores {
+        (med(q102Full _),
+          med(() => spanScanFused(8)), med(() => spanScanHof(8)),
+          med(() => spanScanFused(50)), med(() => spanScanHof(50)))
+      }
+    println(f"""{"q5189_twin_sec":$j%.3f,"q84_twin_scan_sec":$s84%.3f,"q84_twin_nostore_sec":$n84%.3f,"q97_full_sec":$f97%.3f,"q97_twin_count_sec":$c97%.3f,"q97_twin_scan_sec":$s97%.3f,"q90_full_sec":$f90%.3f,"q90_twin_scan_sec":$s90%.3f,"foreign_cores":$foreign%.2f,"q99_full_sec":$f99%.3f,"q99_nomemo_sec":$n99%.3f,"q100_full_sec":$f100%.3f,"q100_nomemo_sec":$n100%.3f,"tok_twin_sec":$tok%.3f,"q101_full_sec":$f101%.3f,"q101_twin_scan_sec":$s101%.3f,"q43_full_sec":$f43%.3f,"foreign_cores_r16":$foreign2%.2f,"q102_full_sec":$f102%.3f,"q102_scan_fused8_sec":$fu8%.3f,"q102_scan_hof8_sec":$ho8%.3f,"q102_scan_fused50_sec":$fu50%.3f,"q102_scan_hof50_sec":$ho50%.3f,"foreign_cores_r16c":$foreign3%.2f,"dir":"$dir"}""")
     spark.stop()
   }
 }
