@@ -1023,7 +1023,54 @@ object DedupQueries {
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
           |       CAST(SUM(en - st) AS BIGINT) AS dup_tokens
           |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "exact-substring span dedup: merged duplicated w-token spans per document")
+      "exact-substring span dedup: merged duplicated w-token spans per document"),
+
+    // ----- incremental span gate (r16) -----
+    // The q84 shape applied to the span family: even docs seed a
+    // bucketed window-hash store (8 bytes per distinct window), odd
+    // docs gate against store ∪ batch. For minOccur=2 the criterion is
+    // EXACTLY the whole-corpus operator's, restricted to the batch
+    // (SpanDedupSpec pins the equivalence); the oracle recomputes store
+    // membership from raw even-doc text each run — the incremental
+    // operator's asymmetry, like q77/q84.
+    "q105_span_incremental" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val table = ensureStore(s, s"spanstore:$dir") { (t, p) =>
+          graft.dedup.SpanDedup.seedSpanStore(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), 8, t, p)
+        }
+        graft.dedup.SpanDedup.statsIncremental(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), 8, table)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |                x -> LEN(x) > 0) AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, s AS pos, ARRAY_TO_STRING(t[s:s+7], ' ') AS k
+          |      FROM t, UNNEST(RANGE(1, GREATEST(LEN(t) - 8 + 1, 0) + 1)) AS u(s)),
+          |store AS (SELECT DISTINCT k FROM g WHERE doc_id % 2 = 0),
+          |b AS (SELECT doc_id, pos, k FROM g WHERE doc_id % 2 = 1),
+          |bd AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) >= 2),
+          |p AS (SELECT doc_id, pos FROM b
+          |      WHERE k IN (SELECT k FROM store) OR k IN (SELECT k FROM bd)),
+          |i AS (SELECT doc_id, pos,
+          |        CASE WHEN pm IS NULL OR pos > pm + 8 THEN 1 ELSE 0 END AS f
+          |      FROM (SELECT doc_id, pos,
+          |              MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |            FROM p)),
+          |s AS (SELECT doc_id, pos,
+          |        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i),
+          |sp AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 8 AS en
+          |       FROM s GROUP BY doc_id, isl)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+          |       CAST(SUM(en - st) AS BIGINT) AS dup_tokens
+          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "incremental span gate: batch spans duplicated against the window-hash store or within the batch")
   )
 
   /** Drop every memoized frame this module holds for `dir` and release

@@ -81,6 +81,10 @@ object SpanDedup {
                          useHashKey: Boolean): DataFrame = {
     require(w >= 1, s"spanDedup: window must be >= 1 token, got $w")
     if (useHashKey) {
+      // register into the input's OWN session (the operator-entry-point
+      // contract — ensureRegistered() alone targets the active session,
+      // which differs under multi-session callers like PlanAudit)
+      graft.functions.Texts.register(docs.sparkSession)
       docs
         .select(col("doc_id"), posexplode(
           graft.functions.TokenWindowHashes
@@ -114,15 +118,21 @@ object SpanDedup {
     val grams = windowKeys(docs, w, useHashKey)
     val dupKeys = grams.groupBy(col("k"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= minOccur)
-    val flagged = grams.join(dupKeys.select("k"), Seq("k"), "left_semi")
+    mergeIslands(
+      grams.join(dupKeys.select("k"), Seq("k"), "left_semi")
+        .select(col("doc_id"), col("pos")), w)
+  }
 
+  /** The per-document interval union (islands scan) over flagged
+    * `(doc_id, pos)` window starts.
+    */
+  private def mergeIslands(flagged: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("pos"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val opens = when(prevMax.isNull || col("pos") > prevMax + lit(w), 1)
       .otherwise(0)
     flagged
-      .select(col("doc_id"), col("pos"))
       .withColumn("isl", sum(opens).over(byDoc))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).as("start"),
@@ -130,17 +140,79 @@ object SpanDedup {
       .select(col("doc_id"), col("start"), col("end"))
   }
 
+  private def summarize(spans: DataFrame): DataFrame =
+    spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("end") - col("start")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_dup_spans"), col("dup_tokens"))
+
+  /** Seed or replace the window-hash store: one row per DISTINCT
+    * window hash of `docs`, bucketed on the hash so the incremental
+    * gate's probe join is exchange-free on the store side (the
+    * [[graft.pipelines.Sinks.reloadBucketedBy]] contract shared by the
+    * exact and segment stores — 8 bytes per distinct window, the
+    * smallest per-unit state of the store family).
+    */
+  def seedSpanStore(docs: DataFrame, w: Int, table: String, path: String,
+                    nBuckets: Int = 8): Unit =
+    graft.pipelines.Sinks.reloadBucketedBy(
+      windowKeys(docs, w, useHashKey = true)
+        .select(col("k").as("win_hash")).distinct(),
+      table, path, Seq("win_hash"), nBuckets)
+
+  /** Incremental form of [[duplicatedSpans]]: a batch window is
+    * duplicated when its hash is in the persisted store (already-seen
+    * corpus) OR occurs `>= minOccur` times within the batch itself —
+    * exactly what re-running the whole-corpus operator over store ∪
+    * batch would flag inside the batch's documents (the q84/q77
+    * incremental asymmetry: the store side probes pre-hashed state, 8
+    * bytes per distinct window, never re-reading corpus text).
+    *
+    * Plan: the batch's window keys are joined LEFT OUTER against the
+    * two single-row-per-key mark frames (batch-dup keys, store keys) —
+    * both arrive keyed by `k` (the store pre-bucketed on it), no row
+    * multiplication, and a window flagged by both rules survives
+    * exactly once; flagged positions then pay the one doc-keyed
+    * exchange for the interval union.
+    */
+  def duplicatedSpansIncremental(batch: DataFrame, w: Int,
+                                 storeTable: String, minOccur: Long = 2L
+                                ): DataFrame = {
+    require(minOccur >= 2L,
+      s"spanDedup: minOccur < 2 flags every window, got $minOccur")
+    val s = batch.sparkSession
+    val grams = windowKeys(batch, w, useHashKey = true)
+    val dupKeys = grams.groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minOccur)
+      .select(col("k"), lit(true).as("bd"))
+    val inBatch = grams.join(dupKeys, Seq("k"), "left_outer")
+    val marked =
+      if (!s.catalog.tableExists(storeTable))
+        inBatch.filter(coalesce(col("bd"), lit(false)))
+      else inBatch
+        .join(s.table(storeTable).hint("merge")
+          .select(col("win_hash").as("k"), lit(true).as("sd")),
+          Seq("k"), "left_outer")
+        .filter(coalesce(col("bd"), lit(false)) ||
+          coalesce(col("sd"), lit(false)))
+    mergeIslands(marked.select(col("doc_id"), col("pos")), w)
+  }
+
+  /** Per-document summary of [[duplicatedSpansIncremental]] — the
+    * incremental twin of [[stats]].
+    */
+  def statsIncremental(batch: DataFrame, w: Int, storeTable: String,
+                       minOccur: Long = 2L): DataFrame =
+    summarize(duplicatedSpansIncremental(batch, w, storeTable, minOccur))
+
   /** Per-document summary of [[duplicatedSpans]]: `(doc_id,
     * n_dup_spans, dup_tokens)` — merged-span count and their total
     * token coverage — for documents with at least one duplicated span.
     */
   def stats(docs: DataFrame, w: Int, minOccur: Long = 2L,
             useHashKey: Boolean = true): DataFrame =
-    duplicatedSpans(docs, w, minOccur, useHashKey)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("end") - col("start")).as("dup_tokens"))
-      .select(col("doc_id"), col("n_dup_spans"), col("dup_tokens"))
+    summarize(duplicatedSpans(docs, w, minOccur, useHashKey))
 
   /** Rebuild each document's text with every duplicated span removed
     * (ALL occurrences — see the class doc). Returns `(doc_id, text)`

@@ -160,8 +160,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (es.length >= 3) base.copy(maxDistinct = intArg(es(2))) else base
         }),
       ("exact_percentiles_weighted", classOf[ExactPercentilesAgg].getName,
-        es => ExactPercentilesAgg(es(0), ExactPercentilesF.psArg(es(2)),
-          weight = Some(es(1)))),
+        es => {
+          val base = ExactPercentilesAgg(es(0),
+            ExactPercentilesF.psArg(es(2)), weight = Some(es(1)))
+          if (es.length >= 4) base.copy(maxDistinct = intArg(es(3))) else base
+        }),
       ("exact_percentiles2", classOf[ExactPercentiles2Agg].getName,
         es => ExactPercentiles2Agg(es(0), ExactPercentilesF.psArg(es(1)),
           es(2), ExactPercentilesF.psArg(es(3)))),

@@ -90,6 +90,48 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Seq((0L, ""), (1L, "")))
   }
 
+  private def seeded(store: (Long, String)*): String = {
+    val t = s"graft_spanspec_${System.nanoTime()}"
+    SpanDedup.seedSpanStore(docs(store: _*), 2, t,
+      new java.io.File(sys.props("java.io.tmpdir"), t).getPath)
+    t
+  }
+
+  test("incremental: store hit flags a SINGLE batch occurrence") {
+    val t = seeded(0L -> "a b c")
+    val out = SpanDedup.statsIncremental(
+        docs(10L -> "x a b y", 11L -> "p q"), 2, t)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L, 2L)),
+      "'a b' is in the store; one batch occurrence suffices")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("incremental: batch-internal dups flag without the store; missing store table = batch-only") {
+    val out = SpanDedup.statsIncremental(
+        docs(10L -> "m n x", 11L -> "y m n"), 2, "graft_no_such_store")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L, 2L), (11L, 1L, 2L)))
+  }
+
+  test("incremental at minOccur=2 == whole-corpus operator restricted to the batch") {
+    // store holds DISTINCT hashes, so store-hit + the batch occurrence
+    // is exactly total-count >= 2 — the whole-corpus criterion
+    val old = Seq(0L -> "the quick brown fox", 2L -> "lazy dog sleeps here",
+      4L -> "the quick red fox")
+    val batch = Seq(11L -> "a the quick brown fox b", 13L -> "lazy dog",
+      15L -> "novel words only here", 17L -> "novel words only again")
+    val t = seeded(old: _*)
+    val inc = SpanDedup.statsIncremental(docs(batch: _*), 2, t)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val whole = SpanDedup.stats(docs(old ++ batch: _*), 2)
+      .filter($"doc_id" >= 10L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(inc == whole)
+    assert(inc.nonEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("determinism under repartitioning") {
     val d = docs(
       0L -> "w x y z w x y z", 1L -> "m w x y n", 2L -> "y z w x")
