@@ -112,8 +112,9 @@ object Bench {
     // 60M-row sf1 scan while DuckDB buffers the full column
     "q97_weighted_percentiles",
     // r16: BM25 top-k (memoized narrow tokenize + broadcast df table,
-    // one doc-keyed exchange) and PMI bigram lift (memoized count
-    // tables, minCount prune before the vocab-keyed joins) — both scan
+    // one doc-keyed exchange) and PMI bigram lift (recomputed count
+    // tables — the memo measured NEGATIVE, see Collocations;
+    // minCount prunes before the vocab-keyed joins) — both scan
     // the full documents table; q101 is the int8-quantized cosine scan
     // over the full embeddings table (zero shuffles, 4x scan-byte cut
     // vs the float path it A/Bs against via q43)
@@ -121,8 +122,11 @@ object Bench {
     // r16: span-level exact-substring dedup — the fused window-hash
     // scan + dup-key exchange + interval union over the full corpus
     // (q103 is NOT a member: its arms are q99/q101, already timed;
-    // the fusion itself is O(k) rows)
-    "q102_span_dedup")
+    // the fusion itself is O(k) rows); q104 trains + applies the
+    // bigram-LM over the full corpus; q105 gates the odd half against
+    // the even half's window-hash store (store seeds in the warm-up,
+    // timed reps are gate-only — the q84 convention)
+    "q102_span_dedup", "q104_least_fluent", "q105_span_incremental")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -166,9 +170,11 @@ object Bench {
     "q97_weighted_percentiles",
     // q99/q100 tokenize the full documents table (query terms / the
     // minCount threshold stay fixed); q101 scans every embedding row;
-    // q102 window-hashes every token of the corpus
+    // q102 window-hashes every token of the corpus; q104's model and
+    // scoring passes both scale with it; q105's batch AND store halves
+    // both scale (odd/even split)
     "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk",
-    "q102_span_dedup")
+    "q102_span_dedup", "q104_least_fluent", "q105_span_incremental")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let
