@@ -1070,7 +1070,50 @@ object DedupQueries {
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
           |       CAST(SUM(en - st) AS BIGINT) AS dup_tokens
           |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "incremental span gate: batch spans duplicated against the window-hash store or within the batch")
+      "incremental span gate: batch spans duplicated against the window-hash store or within the batch"),
+
+    // ----- span-strip transformation (r16) -----
+    // The surface a pipeline actually consumes from q102: every
+    // document's text with ALL duplicated w-token spans removed
+    // (whitespace-normalized by reconstruction — the SpanDedup.strip
+    // contract). The oracle rebuilds the kept tokens by anti-joining
+    // token positions against the merged spans and re-aggregating in
+    // position order — the full transformation, not just the stats.
+    "q106_span_strip" -> Q(
+      (s, dir) => graft.dedup.SpanDedup.stripDuplicatedSpans(
+          Tables(s, dir, "documents"), w = 8)
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |                x -> LEN(x) > 0) AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, s AS pos, ARRAY_TO_STRING(t[s:s+7], ' ') AS k
+          |      FROM t, UNNEST(RANGE(1, GREATEST(LEN(t) - 8 + 1, 0) + 1)) AS u(s)),
+          |c AS (SELECT k FROM g GROUP BY k HAVING COUNT(*) >= 2),
+          |p AS (SELECT doc_id, pos FROM g WHERE k IN (SELECT k FROM c)),
+          |i AS (SELECT doc_id, pos,
+          |        CASE WHEN pm IS NULL OR pos > pm + 8 THEN 1 ELSE 0 END AS f
+          |      FROM (SELECT doc_id, pos,
+          |              MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |            FROM p)),
+          |si AS (SELECT doc_id, pos,
+          |         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i),
+          |sp AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 8 AS en
+          |       FROM si GROUP BY doc_id, isl),
+          |tokpos AS (SELECT doc_id, i AS p, t[i] AS tok
+          |           FROM t, UNNEST(RANGE(1, LEN(t) + 1)) AS u(i)),
+          |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+          |         FROM tokpos tp LEFT JOIN sp
+          |           ON tp.doc_id = sp.doc_id AND tp.p >= sp.st AND tp.p < sp.en
+          |         WHERE sp.doc_id IS NULL)
+          |SELECT t.doc_id,
+          |  COALESCE((SELECT STRING_AGG(k.tok, ' ' ORDER BY k.p)
+          |            FROM kept k WHERE k.doc_id = t.doc_id), '') AS text
+          |FROM t ORDER BY t.doc_id""".stripMargin),
+      "span-strip: document text with every duplicated span removed, the q102 transformation surface")
   )
 
   /** Drop every memoized frame this module holds for `dir` and release
