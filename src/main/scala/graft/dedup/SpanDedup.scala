@@ -206,6 +206,30 @@ object SpanDedup {
                        minOccur: Long = 2L): DataFrame =
     summarize(duplicatedSpansIncremental(batch, w, storeTable, minOccur))
 
+  /** The batch's DISTINCT window hashes not yet in the store — the
+    * store-append input. Because the append input is itself an
+    * anti-join on the store's own key, a replayed append re-adds only
+    * the hashes a torn first attempt did not commit (the exact gate's
+    * idempotence argument — no `dedupAgainstStore` flag needed).
+    */
+  def novelWindowHashes(batch: DataFrame, w: Int,
+                        storeTable: String): DataFrame = {
+    val s = batch.sparkSession
+    val hashes = windowKeys(batch, w, useHashKey = true)
+      .select(col("k").as("win_hash")).distinct()
+    if (!s.catalog.tableExists(storeTable)) hashes
+    else hashes.join(s.table(storeTable).hint("merge"),
+      Seq("win_hash"), "left_anti")
+  }
+
+  /** Append novel window hashes into the bucketed store (creates it on
+    * first use with the [[seedSpanStore]] layout).
+    */
+  def appendSpanStore(novel: DataFrame, table: String, path: String,
+                      nBuckets: Int = 8): Unit =
+    graft.pipelines.Sinks.appendBucketedBy(novel, table, path,
+      Seq("win_hash"), nBuckets)
+
   /** Per-document summary of [[duplicatedSpans]]: `(doc_id,
     * n_dup_spans, dup_tokens)` — merged-span count and their total
     * token coverage — for documents with at least one duplicated span.
@@ -223,8 +247,25 @@ object SpanDedup {
     * so the output column has one consistent contract).
     */
   def stripDuplicatedSpans(docs: DataFrame, w: Int, minOccur: Long = 2L,
-                           useHashKey: Boolean = true): DataFrame = {
-    val spans = duplicatedSpans(docs, w, minOccur, useHashKey)
+                           useHashKey: Boolean = true): DataFrame =
+    stripBySpans(docs, duplicatedSpans(docs, w, minOccur, useHashKey))
+
+  /** Incremental strip: [[stripDuplicatedSpans]] with the
+    * [[duplicatedSpansIncremental]] criterion (store ∪ batch) — the
+    * per-batch rebuild surface the streaming gate sinks.
+    */
+  def stripDuplicatedSpansIncremental(batch: DataFrame, w: Int,
+                                      storeTable: String,
+                                      minOccur: Long = 2L): DataFrame =
+    stripBySpans(batch,
+      duplicatedSpansIncremental(batch, w, storeTable, minOccur))
+
+  /** Rebuild `docs` text with the given `(doc_id, start, end)` spans
+    * removed — the shared strip half of the batch and incremental
+    * surfaces.
+    */
+  def stripBySpans(docs: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
     docs

@@ -527,6 +527,55 @@ object StreamingOps {
     rows
   }
 
+  /** The span-granular member of the streaming novelty-gate family:
+    * each micro-batch document is rebuilt with every w-token span that
+    * duplicates the persisted window-hash store OR repeats within the
+    * batch removed ([[graft.dedup.SpanDedup.duplicatedSpansIncremental]]
+    * semantics — Lee-et-al exact substring dedup running continuously).
+    * Sink rows are `(doc_id, text)` strip rebuilds, so the replay union
+    * is PRIOR-WINS by doc_id (the segment gate's argument: a replayed
+    * batch re-gates against the possibly-advanced store; the original
+    * attempt's already-sunk rebuilds are the correct output for those
+    * docs). The store append is idempotent WITHOUT a replay flag: its
+    * input is itself an anti-join on the store's own key
+    * ([[graft.dedup.SpanDedup.novelWindowHashes]]), so a replay re-adds
+    * only what the torn attempt did not commit. The batch re-scans its
+    * window hashes for the append — at the fused
+    * [[graft.functions.TokenWindowHashes]] scan's cost that is cheaper
+    * than holding a batch-lifetime checkpoint of the token-scale gram
+    * frame (the q100 block-store lesson).
+    */
+  def spanNoveltyGateEachBatch(w: Int, storeTable: String,
+                               storePath: String, outPath: String,
+                               nBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rebuilt = graft.dedup.SpanDedup
+      .stripDuplicatedSpansIncremental(batch, w, storeTable)
+    val partDir =
+      new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
+    val fs =
+      partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      if (!fs.exists(partDir)) rebuilt
+      else {
+        // eager: the overwrite below targets the path being read
+        val prior = spark.read.schema(rebuilt.schema)
+          .parquet(partDir.toString)
+        graft.util.Checkpoints.scoped(s"spangate-replay:$outPath")(
+          rebuilt.join(prior.select(col("doc_id")), Seq("doc_id"),
+              "left_anti")
+            .unionByName(prior))
+      }
+    out.withColumn("__batch_id", lit(batchId))
+      .write.partitionBy("__batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outPath)
+    graft.dedup.SpanDedup.appendSpanStore(
+      graft.dedup.SpanDedup.novelWindowHashes(batch, w, storeTable),
+      storeTable, storePath, nBuckets)
+  }
+
   /** Replay-idempotent survivor write shared by the novelty gates: the
     * batch's surviving full rows land under a `__batch_id=<id>` partition
     * with dynamic partition-overwrite. The write is ADDITIVE under

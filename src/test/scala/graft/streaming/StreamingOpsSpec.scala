@@ -828,6 +828,66 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanNoveltyGateEachBatch: spans stripped against store and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-spannovelty")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"spannovelty_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.spanNoveltyGateEachBatch(
+          2, table, storePath, outPath) _)
+        .outputMode("update").start()
+      // batch 0: "a b" repeats within the batch -> stripped from BOTH
+      input.addData((1L, "a b c d"), (2L, "x a b y"))
+      query.processAllAvailable()
+      // batch 1: "c d" is corpus-known via the store; "e f" is new
+      input.addData((10L, "c d e f"))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text", "__batch_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "c d", 0L), (2L, "x y", 0L), (10L, "e f", 1L)))
+      // store: ab,bc,cd,xa,by from batch 0 + de,ef from batch 1
+      assert(spark.table(table).count() == 7)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("spanNoveltyGateEachBatch: replay after store advance is prior-wins; store append stays idempotent") {
+    val base = Files.createTempDirectory("graft-spannovelty-replay")
+    val outPath = base.resolve("sink").toString
+    val storePath = base.resolve("store").toString
+    val table = s"spannovelty_replay_spec_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    try {
+      val gate = StreamingOps.spanNoveltyGateEachBatch(
+        2, table, storePath, outPath) _
+      val b0 = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      gate(b0, 0L)
+      // replay: the store now holds doc 1's windows, a fresh gate would
+      // strip the doc to "" — the sink must keep the original rebuild
+      // and the store must not grow
+      gate(b0, 0L)
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "a b c d")))
+      assert(spark.table(table).count() == 3)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("segmentNoveltyGateEachBatch: replay after store advance is prior-wins") {
     val base = Files.createTempDirectory("graft-segnovelty-replay")
     val outPath = base.resolve("sink").toString
