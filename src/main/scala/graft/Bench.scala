@@ -396,6 +396,27 @@ object Bench {
       def segSec(table: String): Double = timed(() =>
         graft.ops.Segments.segmentGate(batch, 16, table).count())
 
+      // r16: the SPAN family — window-hash store probes (the smallest
+      // per-unit store state, 8 bytes/distinct window) under the same
+      // flat-across-10x claim; the gate is the fused-scan + two
+      // one-row-per-key mark joins of SpanDedup.statsIncremental.
+      def seedSpan(tag: String, dir: String): String = {
+        val (t, p) = storeFor(tag)
+        tables += t
+        graft.dedup.SpanDedup.seedSpanStore(
+          Tables(spark, dir, "documents").select("doc_id", "text"), 8, t, p)
+        t
+      }
+      val spanSmall = seedSpan("spansmall", smallDir)
+      val spanLarge = seedSpan("spanlarge", largeDir)
+      def spanSec(table: String): Double = timed(() =>
+        graft.dedup.SpanDedup.statsIncremental(batch, 8, table).count())
+      val spanBloom = graft.dedup.SpanDedup.spanStoreBloom(spark, spanLarge,
+        2000000L)
+      def spanBloomSec(table: String): Double = timed(() =>
+        graft.dedup.SpanDedup.statsIncrementalBloom(batch, 8, table,
+          spanBloom.get).count())
+
       // r14: the LARGE band stores are additionally probed through the
       // Bloom pre-filter path — the corpus-scale shape (the plain gates
       // above pay the full co-located band scan, which is exactly the
@@ -420,7 +441,10 @@ object Bench {
         "embgate1k_large_store_sec" -> embSec(embLarge),
         "embgate1k_large_store_bloom_sec" -> embBloomSec(embLarge),
         "seggate1k_small_store_sec" -> segSec(segSmall),
-        "seggate1k_large_store_sec" -> segSec(segLarge))
+        "seggate1k_large_store_sec" -> segSec(segLarge),
+        "spangate1k_small_store_sec" -> spanSec(spanSmall),
+        "spangate1k_large_store_sec" -> spanSec(spanLarge),
+        "spangate1k_large_store_bloom_sec" -> spanBloomSec(spanLarge))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] incremental-gate scale check failed: " +
         e.toString.take(200))

@@ -549,9 +549,61 @@ object StreamingOps {
                                storePath: String, outPath: String,
                                nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val rebuilt = graft.dedup.SpanDedup
-      .stripDuplicatedSpansIncremental(batch, w, storeTable)
+    spanSinkWrite(
+      graft.dedup.SpanDedup
+        .stripDuplicatedSpansIncremental(batch, w, storeTable),
+      outPath, batchId)
+    graft.dedup.SpanDedup.appendSpanStore(
+      graft.dedup.SpanDedup.novelWindowHashes(batch, w, storeTable),
+      storeTable, storePath, nBuckets)
+  }
+
+  /** [[spanNoveltyGateEachBatch]] with the span-store Bloom pre-filter
+    * held across micro-batches — the corpus-scale shape for the
+    * pipeline's LARGEST store (~one 8-byte hash per corpus token).
+    * Same lifecycle as [[bloomNoveltyGate]]: first batch snapshots the
+    * filter from the store ([[graft.dedup.SpanDedup.spanStoreBloom]]),
+    * every batch gates with the row-identical
+    * [[graft.dedup.SpanDedup.duplicatedSpansIncrementalBloom]], and the
+    * batch's novel hashes fold in AFTER the append (the storeBloom
+    * staleness contract, O(filter bytes)/batch). Replay: the sink is
+    * prior-wins like the plain gate, the append input anti-joins the
+    * store's own key, and re-folding the same keys is an OR-merge
+    * no-op.
+    */
+  def bloomSpanNoveltyGate(w: Int, storeTable: String, storePath: String,
+                           outPath: String, expectedItems: Long,
+                           nBuckets: Int = 8): (DataFrame, Long) => Unit = {
+    var bloom: Option[Array[Byte]] = None // driver-held, batches sequential
+    (batch: DataFrame, batchId: Long) => {
+      if (bloom.isEmpty)
+        bloom = graft.dedup.SpanDedup.spanStoreBloom(batch.sparkSession,
+          storeTable, expectedItems)
+      val spans = bloom match {
+        case Some(bf) => graft.dedup.SpanDedup
+          .duplicatedSpansIncrementalBloom(batch, w, storeTable, bf)
+        case None => graft.dedup.SpanDedup
+          .duplicatedSpansIncremental(batch, w, storeTable)
+      }
+      spanSinkWrite(graft.dedup.SpanDedup.stripBySpans(batch, spans),
+        outPath, batchId)
+      // one materialization feeds the append AND the filter fold
+      // (scoped: batch N+1 releases batch N's blocks)
+      val novel = graft.util.Checkpoints.scoped(s"spangate-novel:$storeTable")(
+        graft.dedup.SpanDedup.novelWindowHashes(batch, w, storeTable))
+      graft.dedup.SpanDedup.appendSpanStore(novel, storeTable, storePath,
+        nBuckets)
+      bloom = foldBloom(bloom, graft.dedup.Dedup.bloomOfKeys(novel,
+        Seq("win_hash"), expectedItems))
+    }
+  }
+
+  /** Prior-wins partition write shared by the span gates (the segment
+    * sink's replay argument applied to `(doc_id, text)` rebuilds).
+    */
+  private def spanSinkWrite(rebuilt: DataFrame, outPath: String,
+                            batchId: Long): Unit = {
+    val spark = rebuilt.sparkSession
     val partDir =
       new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
     val fs =
@@ -571,9 +623,6 @@ object StreamingOps {
       .write.partitionBy("__batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outPath)
-    graft.dedup.SpanDedup.appendSpanStore(
-      graft.dedup.SpanDedup.novelWindowHashes(batch, w, storeTable),
-      storeTable, storePath, nBuckets)
   }
 
   /** Replay-idempotent survivor write shared by the novelty gates: the

@@ -862,6 +862,49 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomSpanNoveltyGate: merged filter gates batch N's dups of batch N-1; output matches the plain gate") {
+    val base = Files.createTempDirectory("graft-bloom-spannovelty")
+    val outPath = base.resolve("sink").toString
+    val plainOut = base.resolve("plainsink").toString
+    val storePath = base.resolve("store").toString
+    val plainStorePath = base.resolve("plainstore").toString
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = s"bloom_spannovelty_spec_$nonce"
+    val plainTable = s"plain_spannovelty_spec_$nonce"
+    try {
+      // pre-seed both stores so batch 0 builds a non-empty filter
+      val seed = Seq((1L, "a b c")).toDF("doc_id", "text")
+      graft.dedup.SpanDedup.seedSpanStore(seed, 2, table, storePath)
+      graft.dedup.SpanDedup.seedSpanStore(seed, 2, plainTable,
+        plainStorePath)
+      val bloomGate = StreamingOps.bloomSpanNoveltyGate(
+        2, table, storePath, outPath, expectedItems = 1000L)
+      val plainGate = StreamingOps.spanNoveltyGateEachBatch(
+        2, plainTable, plainStorePath, plainOut) _
+      // batch 0: "a b" hits the seeded store; "x y" is new
+      val b0 = Seq((10L, "a b x y")).toDF("doc_id", "text")
+      // batch 1: "x y" duplicates batch 0 — reachable only if the fold
+      // advanced the filter past the seed snapshot
+      val b1 = Seq((20L, "p x y q")).toDF("doc_id", "text")
+      for ((b, i) <- Seq(b0, b1).zipWithIndex) {
+        bloomGate(b, i.toLong); plainGate(b, i.toLong)
+      }
+      val got = spark.read.parquet(outPath)
+        .select("doc_id", "text").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val plain = spark.read.parquet(plainOut)
+        .select("doc_id", "text").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      assert(got == plain)
+      assert(got == Seq((10L, "x y"), (20L, "p q")))
+      assert(spark.table(table).count() == spark.table(plainTable).count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $plainTable")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("spanNoveltyGateEachBatch: replay after store advance is prior-wins; store append stays idempotent") {
     val base = Files.createTempDirectory("graft-spannovelty-replay")
     val outPath = base.resolve("sink").toString
