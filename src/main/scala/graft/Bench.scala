@@ -397,9 +397,14 @@ object Bench {
         graft.ops.Segments.segmentGate(batch, 16, table).count())
 
       // r16: the SPAN family — window-hash store probes (the smallest
-      // per-unit store state, 8 bytes/distinct window) under the same
-      // flat-across-10x claim; the gate is the fused-scan + two
-      // one-row-per-key mark joins of SpanDedup.statsIncremental.
+      // per-unit store state, 8 bytes/distinct window); the gate is the
+      // fused-scan + two one-row-per-key mark joins of
+      // SpanDedup.statsIncremental. Methodology caveat (SpanBloomAb):
+      // ScaleUp's replica corpus adds no NEW distinct windows, so the
+      // distinct-keyed stores (exact/segment/span) are replica-invariant
+      // by construction — their small-vs-large datum pins the probe's
+      // insensitivity to the batch/store SCAN, while the doc-keyed
+      // minhash/embedding stores genuinely grow 10x.
       def seedSpan(tag: String, dir: String): String = {
         val (t, p) = storeFor(tag)
         tables += t

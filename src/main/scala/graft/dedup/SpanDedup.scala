@@ -240,18 +240,18 @@ object SpanDedup {
     * through the verify join. The batch-dup rule is independent of the
     * store and unaffected by the filter.
     *
-    * MEASURED NEGATIVE at local scale (r16 official bench, 1k-doc
-    * batch vs the 10x store): 0.93s vs the plain gate's 0.26s. Two
-    * structural reasons: (a) the probe evaluates a multi-MB filter
-    * literal against EVERY gram — token-scale rows, where the doc
-    * gates probe one row per document; (b) the filtered shape needs
-    * union + dropDuplicates where the plain gate uses two
-    * one-row-per-key outer-join marks. The pre-filter pays only when
-    * the store-side join itself is expensive (remote/object-store
-    * probes, store >> memory) — against a LOCAL co-located bucketed
-    * scan that term is already ~flat across 10x (0.287→0.263), so
-    * there is nothing for the filter to save. Default to the plain
-    * gate; this surface exists for the remote-store deployment shape.
+    * MEASURED COST-NEUTRAL at local scale ([[graft.tools.SpanBloomAb]],
+    * 5-rep medians, foreign-cores 0.00): bloomed 0.41-0.66s vs plain
+    * 0.53-0.73s across THREE filter sizes (16KB near-100%-fpp, store-
+    * sized, oversized 2MB) and two stores — neither the filter literal
+    * nor the union-vs-marks shape moves the needle, and an official-
+    * bench single-session read of 0.93s did NOT survive this controlled
+    * replication (session variance, the README's standing bar). The
+    * filter cannot HELP locally either: the co-located bucketed store
+    * probe is already ~flat, so there is nothing to save. Use the plain
+    * gate by default; this surface exists for the deployment shape
+    * where the store join is genuinely expensive (remote/object-store
+    * probes, store >> executor memory).
     */
   def duplicatedSpansIncrementalBloom(batch: DataFrame, w: Int,
                                       storeTable: String,
