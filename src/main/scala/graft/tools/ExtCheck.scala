@@ -30,7 +30,11 @@ object ExtCheck {
         hashed_score('a b c', 's1') AS hs,
         size(segment_hashes('a b c d', 2)) AS sg,
         size(term_counts('a b a')) AS tc,
-        ws_token_count(' a  b ') AS wc
+        ws_token_count(' a  b ') AS wc,
+        size(token_window_hashes('a b c d', 2)) AS tw,
+        int8_cosine(int8_quantize(array(1.0f, 0.0f)),
+                    int8_quantize(array(1.0f, 0.0f))) AS i8,
+        size(html_table_rows('<table><tr><td>x</td></tr></table>')) AS ht
     """).head()
     println(s"[extcheck] $out")
     val pcts = spark.sql("""
