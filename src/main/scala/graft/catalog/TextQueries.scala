@@ -742,6 +742,43 @@ object TextQueries {
            |SELECT doc_id, n_bigrams, sum_micro,
            |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
            |FROM sc ORDER BY fluency ASC, doc_id LIMIT 25""".stripMargin),
-      "bigram-LM fluency filter: exact micro-point conditional probabilities, least-fluent top-k")
+      "bigram-LM fluency filter: exact micro-point conditional probabilities, least-fluent top-k"),
+
+    // ----- fluency transfer: train on even, score odd (r16) -----
+    // The CCNet deployment shape q104's scaladoc promises: the model
+    // trains on a REFERENCE corpus (even docs) and scores a DIFFERENT
+    // batch (odd docs), with out-of-vocabulary transitions contributing
+    // zero micro-points through the left join's coalesce. Same exact
+    // arithmetic as q104; the oracle retrains the even-doc model
+    // text-keyed and mirrors the OOV rule.
+    "q107_fluency_transfer" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.text.BigramLm.scoreAgainst(
+            graft.text.BigramLm.trainModel(
+              docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+          .orderBy(col("fluency").asc, col("doc_id").asc)
+          .limit(25)
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           |       FROM t, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)),
+           |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+           |        FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |cf AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_first
+           |       FROM bic GROUP BY 1),
+           |m AS (SELECT w1, w2, (c_xy * 1000000) // c_first AS micro
+           |      FROM bic JOIN cf USING (w1)),
+           |occ AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM bi WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+           |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(n * COALESCE(micro, 0)) AS BIGINT) AS sum_micro
+           |       FROM occ LEFT JOIN m USING (w1, w2) GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, sum_micro,
+           |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+           |FROM sc ORDER BY fluency ASC, doc_id LIMIT 25""".stripMargin),
+      "bigram-LM transfer scoring: reference-corpus model over a disjoint batch, OOV transitions score zero")
   )
 }

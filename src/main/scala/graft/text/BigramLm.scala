@@ -60,39 +60,62 @@ object BigramLm {
     else
       df.withColumn("bk", concat_ws(" ", col("w1"), col("w2")))
 
-  /** Per-document fluency: `(doc_id, n_bigrams, sum_micro, fluency)`
-    * for every document with at least one bigram, the corpus itself
-    * being the training set.
+  /** Train the conditional-bigram model on `docs`: `(bk, micro)` — one
+    * row per distinct training bigram, `micro` its exact micro-point
+    * conditional probability. This is the frame the scoring surfaces
+    * join against; persist it (a bucketed table on `bk`) to amortize
+    * training across scoring batches.
     */
-  def fluencyScores(docs: DataFrame,
-                    useHashKey: Boolean = true): DataFrame = {
-    val bi = bigrams(docs)
-    val bic = bi.groupBy(col("w1"), col("w2"))
+  def trainModel(docs: DataFrame, useHashKey: Boolean = true): DataFrame = {
+    val bic = bigrams(docs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
     val cFirst = bic.groupBy(col("w1"))
       .agg(sum(col("c_xy")).as("c_first"))
-    val model = keyed(
+    keyed(
       bic.join(cFirst, Seq("w1"))
         .select(col("w1"), col("w2"),
           expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first").as("micro")),
       useHashKey).select(col("bk"), col("micro"))
+  }
+
+  /** Score `docs` against an already-trained `model` (the CCNet
+    * deployment shape: train on a trusted reference corpus, score
+    * candidate batches against it). Out-of-vocabulary transitions
+    * contribute ZERO micro-points — an adjacency the reference corpus
+    * never produced is maximally non-fluent — via the left join's
+    * coalesce, so a document of entirely novel transitions scores 0.0
+    * instead of dropping out.
+    */
+  def scoreAgainst(model: DataFrame, docs: DataFrame,
+                   useHashKey: Boolean = true): DataFrame =
     // the occurrence stream joins the model directly (one exchange to
     // the join key, one to the doc key, partial-agg map-side before
     // each) — pre-collapsing to distinct (doc, bigram) rows first
     // measured SLOWER at sf1 (3.75s vs the direct shape: the collapse
     // adds a third full-stream exchange and typical docs repeat few
     // bigrams; a boilerplate-heavy corpus where repeats dominate would
-    // tip the other way)
-    keyed(bi, useHashKey)
+    // tip the other way). shuffle_hash on the vocab-sized model: the
+    // SMJ sort of the token-scale stream was HALF the query
+    // (solo-measured 3.75→1.89s)
+    keyed(bigrams(docs), useHashKey)
       .select(col("doc_id"), col("bk"))
-      .join(model.hint("shuffle_hash"), Seq("bk"))
+      .join(model.hint("shuffle_hash"), Seq("bk"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("micro")).as("sum_micro"))
+        sum(coalesce(col("micro"), lit(0L))).as("sum_micro"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
         (col("sum_micro").cast("double") /
           col("n_bigrams").cast("double")).as("fluency"))
-  }
+
+  /** Per-document fluency: `(doc_id, n_bigrams, sum_micro, fluency)`
+    * for every document with at least one bigram, the corpus itself
+    * being the training set. Self-scoring never hits the OOV path —
+    * every bigram is in its own training table, so the left join is an
+    * inner join by construction and the q104 oracle needs no coalesce.
+    */
+  def fluencyScores(docs: DataFrame,
+                    useHashKey: Boolean = true): DataFrame =
+    scoreAgainst(trainModel(docs, useHashKey), docs, useHashKey)
 
   /** The filter surface: the `k` LEAST fluent documents (ascending
     * average conditional probability, ties by doc_id) — the ones a

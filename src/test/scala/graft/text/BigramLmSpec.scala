@@ -47,6 +47,31 @@ class BigramLmSpec extends SparkSpec {
     assert(least.head._1 == 3L)
   }
 
+  test("transfer scoring: OOV transitions score zero, not drop out") {
+    val ref = Seq(0L -> "a b", 1L -> "a b", 2L -> "a c")
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "a b",       // fully in-model: micro(b|a) = 666666
+      11L -> "a z",       // OOV transition -> 0
+      12L -> "a b a z")   // mixed: ab=666666, ba OOV=0, az OOV=0
+      .toDF("doc_id", "text")
+    val out = BigramLm.scoreAgainst(BigramLm.trainModel(ref), batch)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (10L, 1L, 666666L, 666666.0),
+      (11L, 1L, 0L, 0.0),
+      (12L, 3L, 666666L, 666666.0 / 3.0)))
+  }
+
+  test("self-scoring == train-then-score with the same corpus") {
+    val d = Seq(0L -> "the cat sat", 1L -> "the cat ran", 2L -> "a b a b")
+      .toDF("doc_id", "text")
+    val self = BigramLm.fluencyScores(d).orderBy("doc_id").collect().toSeq
+    val split = BigramLm.scoreAgainst(BigramLm.trainModel(d), d)
+      .orderBy("doc_id").collect().toSeq
+    assert(self == split)
+  }
+
   test("hashed and text join keys agree; determinism under repartition") {
     val d = Seq(
       0L -> "the quick brown fox jumps over the lazy dog",
