@@ -126,7 +126,10 @@ object Bench {
     // bigram-LM over the full corpus; q105 gates the odd half against
     // the even half's window-hash store (store seeds in the warm-up,
     // timed reps are gate-only — the q84 convention)
-    "q102_span_dedup", "q104_least_fluent", "q105_span_incremental")
+    "q102_span_dedup", "q104_least_fluent", "q105_span_incremental",
+    // r16: the transfer variant trains on the even half and scores the
+    // odd half - same two-tokenize cost shape as q104 with the OOV path
+    "q107_fluency_transfer")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -174,7 +177,8 @@ object Bench {
     // scoring passes both scale with it; q105's batch AND store halves
     // both scale (odd/even split)
     "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk",
-    "q102_span_dedup", "q104_least_fluent", "q105_span_incremental")
+    "q102_span_dedup", "q104_least_fluent", "q105_span_incremental",
+    "q107_fluency_transfer")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let
