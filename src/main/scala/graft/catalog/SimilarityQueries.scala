@@ -112,6 +112,24 @@ object SimilarityQueries {
       Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0))
 
+  /** The int8-quantized cosine arm, shared by q101 and q103's fusion —
+    * one definition of the quantize/score/rank pipeline so a fix to
+    * either (rounding rule, query-vector filter) cannot drift.
+    */
+  private[catalog] def quantizedCosineTopK(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.QuantizedVec.register(s)
+    val qLit = array(graft.functions.QuantizedVec.quantizeFloats(
+      queryVec(s, dir).toArray).map(b => lit(b)): _*)
+    Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(graft.functions.QuantizedVec.int8Cosine(
+          graft.functions.QuantizedVec.int8Quantize(col("embedding")),
+          qLit), 6).as("cosine_q"))
+      .orderBy(desc("cosine_q"), col("vec_id")).limit(k)
+  }
+
   private def ensureIvf(s: org.apache.spark.sql.SparkSession, key: String)(
       build: => graft.similarity.Ivf.IvfIndex): graft.similarity.Ivf.IvfIndex =
     ivfCache.getOrElseUpdate((s, key), {
@@ -312,18 +330,7 @@ object SimilarityQueries {
     // ordering, the int8 path is exact BY CONSTRUCTION (rounded here
     // only because the final division is mirrored, not summed).
     "q101_quantized_cosine_topk" -> Q(
-      (s, dir) => {
-        graft.functions.QuantizedVec.register(s)
-        val qBytes = graft.functions.QuantizedVec.quantizeFloats(
-          queryVec(s, dir).toArray)
-        val qLit = array(qBytes.map(b => lit(b)): _*)
-        Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-          .select(col("vec_id"),
-            round(graft.functions.QuantizedVec.int8Cosine(
-              graft.functions.QuantizedVec.int8Quantize(col("embedding")),
-              qLit), 6).as("cosine_q"))
-          .orderBy(desc("cosine_q"), col("vec_id")).limit(10)
-      },
+      (s, dir) => quantizedCosineTopK(s, dir, k = 10),
       Some(
         """WITH qm AS (
           |  SELECT embedding AS e,
@@ -363,23 +370,14 @@ object SimilarityQueries {
     // the exact `div`/sum tree and hash-matches.
     "q103_rrf_fusion" -> Q(
       (s, dir) => {
-        val terms = Seq("spark", "join", "window", "vector")
-        val narrow = graft.util.Checkpoints.scoped(s"q103:$dir")(
-          graft.text.Bm25.narrowForTerms(Tables(s, dir, "documents"), terms))
+        // the arms ARE q99's and q101's pipelines (shared helpers, one
+        // memoized narrow frame per dataset), re-ranked at k=20
         val lex = graft.similarity.HybridRetrieval.ranked(
-          graft.text.Bm25.topKFromNarrow(narrow, k = 20),
+          TextQueries.bm25TopK(s, dir, k = 20),
           "doc_id", col("score_micro").desc, col("doc_id").asc)
-        graft.functions.QuantizedVec.register(s)
-        val qLit = array(graft.functions.QuantizedVec.quantizeFloats(
-          queryVec(s, dir).toArray).map(b => lit(b)): _*)
-        val vecTop = Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-          .select(col("vec_id"),
-            round(graft.functions.QuantizedVec.int8Cosine(
-              graft.functions.QuantizedVec.int8Quantize(col("embedding")),
-              qLit), 6).as("cosine_q"))
-          .orderBy(desc("cosine_q"), col("vec_id")).limit(20)
         val vec = graft.similarity.HybridRetrieval.ranked(
-          vecTop, "vec_id", col("cosine_q").desc, col("vec_id").asc)
+          quantizedCosineTopK(s, dir, k = 20),
+          "vec_id", col("cosine_q").desc, col("vec_id").asc)
         graft.similarity.HybridRetrieval.rrfFuse(Seq(lex, vec), k = 10)
       },
       Some(

@@ -13,6 +13,19 @@ import graft.text.TextAnalysis
 object TextQueries {
 
   // DuckDB mirror of TextAnalysis.wsTokens (non-empty \s+-delimited runs)
+  /** The BM25 lexical arm, shared by q99 and q103's fusion: ONE
+    * checkpointed narrow tokenize per dataset (scope key `q99:$dir`)
+    * regardless of how many consumers rank over it or at what k.
+    */
+  private[catalog] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                k: Int): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("spark", "join", "window", "vector")
+    val narrow = graft.util.Checkpoints.scoped(s"q99:$dir")(
+      graft.text.Bm25.narrowForTerms(Tables(s, dir, "documents"), terms))
+    graft.text.Bm25.topKFromNarrow(narrow, k)
+  }
+
   private val toksSql =
     "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)"
 
@@ -646,12 +659,7 @@ object TextQueries {
     // df/dl/corpus stats from the same tokens with the identically
     // parenthesized score expression.
     "q99_bm25_topk" -> Q(
-      (s, dir) => {
-        val terms = Seq("spark", "join", "window", "vector")
-        val narrow = graft.util.Checkpoints.scoped(s"q99:$dir")(
-          graft.text.Bm25.narrowForTerms(Tables(s, dir, "documents"), terms))
-        graft.text.Bm25.topKFromNarrow(narrow, k = 10)
-      },
+      (s, dir) => bm25TopK(s, dir, k = 10),
       Some(
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -151,8 +151,11 @@ object SpanDedup {
     * window hash of `docs`, bucketed on the hash so the incremental
     * gate's probe join is exchange-free on the store side (the
     * [[graft.pipelines.Sinks.reloadBucketedBy]] contract shared by the
-    * exact and segment stores — 8 bytes per distinct window, the
-    * smallest per-unit state of the store family).
+    * exact and segment stores). Sizing: the smallest per-ENTRY state
+    * of the store family (8 bytes per distinct window) but the most
+    * entries — ~one per corpus token — so in TOTAL bytes it is the
+    * largest store in the pipeline (the [[spanStoreBloom]] sizing
+    * note).
     */
   def seedSpanStore(docs: DataFrame, w: Int, table: String, path: String,
                     nBuckets: Int = 8): Unit =
@@ -220,9 +223,10 @@ object SpanDedup {
     * `bloomOfKeys(<novel hashes>, Seq("win_hash"), ...)` +
     * `mergeBlooms`, or duplicates admit silently around the probe).
     * None for a missing store. Size `expectedItems` in WINDOWS (~one
-    * per corpus token) — the span store is the LARGEST per-unit store
-    * in the pipeline, which is exactly why its gate earns the
-    * pre-filter most.
+    * per corpus token) — the span store holds the MOST ENTRIES of any
+    * store in the pipeline (largest in total bytes despite the
+    * smallest per-entry state), which is why its gate would earn a
+    * pre-filter first if the store join were remote.
     */
   def spanStoreBloom(spark: org.apache.spark.sql.SparkSession,
                      storeTable: String, expectedItems: Long,

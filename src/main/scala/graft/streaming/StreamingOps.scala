@@ -504,16 +504,35 @@ object StreamingOps {
     // one materialization feeds the sink AND the store (scoped: see the
     // exact gate's note — batch N+1 releases batch N's blocks)
     val rows = graft.util.Checkpoints.scoped(s"seggate:$storeTable")(gateRows)
-    val rebuilt = Segments.reassembleRows(rows)
-    val partDir = new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
+    val replay = priorWinsWrite(Segments.reassembleRows(rows), outPath,
+      batchId, s"seggate-replay:$outPath")
+    graft.dedup.Dedup.appendHashStore(Segments.novelHashes(rows),
+      storeTable, storePath, nBuckets, dedupAgainstStore = replay)
+    rows
+  }
+
+  /** Prior-wins partition write shared by the rebuild-sinking gates
+    * (segment, span): the batch's `(doc_id, ...)` rebuilds land under
+    * a `__batch_id=<id>` partition; on replay the original attempt's
+    * already-sunk rebuilds win by doc_id (they were gated against the
+    * pre-advance store — the correct output for those docs). Returns
+    * whether this WAS a replay, the callers' signal for store-append
+    * idempotence. The replay union is eagerly checkpointed under
+    * `scopeKey` because the overwrite targets the very path being read.
+    */
+  private def priorWinsWrite(rebuilt: DataFrame, outPath: String,
+                             batchId: Long, scopeKey: String): Boolean = {
+    val spark = rebuilt.sparkSession
+    val partDir =
+      new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val replay = fs.exists(partDir)
     val out =
       if (!replay) rebuilt
       else {
-        val prior = spark.read.schema(rebuilt.schema).parquet(partDir.toString)
-        // eager: the overwrite below targets the path being read
-        graft.util.Checkpoints.scoped(s"seggate-replay:$outPath")(
+        val prior = spark.read.schema(rebuilt.schema)
+          .parquet(partDir.toString)
+        graft.util.Checkpoints.scoped(scopeKey)(
           rebuilt.join(prior.select(col("doc_id")), Seq("doc_id"),
               "left_anti")
             .unionByName(prior))
@@ -522,9 +541,7 @@ object StreamingOps {
       .write.partitionBy("__batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outPath)
-    graft.dedup.Dedup.appendHashStore(Segments.novelHashes(rows),
-      storeTable, storePath, nBuckets, dedupAgainstStore = replay)
-    rows
+    replay
   }
 
   /** The span-granular member of the streaming novelty-gate family:
@@ -549,10 +566,10 @@ object StreamingOps {
                                storePath: String, outPath: String,
                                nBuckets: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
-    spanSinkWrite(
+    priorWinsWrite(
       graft.dedup.SpanDedup
         .stripDuplicatedSpansIncremental(batch, w, storeTable),
-      outPath, batchId)
+      outPath, batchId, s"spangate-replay:$outPath")
     graft.dedup.SpanDedup.appendSpanStore(
       graft.dedup.SpanDedup.novelWindowHashes(batch, w, storeTable),
       storeTable, storePath, nBuckets)
@@ -585,8 +602,8 @@ object StreamingOps {
         case None => graft.dedup.SpanDedup
           .duplicatedSpansIncremental(batch, w, storeTable)
       }
-      spanSinkWrite(graft.dedup.SpanDedup.stripBySpans(batch, spans),
-        outPath, batchId)
+      priorWinsWrite(graft.dedup.SpanDedup.stripBySpans(batch, spans),
+        outPath, batchId, s"spangate-replay:$outPath")
       // one materialization feeds the append AND the filter fold
       // (scoped: batch N+1 releases batch N's blocks)
       val novel = graft.util.Checkpoints.scoped(s"spangate-novel:$storeTable")(
@@ -596,33 +613,6 @@ object StreamingOps {
       bloom = foldBloom(bloom, graft.dedup.Dedup.bloomOfKeys(novel,
         Seq("win_hash"), expectedItems))
     }
-  }
-
-  /** Prior-wins partition write shared by the span gates (the segment
-    * sink's replay argument applied to `(doc_id, text)` rebuilds).
-    */
-  private def spanSinkWrite(rebuilt: DataFrame, outPath: String,
-                            batchId: Long): Unit = {
-    val spark = rebuilt.sparkSession
-    val partDir =
-      new org.apache.hadoop.fs.Path(outPath, s"__batch_id=$batchId")
-    val fs =
-      partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
-      if (!fs.exists(partDir)) rebuilt
-      else {
-        // eager: the overwrite below targets the path being read
-        val prior = spark.read.schema(rebuilt.schema)
-          .parquet(partDir.toString)
-        graft.util.Checkpoints.scoped(s"spangate-replay:$outPath")(
-          rebuilt.join(prior.select(col("doc_id")), Seq("doc_id"),
-              "left_anti")
-            .unionByName(prior))
-      }
-    out.withColumn("__batch_id", lit(batchId))
-      .write.partitionBy("__batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(outPath)
   }
 
   /** Replay-idempotent survivor write shared by the novelty gates: the

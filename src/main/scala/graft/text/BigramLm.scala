@@ -28,18 +28,20 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape (scale): the count tables ship ONE ROW PER KEY after
   * map-side partial aggregation (never token streams — the
-  * [[Collocations]] join doctrine); the per-document occurrence stream
-  * collapses to one row per DISTINCT (doc, bigram) BEFORE the model
-  * join (spam's repeated bigrams — exactly the skew case — fold
-  * map-side), and that join is keyed by the 8-byte `xxhash64` of the
-  * bigram (`useHashKey`), never the bigram text (the
-  * [[graft.dedup.SpanDedup]] key doctrine: the text-keyed variant
-  * exists for the oracle, BigramLmSpec pins equality, and a collision
-  * only perturbs one bigram's probability). Scoring the corpus the
-  * model was trained on makes the model join an inner join by
-  * construction; scoring OTHER documents against a trained corpus
-  * would left-join with a zero default — the out-of-vocabulary
-  * transition is maximally non-fluent.
+  * [[Collocations]] join doctrine); the per-document occurrence
+  * stream joins the model DIRECTLY via shuffle_hash on the 8-byte
+  * `xxhash64` of the bigram (`useHashKey`) — never the bigram text
+  * (the [[graft.dedup.SpanDedup]] key doctrine: the text-keyed
+  * variant exists for the oracle, BigramLmSpec pins equality; the
+  * model is bk-deduplicated at train time, so an xxhash64 collision
+  * collapses two bigrams into ONE model row — one perturbed
+  * probability, never duplicated join rows). A per-(doc, bigram)
+  * pre-collapse before the join was measured and REMOVED
+  * ([[scoreAgainst]]'s comment) — repeated-bigram skew is absorbed by
+  * the hash join's build side, not a collapse stage. Scoring
+  * documents the model was trained on hits every transition; scoring
+  * OTHER documents left-joins with a zero default — the
+  * out-of-vocabulary transition is maximally non-fluent.
   */
 object BigramLm {
 
@@ -75,7 +77,12 @@ object BigramLm {
       bic.join(cFirst, Seq("w1"))
         .select(col("w1"), col("w2"),
           expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first").as("micro")),
-      useHashKey).select(col("bk"), col("micro"))
+      useHashKey)
+      // dedup by key: guarantees ONE model row per bk even under an
+      // xxhash64 collision of two distinct bigrams, so the scoring
+      // join can never duplicate occurrence rows (class doc); the
+      // aggregate is over the vocab-sized frame, not the token stream
+      .groupBy(col("bk")).agg(min(col("micro")).as("micro"))
   }
 
   /** Score `docs` against an already-trained `model` (the CCNet
