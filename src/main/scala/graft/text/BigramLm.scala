@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   * stream joins the model DIRECTLY via shuffle_hash on the 8-byte
   * `xxhash64` of the bigram (`useHashKey`) — never the bigram text
   * (the [[graft.dedup.SpanDedup]] key doctrine: the text-keyed
-  * variant exists for the oracle, BigramLmSpec pins equality; the
-  * model is bk-deduplicated at train time, so an xxhash64 collision
-  * collapses two bigrams into ONE model row — one perturbed
-  * probability, never duplicated join rows). A per-(doc, bigram)
+  * variant exists for the oracle, BigramLmSpec pins equality; an
+  * xxhash64 collision of two distinct bigrams would give the model
+  * two rows under one key and duplicate that key's scoring-join rows,
+  * inflating the affected documents' n_bigrams — a 2^-64-probability
+  * corruption whose insurance, an always-paid vocab-scale model dedup
+  * exchange, was deliberately rejected). A per-(doc, bigram)
   * pre-collapse before the join was measured and REMOVED
   * ([[scoreAgainst]]'s comment) — repeated-bigram skew is absorbed by
   * the hash join's build side, not a collapse stage. Scoring
@@ -73,16 +75,19 @@ object BigramLm {
       .agg(count(lit(1)).as("c_xy"))
     val cFirst = bic.groupBy(col("w1"))
       .agg(sum(col("c_xy")).as("c_first"))
+    // NOT deduplicated by bk: insuring against an xxhash64 collision
+    // (two distinct bigrams sharing a model row's key, which would
+    // duplicate that key's scoring-join rows) would cost one more
+    // bigram-vocab-scale exchange per execution (adjacent solo
+    // sessions read it at roughly +10-15%, within the session bar but
+    // structurally always-paid) — a 2^-64-probability event does not
+    // buy an extra exchange; the class doc states the failure mode
+    // plainly instead
     keyed(
       bic.join(cFirst, Seq("w1"))
         .select(col("w1"), col("w2"),
           expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first").as("micro")),
-      useHashKey)
-      // dedup by key: guarantees ONE model row per bk even under an
-      // xxhash64 collision of two distinct bigrams, so the scoring
-      // join can never duplicate occurrence rows (class doc); the
-      // aggregate is over the vocab-sized frame, not the token stream
-      .groupBy(col("bk")).agg(min(col("micro")).as("micro"))
+      useHashKey).select(col("bk"), col("micro"))
   }
 
   /** Score `docs` against an already-trained `model` (the CCNet
