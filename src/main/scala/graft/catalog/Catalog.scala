@@ -40,6 +40,7 @@ object Catalog {
                           dir: String): Unit = {
     DedupQueries.releaseDataset(spark, dir)
     SimilarityQueries.releaseDataset(spark, dir)
+    ScalarQueries.releaseDataset(spark, dir)
     graft.util.Checkpoints.closeMatching(spark,
       graft.util.Checkpoints.keyHasDir(_, dir))
   }

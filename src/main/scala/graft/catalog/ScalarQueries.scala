@@ -493,4 +493,21 @@ object ScalarQueries {
         .mode("overwrite").save()
       path
     })
+
+  /** Drop the q98 seeded time-travel store for `dir` — the heap entry
+    * AND the on-disk tmp store (it exists only to serve the query; the
+    * seed rebuilds transparently on next use). [[DedupQueries
+    * .releaseDataset]]'s twin, so long-lived multi-session audit
+    * drivers don't accumulate tmpdir stores ∝ (session, dataset) pairs.
+    */
+  def releaseDataset(s: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit =
+    ttStoreCache.keys.filter(k => (k._1 eq s) && k._2 == dir).foreach { k =>
+      ttStoreCache.remove(k).foreach { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        try fs.delete(p, true)
+        catch { case _: java.io.IOException => () } // tmpdir; best-effort
+      }
+    }
 }

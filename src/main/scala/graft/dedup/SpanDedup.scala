@@ -10,10 +10,10 @@ import graft.text.TextAnalysis
   * more than once ANYWHERE in the corpus, and merge each document's
   * flagged windows into maximal duplicated spans.
   *
-  * The span-level member of the dedup family (reference scope:
-  * mariuspopovici/COVID-19-FL processes whole records;
-  * `/root/reference/cv.py:21-30`'s drop-duplicates is the document-level
-  * ancestor): document dedup ([[Dedup.exact]]) removes whole-text
+  * The span-level member of the dedup family (beyond the reference's
+  * scope: mariuspopovici/COVID-19-FL processes whole records and has no
+  * dedup of its own — this family exists for the LLM-pipeline tier):
+  * document dedup ([[Dedup.exact]]) removes whole-text
   * copies, segment dedup ([[graft.ops.Segments]]) removes repeated
   * NEWLINE-delimited blocks, and this operator removes repeated
   * fixed-length TOKEN windows regardless of any delimiter — the

@@ -183,9 +183,16 @@ class DailyStoreTable(path: String, pcol: String, schema0: StructType,
   * — exact on local FS and HDFS, where rename/create/delete update the
   * parent dir; on object stores with synthetic dirs disable via
   * `spark.sql.dailystore.readCache=false` (every resolution then
-  * re-lists, the r15 behavior); (2) sub-millisecond same-dir rewrites
-  * within one mtime tick could alias — unreachable through this
-  * connector, whose commit window does multiple root touches per write;
+  * re-lists, the r15 behavior); (2) same-dir rewrites within one mtime
+  * tick could alias — sub-millisecond back-to-back commits on local FS,
+  * but ALSO ordinary-speed commits on COARSE-granularity filesystems
+  * (NFS and some network mounts round mtime to 1 s): two commits inside
+  * one tick leave identical child names and mtimes. The key therefore
+  * also folds each root child's LENGTH (free — it rides the same
+  * FileStatus), which breaks most same-tick aliases (a commit changes
+  * root-level marker/sidecar sizes); a store on a coarse-mtime mount
+  * whose commits are faster than the tick should still run with
+  * `readCache=false`;
   * (3) the key sees CREATE/DELETE/RENAME-shaped changes only — an
   * out-of-band IN-PLACE rewrite of an existing leaf file under the
   * same name (distcp -overwrite, manual fixup) touches the file's
@@ -241,6 +248,7 @@ private[sources] object DelegateCache {
     fs.listStatus(live).sortBy(_.getPath.getName).foreach { s =>
       h = h * 31 + s.getPath.getName.hashCode
       h = h * 31 + s.getModificationTime
+      h = h * 31 + s.getLen // breaks same-mtime-tick aliases (caveat 2)
       h = h * 31 + (if (s.isDirectory) 1 else 0)
     }
     h
@@ -382,6 +390,23 @@ private[sources] object WriterLease {
               s"${ttlMs / 1000}s on its own)")
         case Some(_) => return // re-entrant: we already hold it
         case None => // expired leftover: take over
+          // Compare-and-delete: a peer's JUST-COMPLETED takeover replaces
+          // the expired lock with a FRESH one between our expiry check and
+          // this delete; deleting blindly would remove the winner's lock
+          // and both writers would pass read-back (the loser only failing
+          // later at the winner's assertHeld). Re-read and delete only
+          // while the lock is STILL expired — narrows the window to the
+          // re-read/delete gap; the read-back + assertHeld backstops stay.
+          val now = System.currentTimeMillis()
+          val freshAgain = holderOf(fs, lock) match {
+            case Some((_, mtime)) => now - mtime <= ttlMs
+            case None => // unreadable: judge by raw mtime; vanished = stale
+              try now - fs.getFileStatus(lock).getModificationTime <= ttlMs
+              catch { case _: java.io.FileNotFoundException => false }
+          }
+          if (freshAgain) throw new DailyStoreConcurrentWriteException(
+            s"dailystore: lost the lease takeover race on $live — " +
+              "another writer re-acquired _writer.lock concurrently")
           fs.delete(lock, false)
           if (!tryCreate()) throw new DailyStoreConcurrentWriteException(
             s"dailystore: lost the lease takeover race on $live — " +

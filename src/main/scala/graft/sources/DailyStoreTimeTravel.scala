@@ -92,17 +92,34 @@ object DailyStoreTimeTravel {
     fs.delete(new Path(live, RetentionFile), false)
   }
 
-  private[sources] def retentionOf(fs: FileSystem, live: Path): Option[Int] =
-    try {
-      val p = new Path(live, RetentionFile)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        Some(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(bytes).get("keep").asInt())
-      }
-    } catch { case _: Exception => None }
+  /** `None` means retention is OFF (no `_retention.json`). A file that
+    * exists but cannot be read or parsed THROWS instead of falling back:
+    * a silent `None` would flip a retention-enabled store into
+    * delete-mode and the next commit would permanently delete files the
+    * operator believes are being archived. */
+  private[sources] def retentionOf(fs: FileSystem, live: Path): Option[Int] = {
+    val p = new Path(live, RetentionFile)
+    if (!fs.exists(p)) None
+    else {
+      val keep =
+        try {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(bytes).get("keep")
+          if (node == null || !node.canConvertToInt)
+            throw new java.io.IOException(s"no integer 'keep' field")
+          node.asInt()
+        } catch {
+          case e: Exception =>
+            throw new java.io.IOException(
+              s"dailystore: $p exists but is unreadable (${e.getMessage}); " +
+                "refusing to fall back to delete-mode — fix or remove the " +
+                "retention file", e)
+        }
+      Some(keep)
+    }
+  }
 
   /** One retained version: its sequence number, the archive dir, and
     * the parsed commit manifest. */

@@ -25,4 +25,24 @@ class CatalogSpec extends SparkSpec {
       df.count() // force execution
     }
   }
+
+  test("ScalarQueries.releaseDataset drops the q98 seeded store — heap " +
+      "entry AND tmpdir files — and the seed rebuilds on next use") {
+    import graft.catalog.ScalarQueries
+    val q98 = Catalog.all("q98_time_travel")
+    val r1 = q98.fn(spark, sf).count()
+    // seeding leaves exactly one live graft_ttstore dir for this run
+    def storeDirs(): Seq[java.io.File] =
+      Option(new java.io.File(sys.props("java.io.tmpdir"))
+        .listFiles((_, n) => n.startsWith("graft_ttstore_")))
+        .map(_.toSeq).getOrElse(Nil)
+    val before = storeDirs()
+    assert(before.nonEmpty, "q98 must have seeded a tmpdir store")
+    ScalarQueries.releaseDataset(spark, sf)
+    val after = storeDirs().map(_.getName).toSet
+    assert(before.map(_.getName).toSet.diff(after).nonEmpty,
+      "releaseDataset must delete this dataset's seeded store from tmpdir")
+    // transparent rebuild: the query re-seeds and returns the same rows
+    assert(q98.fn(spark, sf).count() == r1)
+  }
 }

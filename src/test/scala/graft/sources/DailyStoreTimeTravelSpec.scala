@@ -195,6 +195,40 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("retention: a corrupt _retention.json fails the commit LOUDLY " +
+      "instead of silently flipping the store to delete-mode") {
+    val dir = freshDir("corrupt")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 3)
+    write(days(("2020-03-01", 1, "a")), dir)
+    // corrupt the marker: retention is ON but unreadable
+    val f = new java.io.FileOutputStream(
+      new java.io.File(dir, "_retention.json"))
+    try f.write("{not json".getBytes("UTF-8")) finally f.close()
+    // a day-replace condemns files; it must throw, not delete them
+    val e = intercept[Exception] {
+      write(days(("2020-03-01", 9, "fix")), dir, "overwrite", dynamic = true)
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: rootCauses(t.getCause)
+    assert(rootCauses(e).exists(c =>
+      c.isInstanceOf[java.io.IOException] &&
+        c.getMessage.contains("_retention.json")),
+      s"expected the loud unreadable-retention IOException, got: $e")
+    // the store is untouched: v1's data survives intact
+    assert(rows(spark.read.parquet(dir)) == Seq((d("2020-03-01"), 1, "a")))
+    // restoring a valid marker lets commits proceed again
+    DailyStoreTimeTravel.enable(spark, dir, keep = 3)
+    write(days(("2020-03-01", 9, "fix")), dir, "overwrite", dynamic = true)
+    assert(rows(spark.read.parquet(dir)) == Seq((d("2020-03-01"), 9, "fix")))
+    // an ABSENT marker is plain delete-mode — None, no error
+    val plainDir = freshDir("absent")
+    write(days(("2020-03-01", 1, "x")), plainDir)
+    val fs = new org.apache.hadoop.fs.Path(plainDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(DailyStoreTimeTravel.retentionOf(fs,
+      new org.apache.hadoop.fs.Path(plainDir)).isEmpty)
+  }
+
   test("integration: the streaming daily re-ingest loop composes with " +
       "retention — a garbage micro-batch is rolled back via history + " +
       "readVersion + an ordinary day-replace") {
