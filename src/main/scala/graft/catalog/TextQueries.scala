@@ -787,6 +787,71 @@ object TextQueries {
            |SELECT doc_id, n_bigrams, sum_micro,
            |  CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
            |FROM sc ORDER BY fluency ASC, doc_id LIMIT 25""".stripMargin),
-      "bigram-LM transfer scoring: reference-corpus model over a disjoint batch, OOV transitions score zero")
+      "bigram-LM transfer scoring: reference-corpus model over a disjoint batch, OOV transitions score zero"),
+
+    // ----- DSIR data selection: 25 most target-like docs (r17) -----
+    // Importance resampling (Xie et al. 2023) with both LMs reduced to
+    // the exact micro-point bigram tables of q104: target model trains
+    // on the lang='en' slice, raw model on the full pool, and every
+    // candidate's weight is the exact long sum of per-transition
+    // micro differences (OOV → that model contributes zero). One
+    // mirrored double division orders the output. The Spark side joins
+    // the single keyed occurrence stream to BOTH models (shuffle_hash
+    // on the 8-byte bigram hash); the oracle joins on bigram text.
+    "q108_dsir_select" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.text.Dsir.selectTopN(
+          target = docs.filter(col("lang") === "en"),
+          raw = docs, candidates = docs, n = 25)
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+           |bi AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+           |       FROM t, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)),
+           |bict AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+           |         FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+           |cft AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_first
+           |        FROM bict GROUP BY 1),
+           |mt AS (SELECT w1, w2, (c_xy * 1000000) // c_first AS micro_t
+           |       FROM bict JOIN cft USING (w1)),
+           |bicr AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+           |         FROM bi GROUP BY 1, 2),
+           |cfr AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_first
+           |        FROM bicr GROUP BY 1),
+           |mr AS (SELECT w1, w2, (c_xy * 1000000) // c_first AS micro_r
+           |       FROM bicr JOIN cfr USING (w1)),
+           |occ AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM bi GROUP BY 1, 2, 3),
+           |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(n * (COALESCE(micro_t, 0) - COALESCE(micro_r, 0)))
+           |           AS BIGINT) AS weight
+           |       FROM occ LEFT JOIN mt USING (w1, w2)
+           |                LEFT JOIN mr USING (w1, w2) GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, weight,
+           |  CAST(weight AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_weight
+           |FROM sc ORDER BY avg_weight DESC, doc_id LIMIT 25""".stripMargin),
+      "DSIR selection: exact micro-point importance weights, target-LM minus raw-LM, top-k"),
+
+    // ----- exact heavy hitters via sketch-then-verify (r17) -----
+    // Two bounded-state scans instead of a vocabulary-scale groupBy
+    // exchange (HeavyHitters scaladoc): a Misra-Gries summary (cap 256
+    // counters) nominates candidates with the classic recall guarantee,
+    // a broadcast-pruned second scan counts exactly those candidates.
+    // `provable` certifies each row against the data itself
+    // (cnt * (cap+1) > total tokens); the oracle computes the true
+    // top-k the brute-force way plus the same flag.
+    "q109_heavy_hitters" -> Q(
+      (s, dir) => graft.text.HeavyHitters.exactTopK(
+        Tables(s, dir, "documents"), k = 20, cap = 256),
+      Some(
+        s"""WITH t AS (SELECT $toksSql AS t FROM documents),
+           |tok AS (SELECT u.tok AS term FROM t, UNNEST(t) AS u(tok)),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+           |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM tok GROUP BY 1)
+           |SELECT term, cnt, (cnt * 257 > total) AS provable
+           |FROM c, tot ORDER BY cnt DESC, term LIMIT 20""".stripMargin),
+      "exact top-k tokens: Misra-Gries candidates + broadcast verify scan, per-row provability")
   )
 }

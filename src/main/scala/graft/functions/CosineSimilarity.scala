@@ -184,6 +184,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => KmvSketch(es(0), es(1), intArg(es(2)))),
       ("kmv_distinct", classOf[KmvDistinct].getName,
         es => KmvDistinct(es(0), intArg(es(1)))),
+      ("mg_topk", classOf[MisraGriesAgg].getName,
+        es => MisraGriesAgg(es(0), intArg(es(1)))),
       // Spark's own (unregistered) Bloom expressions, re-exposed — see
       // graft.functions.Blooms
       ("bloom_agg",

@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   */
 object BigramLm {
 
-  private def bigrams(docs: DataFrame): DataFrame = {
+  private[text] def bigrams(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextAnalysis.wsTokens(col("text")).as("t"))
     val n1 = greatest(size(col("t")) - lit(1), lit(0))
@@ -58,7 +58,7 @@ object BigramLm {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 
-  private def keyed(df: DataFrame, useHashKey: Boolean): DataFrame =
+  private[text] def keyed(df: DataFrame, useHashKey: Boolean): DataFrame =
     if (useHashKey)
       df.withColumn("bk", xxhash64(concat_ws(" ", col("w1"), col("w2"))))
     else

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+  * score every candidate document by how much more probable its text is
+  * under a TARGET-domain n-gram language model than under the RAW-pool
+  * model, and keep the highest-scoring ones — the standard recipe for
+  * carving a domain-matched training subset out of a 100 TB crawl
+  * (beyond the reference's scope; the LLM-pipeline tier).
+  *
+  * The paper's importance weight is `log p_target(x) - log p_raw(x)`
+  * over hashed n-gram features. Here both models are the exact
+  * conditional-bigram tables of [[BigramLm]], and the log-ratio is
+  * reduced to what an exact cross-engine oracle can mirror (the BigramLm
+  * doctrine): per transition, the difference of the two models'
+  * micro-point conditional probabilities, summed exactly in longs —
+  * `weight = Σ (micro_target(b) - micro_raw(b))` over the document's
+  * bigram occurrences, with an out-of-vocabulary transition contributing
+  * the model's zero. The reported `avg_weight = weight / n_bigrams` is
+  * ONE mirrored double division used only for the final ordering — a
+  * document whose transitions are systematically more probable under
+  * the target model rises, independent of length. (The true log-ratio
+  * is the sum of log-quotients rather than the sum of differences; both
+  * are zero exactly when the models agree and positive when the target
+  * model dominates, and the difference form keeps every per-document
+  * statistic an exact integer.)
+  *
+  * Plan shape (scale): both models are vocabulary-scale one-row-per-key
+  * tables (map-side partial aggregation; never token streams). The
+  * candidate occurrence stream is keyed once and joined to BOTH models
+  * in sequence — `shuffle_hash` on the 8-byte bigram hash, the
+  * [[BigramLm.scoreAgainst]] doctrine (the sort-merge sort of the
+  * token-scale stream was half that query when measured) — then
+  * aggregated per document. Scoring is one pass over the candidates:
+  * the two model joins share the single keyed stream rather than
+  * scoring against each model separately and re-joining per-document
+  * results (which would tokenize and shuffle the candidate stream
+  * twice).
+  */
+object Dsir {
+
+  /** Per-candidate importance scores against pre-trained models:
+    * `(doc_id, n_bigrams, weight, avg_weight)` for every candidate with
+    * at least one bigram. `targetModel` / `rawModel` are
+    * [[BigramLm.trainModel]] frames (`(bk, micro)`), trained with the
+    * SAME `useHashKey` as passed here.
+    */
+  def importanceScores(targetModel: DataFrame, rawModel: DataFrame,
+                       candidates: DataFrame,
+                       useHashKey: Boolean = true): DataFrame = {
+    val t = targetModel.withColumnRenamed("micro", "micro_t")
+    val r = rawModel.withColumnRenamed("micro", "micro_r")
+    BigramLm.keyed(BigramLm.bigrams(candidates), useHashKey)
+      .select(col("doc_id"), col("bk"))
+      .join(t.hint("shuffle_hash"), Seq("bk"), "left_outer")
+      .join(r.hint("shuffle_hash"), Seq("bk"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("micro_t"), lit(0L)) -
+          coalesce(col("micro_r"), lit(0L))).as("weight"))
+      .select(col("doc_id"), col("n_bigrams"), col("weight"),
+        (col("weight").cast("double") /
+          col("n_bigrams").cast("double")).as("avg_weight"))
+  }
+
+  /** The selection surface: train the target model on `target` and the
+    * raw model on `raw`, score `candidates`, and keep the `n` most
+    * target-like (descending `avg_weight`, ties by doc_id).
+    */
+  def selectTopN(target: DataFrame, raw: DataFrame, candidates: DataFrame,
+                 n: Int, useHashKey: Boolean = true): DataFrame =
+    importanceScores(
+      BigramLm.trainModel(target, useHashKey),
+      BigramLm.trainModel(raw, useHashKey),
+      candidates, useHashKey)
+      .orderBy(col("avg_weight").desc, col("doc_id").asc)
+      .limit(n)
+
+  /** The paper's HASHED-feature variant, the 100 TB deployment shape:
+    * bigram features are bucketed `pmod(xxhash64(bigram), buckets)`, so
+    * each model is AT MOST `buckets` rows — a fixed-size table that
+    * BROADCASTS, removing the model-side exchange entirely (the
+    * candidate stream is joined twice broadcast-hash, shuffling nothing
+    * until the per-document aggregation). Hash collisions merge
+    * features, as in the paper: same-head-word collisions add their
+    * counts BEFORE the conditional division, cross-head collisions add
+    * their micro contributions after it; DsirSpec pins exact agreement
+    * with the unhashed form on a fixture it first PROVES collision-free.
+    */
+  def hashedSelectTopN(target: DataFrame, raw: DataFrame,
+                       candidates: DataFrame, n: Int,
+                       buckets: Int = 1 << 14): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def bucketed(df: DataFrame): DataFrame =
+      BigramLm.keyed(df, useHashKey = true)
+        .withColumn("bk", pmod(col("bk"), lit(buckets.toLong)))
+    def model(docs: DataFrame): DataFrame = {
+      val bic = bucketed(BigramLm.bigrams(docs))
+        .groupBy(col("bk"), col("w1")).agg(count(lit(1)).as("c_xy"))
+      val cFirst = bic.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_first"))
+      // conditional within the HEAD WORD as in trainModel; the bucket
+      // only merges (w1, w2) pairs, c_first stays the head's total
+      bic.join(cFirst, Seq("w1"))
+        .groupBy(col("bk"))
+        .agg(sum(expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first"))
+          .as("micro"))
+    }
+    val t = broadcast(model(target).withColumnRenamed("micro", "micro_t"))
+    val r = broadcast(model(raw).withColumnRenamed("micro", "micro_r"))
+    bucketed(BigramLm.bigrams(candidates))
+      .select(col("doc_id"), col("bk"))
+      .join(t, Seq("bk"), "left_outer")
+      .join(r, Seq("bk"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("micro_t"), lit(0L)) -
+          coalesce(col("micro_r"), lit(0L))).as("weight"))
+      .select(col("doc_id"), col("n_bigrams"), col("weight"),
+        (col("weight").cast("double") /
+          col("n_bigrams").cast("double")).as("avg_weight"))
+      .orderBy(col("avg_weight").desc, col("doc_id").asc)
+      .limit(n)
+  }
+}

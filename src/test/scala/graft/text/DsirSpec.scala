@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DSIR importance selection: hand-checked weights, target-domain docs
+  * outranking off-domain ones, OOV neutrality, hash/text key parity,
+  * and the hashed-feature variant's exact agreement on a proven
+  * collision-free fixture plus its broadcast plan shape.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target domain: "the cat sat" phrasing; raw pool: that plus legalese
+  private val target = Seq(
+    0L -> "the cat sat on the mat",
+    1L -> "the cat sat on the rug").toDF("doc_id", "text")
+  private val legal = Seq(
+    100L -> "party of the first part shall indemnify",
+    101L -> "party of the first part shall hold harmless")
+    .toDF("doc_id", "text")
+  private val raw = target.union(legal)
+
+  test("hand-checked weights: a target transition scores " +
+      "micro_t - micro_r; a raw-only transition scores negative") {
+    // target model: "a b" x2 -> micro_t(b|a) = 1e6
+    // raw model:    "a b" x2, "a c" x2 -> micro_r(b|a) = 5e5,
+    //               micro_r(c|a) = 5e5; micro_t(c|a) = OOV = 0
+    val t = Seq(0L -> "a b", 1L -> "a b").toDF("doc_id", "text")
+    val r = Seq(0L -> "a b", 1L -> "a b", 2L -> "a c", 3L -> "a c")
+      .toDF("doc_id", "text")
+    val cands = Seq(10L -> "a b", 11L -> "a c", 12L -> "x y")
+      .toDF("doc_id", "text")
+    val got = Dsir.selectTopN(t, r, cands, n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (10L, 1L, 500000L, 500000.0),   // 1e6 - 5e5
+      (12L, 1L, 0L, 0.0),             // OOV under BOTH models: neutral
+      (11L, 1L, -500000L, -500000.0)  // raw-only transition: negative
+    ), s"got $got")
+  }
+
+  test("target-domain candidates outrank off-domain ones") {
+    val picked = Dsir.selectTopN(target, raw, raw, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == Set(0L, 1L),
+      "the two cat-domain docs must be selected first")
+  }
+
+  test("hash and text join keys agree; determinism under repartition") {
+    val h = Dsir.selectTopN(target, raw, raw, 4, useHashKey = true)
+      .collect().toSeq
+    val t = Dsir.selectTopN(target, raw, raw, 4, useHashKey = false)
+      .collect().toSeq
+    assert(h == t)
+    val r = Dsir.selectTopN(target.repartition(5), raw.repartition(3),
+      raw.repartition(7), 4).collect().toSeq
+    assert(r == h)
+  }
+
+  test("hashed-feature variant agrees exactly on a proven " +
+      "collision-free fixture, and its model joins broadcast") {
+    val buckets = 1 << 14
+    // prove the fixture collision-free FIRST: distinct bigrams must map
+    // to distinct buckets, else this test's premise (equality) is void
+    val bi = BigramLm.keyed(BigramLm.bigrams(raw), useHashKey = true)
+      .select(col("w1"), col("w2"), pmod(col("bk"), lit(buckets.toLong)).as("b"))
+      .distinct()
+    val (nBigrams, nBuckets) = bi.agg(
+      count(lit(1)), countDistinct(col("b")))
+      .as[(Long, Long)].collect().head
+    assert(nBigrams == nBuckets,
+      s"fixture has a mod-$buckets collision; pick other words")
+
+    val plain = Dsir.selectTopN(target, raw, raw, 4).collect().toSeq
+    val hashedDf = Dsir.hashedSelectTopN(target, raw, raw, 4, buckets)
+    assert(hashedDf.collect().toSeq == plain)
+    val plan = hashedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hashed models must broadcast:\n$plan")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.MisraGriesAgg
+
+/** Exact heavy hitters via sketch-then-verify: the Misra-Gries recall
+  * guarantee (every term above total/(cap+1) survives), exactness of the
+  * verified counts, partitioning invariance, the provable flag's
+  * semantics, and the broadcast plan shape.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A corpus with `hot` heavy tokens (freq descending: 100, 90, 80...)
+    * drowned in `noise` unique filler tokens — vocabulary ≫ any small
+    * cap, so the sketch MUST decrement to survive.
+    */
+  private def corpus(hot: Int, noise: Int) = {
+    val hotDocs = (0 until hot).map { h =>
+      (h.toLong, (s"hot$h " * (100 - 10 * h)).trim)
+    }
+    val noiseDocs = (0 until noise).map { i =>
+      (1000L + i, s"u${i}a u${i}b u${i}c")
+    }
+    (hotDocs ++ noiseDocs).toDF("doc_id", "text")
+  }
+
+  private def bruteTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .as[(String, Long)].collect().toSeq
+
+  test("exactTopK == brute-force top-k on a vocab >> cap corpus, and " +
+      "every emitted row is provable") {
+    val docs = corpus(hot = 5, noise = 300) // vocab ≈ 905, cap 32
+    val got = HeavyHitters.exactTopK(docs, k = 5, cap = 32)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == bruteTopK(docs, 5))
+    // hot counts 100..60 each ≫ total/(33); filler terms appear 1x
+    assert(got.forall(_._3), s"all hot rows must certify: $got")
+  }
+
+  test("Misra-Gries recall guarantee: every term above total/(cap+1) " +
+      "is in the sketch, across partitionings") {
+    val docs = corpus(hot = 5, noise = 300)
+    val truth = bruteTopK(docs, Int.MaxValue).toMap
+    val total = truth.values.sum
+    for (parts <- Seq(1, 7)) {
+      val row = docs.repartition(parts)
+        .agg(MisraGriesAgg.mgTopK(col("text"), 16).as("s"))
+        .select(col("s.total"), col("s.items"))
+        .as[(Long, Seq[(String, Long)])].collect().head
+      assert(row._1 == total, "sketch total counts every token")
+      val candidates = row._2.map(_._1).toSet
+      assert(row._2.size <= 16, "emits at most cap items")
+      val mustHave = truth.filter(_._2 * 17 > total).keySet
+      assert(mustHave.subsetOf(candidates),
+        s"guarantee broken at parts=$parts: ${mustHave.diff(candidates)}")
+      // lb is a lower bound on the true count, never an overestimate
+      row._2.foreach { case (term, lb) => assert(lb <= truth(term)) }
+    }
+  }
+
+  test("result is invariant under repartitioning") {
+    val docs = corpus(hot = 4, noise = 200)
+    val a = HeavyHitters.exactTopK(docs.repartition(1), 4, cap = 24)
+      .collect().toSeq
+    val b = HeavyHitters.exactTopK(docs.repartition(11), 4, cap = 24)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("an under-capped flat corpus reports provable = false instead " +
+      "of silently claiming exactness") {
+    // 50 terms, each appearing 3x: nothing exceeds total/(cap+1) for
+    // cap = 4 (threshold 150/5 = 30), so no row may certify
+    val docs = (0 until 50).map(i => (i.toLong, s"t$i t$i t$i"))
+      .toDF("doc_id", "text")
+    val got = HeavyHitters.exactTopK(docs, k = 3, cap = 4)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got.forall(!_._3), s"flat corpus must not certify: $got")
+  }
+
+  test("the verify scan joins the candidates BROADCAST (no " +
+      "vocabulary-scale exchange)") {
+    val docs = corpus(hot = 3, noise = 50)
+    val plan = HeavyHitters.exactTopK(docs, 3, cap = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast join:\n$plan")
+  }
+
+  test("mg_topk resolves through SQL and GraftExtensions registration") {
+    MisraGriesAgg.register(spark)
+    corpus(2, 10).createOrReplaceTempView("hh_docs")
+    val r = spark.sql(
+      "SELECT s.total, size(s.items) FROM " +
+        "(SELECT mg_topk(text, 8) AS s FROM hh_docs)")
+      .as[(Long, Int)].collect().head
+    assert(r._1 > 0 && r._2 > 0 && r._2 <= 8)
+  }
+}
