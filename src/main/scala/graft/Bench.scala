@@ -129,7 +129,14 @@ object Bench {
     "q102_span_dedup", "q104_least_fluent", "q105_span_incremental",
     // r16: the transfer variant trains on the even half and scores the
     // odd half - same two-tokenize cost shape as q104 with the OOV path
-    "q107_fluency_transfer")
+    "q107_fluency_transfer",
+    // r17: q108 trains TWO bigram models (en slice + full pool) and
+    // double-joins the full candidate stream — the heaviest member of
+    // the bigram-LM family; q109 is the sketch-then-verify heavy-hitter
+    // pair of full-corpus scans whose exchanges are CAP-bounded (one
+    // MG summary per partial buffer, then <=cap verified keys) while
+    // the DuckDB oracle hash-aggregates the whole vocabulary
+    "q108_dsir_select", "q109_heavy_hitters")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -178,7 +185,11 @@ object Bench {
     // both scale (odd/even split)
     "q99_bm25_topk", "q100_pmi_bigrams", "q101_quantized_cosine_topk",
     "q102_span_dedup", "q104_least_fluent", "q105_span_incremental",
-    "q107_fluency_transfer")
+    "q107_fluency_transfer",
+    // q108's two models and candidate stream all scale with the corpus;
+    // q109's both scans cover every document (cap stays fixed — the
+    // sketch state does NOT grow, which is the point)
+    "q108_dsir_select", "q109_heavy_hitters")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let

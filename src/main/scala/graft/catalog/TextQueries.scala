@@ -795,16 +795,14 @@ object TextQueries {
     // on the lang='en' slice, raw model on the full pool, and every
     // candidate's weight is the exact long sum of per-transition
     // micro differences (OOV → that model contributes zero). One
-    // mirrored double division orders the output. The Spark side joins
-    // the single keyed occurrence stream to BOTH models (shuffle_hash
-    // on the 8-byte bigram hash); the oracle joins on bigram text.
+    // mirrored double division orders the output. The Spark side runs
+    // the SLICED fast path — both models from one flagged count table,
+    // one fused-model shuffle_hash join (Dsir.selectTopNSliced;
+    // equality with the two-model form spec-pinned); the oracle builds
+    // the two models separately, text-keyed.
     "q108_dsir_select" -> Q(
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        graft.text.Dsir.selectTopN(
-          target = docs.filter(col("lang") === "en"),
-          raw = docs, candidates = docs, n = 25)
-      },
+      (s, dir) => graft.text.Dsir.selectTopNSliced(
+        Tables(s, dir, "documents"), col("lang") === "en", n = 25),
       Some(
         s"""WITH t AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
            |bi AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2

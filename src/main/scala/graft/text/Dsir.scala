@@ -78,6 +78,59 @@ object Dsir {
       .orderBy(col("avg_weight").desc, col("doc_id").asc)
       .limit(n)
 
+  /** The fused fast path for the common deployment where the TARGET is
+    * a SLICE of the pool itself (a trusted-language/source/quality
+    * subset marking what "domain-like" means): both models derive from
+    * ONE flagged bigram count table — `c_t` counts target-slice
+    * occurrences alongside the pool's `c_r` in the same map-side
+    * partial aggregation — and scoring joins ONE fused `(bk, micro_t,
+    * micro_r)` model instead of two. That removes one full tokenize
+    * scan and one vocabulary-scale count exchange and halves the
+    * scoring joins relative to [[selectTopN]] with `target =
+    * pool.filter(...)`; DsirSpec pins exact equality of the two forms
+    * (a bigram absent from the slice has `c_t = 0` and scores
+    * `micro_t = 0` — the same zero the two-model form's left join
+    * produces for target-OOV).
+    */
+  def selectTopNSliced(pool: DataFrame, isTarget: org.apache.spark.sql.Column,
+                       n: Int, useHashKey: Boolean = true): DataFrame = {
+    // bigrams() keeps only (doc_id, w1, w2) — rebuild the bigram frame
+    // here so each occurrence carries the slice flag
+    val toks = pool.select(col("doc_id"), isTarget.cast("boolean").as("is_t"),
+      TextAnalysis.wsTokens(col("text")).as("t"))
+    val n1 = greatest(size(col("t")) - lit(1), lit(0))
+    val flaggedBi = toks
+      .select(col("doc_id"), col("is_t"), explode(arrays_zip(
+        slice(col("t"), lit(1), n1).as("w1"),
+        slice(col("t"), lit(2), n1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("is_t"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bic = flaggedBi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val cf = bic.groupBy(col("w1"))
+      .agg(sum(col("c_r")).as("cf_r"), sum(col("c_t")).as("cf_t"))
+    val model = BigramLm.keyed(
+      bic.join(cf, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          when(col("c_t") > 0,
+            expr("(c_t * CAST(1000000 AS BIGINT)) div cf_t"))
+            .otherwise(0L).as("micro_t"),
+          expr("(c_r * CAST(1000000 AS BIGINT)) div cf_r").as("micro_r")),
+      useHashKey).select(col("bk"), col("micro_t"), col("micro_r"))
+    BigramLm.keyed(BigramLm.bigrams(pool), useHashKey)
+      .select(col("doc_id"), col("bk"))
+      .join(model.hint("shuffle_hash"), Seq("bk")) // inner: model covers
+      .groupBy(col("doc_id"))                      // every pool bigram
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("micro_t") - col("micro_r")).as("weight"))
+      .select(col("doc_id"), col("n_bigrams"), col("weight"),
+        (col("weight").cast("double") /
+          col("n_bigrams").cast("double")).as("avg_weight"))
+      .orderBy(col("avg_weight").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** The paper's HASHED-feature variant, the 100 TB deployment shape:
     * bigram features are bucketed `pmod(xxhash64(bigram), buckets)`, so
     * each model is AT MOST `buckets` rows — a fixed-size table that

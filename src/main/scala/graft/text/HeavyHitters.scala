@@ -55,6 +55,10 @@ object HeavyHitters {
   def exactTopK(docs: DataFrame, k: Int, cap: Int = 256): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cap >= k, s"cap ($cap) must be >= k ($k)")
+    // operator entry-point convention (functions.Texts scaladoc):
+    // register against THIS frame's session, not the thread-active one
+    MisraGriesAgg.register(docs.sparkSession)
+    TermCounts.register(docs.sparkSession)
     val candidates = docs
       .agg(MisraGriesAgg.mgTopK(col("text"), cap).as("s"))
       .select(col("s.total").as("total"), explode(col("s.items")).as("it"))

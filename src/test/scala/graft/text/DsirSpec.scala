@@ -59,6 +59,27 @@ class DsirSpec extends SparkSpec {
     assert(r == h)
   }
 
+  test("sliced fast path == two-model form when the target is a slice " +
+      "of the pool (incl. target-OOV zeros and null flags)") {
+    val pool = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the rug", "en"),
+      (100L, "party of the first part shall indemnify", "legal"),
+      (101L, "party of the first part shall hold harmless", "legal"),
+      (102L, "entirely novel words appear here once", null))
+      .toDF("doc_id", "text", "lang")
+    val docs = pool.select(col("doc_id"), col("text"), col("lang"))
+    val twoModel = Dsir.selectTopN(
+      target = docs.filter(col("lang") === "en"),
+      raw = docs, candidates = docs, n = 5).collect().toSeq
+    val sliced = Dsir.selectTopNSliced(docs, col("lang") === "en", n = 5)
+      .collect().toSeq
+    assert(sliced == twoModel)
+    // text-keyed agrees too
+    assert(Dsir.selectTopNSliced(docs, col("lang") === "en", 5,
+      useHashKey = false).collect().toSeq == twoModel)
+  }
+
   test("hashed-feature variant agrees exactly on a proven " +
       "collision-free fixture, and its model joins broadcast") {
     val buckets = 1 << 14
