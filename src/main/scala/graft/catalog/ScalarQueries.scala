@@ -462,7 +462,34 @@ object ScalarQueries {
           |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           |  AND o_orderdate < TIMESTAMP '1995-02-01'
           |ORDER BY d, o_orderkey""".stripMargin),
-      "time-travel rollback read == the pre-replace state, from raw data")
+      "time-travel rollback read == the pre-replace state, from raw data"),
+
+    // ----- SQL time travel over the same store (r17) -----
+    // The q98 rollback expressed through the engine's SQL front:
+    // `VERSION AS OF 1` resolves via DailyStoreCatalog.loadTable(ident,
+    // version) into DailyStoreVersionScan, whose V1 bridge delegates to
+    // the SAME readVersion reconstruction (DailyStoreVersionRead
+    // scaladoc) — so this entry oracles the SQL resolution path
+    // end-to-end against the identical independent oracle as q98.
+    // VERSION AS OF takes the absolute commit seq: 1 = the state after
+    // the appending commit, before the garbage day-replace.
+    "q110_sql_time_travel" -> Q(
+      (s, dir) => {
+        val path = ttStore(s, dir)
+        val f = new java.io.File(path)
+        graft.sources.DailyStoreCatalog.register(
+          s, "graft_tt", f.getParent)
+        s.sql(s"SELECT d, o_orderkey, o_totalprice FROM " +
+          s"graft_tt.`${f.getName}` VERSION AS OF 1 " +
+          "ORDER BY d, o_orderkey")
+      },
+      Some(
+        """SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1995-02-01'
+          |ORDER BY d, o_orderkey""".stripMargin),
+      "SQL VERSION AS OF == the pre-replace state, via the catalog resolution path")
   )
 
   private val ttStoreCache = scala.collection.concurrent.TrieMap

@@ -92,6 +92,45 @@ class DailyStoreCatalog extends TableCatalog {
     new DailyStoreTable(dir.toString, pcol, schema, viaCatalog = true)
   }
 
+  /** `SELECT ... FROM cat.t VERSION AS OF <seq>` — the absolute commit
+    * sequence from [[DailyStoreTimeTravel.history]]; version N = the
+    * state AFTER commit N (Delta's convention). Requires retention
+    * ([[DailyStoreTimeTravel.enable]]); see [[DailyStoreVersionRead]].
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (dir, schema) = liveFor(ident)
+    val seq =
+      try version.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"dailystore: VERSION AS OF wants the numeric commit seq from " +
+            s"DailyStoreTimeTravel.history, got '$version'")
+      }
+    val back = DailyStoreVersionRead.versionsBackFor(
+      DailyStoreTimeTravel.versions(fs(dir), dir), seq, dir.toString)
+    new DailyStoreVersionTable(dir.toString, pcol, schema, back)
+  }
+
+  /** `SELECT ... FROM cat.t TIMESTAMP AS OF <ts>` — newest state whose
+    * commit time is at or before the timestamp (micros since epoch).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (dir, schema) = liveFor(ident)
+    val f = fs(dir)
+    val back = DailyStoreVersionRead.versionsBackForTimestamp(
+      DailyStoreTimeTravel.versions(f, dir), f, timestampMicros, dir.toString)
+    new DailyStoreVersionTable(dir.toString, pcol, schema, back)
+  }
+
+  /** The live table's dir + resolved schema (shared by the version
+    * overloads — a version read serves the live column set).
+    */
+  private def liveFor(ident: Identifier): (Path, StructType) = {
+    val table = loadTable(ident).asInstanceOf[DailyStoreTable]
+    val dir = dirFor(ident).get // loadTable above threw on None
+    (dir, table.schema())
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

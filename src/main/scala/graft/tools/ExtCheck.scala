@@ -49,7 +49,8 @@ object ExtCheck {
       SELECT bounded_ids(x, 10) AS ids, kmv_sample(x, 3) AS kmv,
              kmv_distinct(x, 16) AS kd,
              top_k_pairs(CAST(x AS DOUBLE), x, 2) AS tk,
-             vec_centroid(array(CAST(x AS FLOAT)), 1000000L) AS vc
+             vec_centroid(array(CAST(x AS FLOAT)), 1000000L) AS vc,
+             mg_topk(CAST(x AS STRING), 4) AS mg
       FROM VALUES (1L), (2L), (3L) AS t(x)
     """).head()
     println(s"[extcheck] $agg")

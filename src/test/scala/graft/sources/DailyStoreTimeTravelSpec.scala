@@ -195,6 +195,91 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("SQL time travel: VERSION AS OF <seq> / TIMESTAMP AS OF resolve " +
+      "through the catalog to the readVersion reconstruction; errors " +
+      "are loud; pushed filters flow into the inner plan") {
+    val root = freshDir("sqltt")
+    DailyStoreCatalog.register(spark, "dstore_sqltt", root)
+    try {
+      spark.sql("CREATE TABLE dstore_sqltt.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val tdir = s"$root/cases"
+      DailyStoreTimeTravel.enable(spark, tdir, keep = 10)
+      // v1: append two days; v2: day-replace day 1; v3: append day 3
+      write(days(("2020-03-01", 1, "a"), ("2020-03-02", 2, "b")), tdir)
+      val s1 = rows(spark.read.parquet(tdir))
+      write(days(("2020-03-01", 9, "fix")), tdir, "overwrite", dynamic = true)
+      val s2 = rows(spark.read.parquet(tdir))
+      write(days(("2020-03-03", 3, "c")), tdir)
+      val s3 = rows(spark.read.parquet(tdir))
+
+      def sqlV(v: Int) = rows(spark.sql(
+        s"SELECT d, n, label FROM dstore_sqltt.cases VERSION AS OF $v"))
+      assert(sqlV(3) == s3, "version 3 = the current state")
+      assert(sqlV(2) == s2, "version 2 = pre-append")
+      assert(sqlV(1) == s1, "version 1 = pre-day-replace")
+      // the Scala API and the SQL front share one reconstruction
+      assert(sqlV(1) == readV(tdir, 2))
+
+      // version 0 = the state before ANY retained commit: empty, valid
+      assert(sqlV(0) == Nil, "version 0 = before anything was committed")
+
+      // errors: future version, junk version (pre-history below, after
+      // vacuum shrinks the horizon)
+      val fut = intercept[Exception] { sqlV(9) }
+      assert(fut.getMessage.contains("future"), fut.getMessage)
+      val junk = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_sqltt.cases VERSION AS OF 'xy'")
+          .collect()
+      }
+      assert(junk.getMessage.contains("history") ||
+        junk.getMessage.contains("numeric"), junk.getMessage)
+
+      // TIMESTAMP AS OF: between v2 and v3 resolves to v2's state; the
+      // dir mtimes of this test's commits are seconds apart, so pick
+      // the instant just after v2's version-dir mtime
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(tdir).getFileSystem(spark.sessionState.newHadoopConf())
+      val vs = DailyStoreTimeTravel.versions(fs, new Path(tdir))
+      val v2Mtime = fs.getFileStatus(vs(1).dir).getModificationTime
+      val tsLit = new java.sql.Timestamp(v2Mtime).toString
+      val gotTs = rows(spark.sql("SELECT d, n, label FROM " +
+        s"dstore_sqltt.cases TIMESTAMP AS OF '$tsLit'"))
+      assert(gotTs == s2, s"timestamp at v2's commit = v2's state; got $gotTs")
+      val preHist = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_sqltt.cases TIMESTAMP AS OF " +
+          "'2000-01-01 00:00:00'").collect()
+      }
+      assert(preHist.getMessage.contains("predates"), preHist.getMessage)
+
+      // pushdown: a day-equality predicate reaches the version scan
+      // (pushed list) and the result stays exact
+      val q = spark.sql("SELECT n FROM dstore_sqltt.cases VERSION AS OF 1 " +
+        "WHERE d = DATE'2020-03-01'")
+      assert(q.as[Int].collect().toSeq == Seq(1))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("DailyStoreVersionScan") &&
+        plan.contains("EqualTo(d,2020-03-01)") &&
+        plan.contains("ReadSchema: struct<n:int>"),
+        s"expected the pushed day filter + pruned read schema:\n$plan")
+
+      // a VERSIONED read of an EMPTY required schema (count star) works
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM dstore_sqltt.cases VERSION AS OF 1")
+        .head().getLong(0) == 2L)
+
+      // vacuum tightens the horizon: version 0/1 now predate retention
+      assert(DailyStoreTimeTravel.vacuum(spark, tdir, keep = 2) == 1)
+      val old = intercept[Exception] { sqlV(0) }.getMessage
+      assert(old.contains("predates"), old)
+      assert(sqlV(1) == s1, "version 1 still reconstructable with keep=2")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_sqltt")
+      spark.conf.unset("spark.sql.catalog.dstore_sqltt.root")
+      spark.conf.unset("spark.sql.catalog.dstore_sqltt.partitionCol")
+    }
+  }
+
   test("retention: a corrupt _retention.json fails the commit LOUDLY " +
       "instead of silently flipping the store to delete-mode") {
     val dir = freshDir("corrupt")
