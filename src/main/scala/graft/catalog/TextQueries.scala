@@ -850,6 +850,30 @@ object TextQueries {
            |      FROM tok GROUP BY 1)
            |SELECT term, cnt, (cnt * 257 > total) AS provable
            |FROM c, tot ORDER BY cnt DESC, term LIMIT 20""".stripMargin),
-      "exact top-k tokens: Misra-Gries candidates + broadcast verify scan, per-row provability")
+      "exact top-k tokens: Misra-Gries candidates + broadcast verify scan, per-row provability"),
+
+    // ----- per-language heavy hitters (r17) -----
+    // q109's two-scan shape with mg_topk as a GROUPED aggregate: one
+    // <=cap summary per (lang, partial buffer) on the wire, candidates
+    // broadcast, per-group top-k over <= groups*cap verified counts.
+    // provable certifies against each language's own token total.
+    "q111_heavy_hitters_by_lang" -> Q(
+      (s, dir) => graft.text.HeavyHitters.exactTopKByGroup(
+        Tables(s, dir, "documents"), "lang", k = 5, cap = 256),
+      Some(
+        s"""WITH t AS (SELECT lang, $toksSql AS t FROM documents),
+           |tok AS (SELECT lang, u.tok AS term FROM t, UNNEST(t) AS u(tok)),
+           |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+           |        FROM tok GROUP BY 1),
+           |c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM tok GROUP BY 1, 2),
+           |r AS (SELECT lang, term, cnt,
+           |        ROW_NUMBER() OVER (PARTITION BY lang
+           |          ORDER BY cnt DESC, term) AS rn
+           |      FROM c)
+           |SELECT r.lang, term, cnt, (cnt * 257 > total) AS provable
+           |FROM r JOIN tot ON r.lang = tot.lang
+           |WHERE rn <= 5 ORDER BY r.lang, cnt DESC, term""".stripMargin),
+      "per-language exact top-k tokens: grouped Misra-Gries + broadcast verify")
   )
 }

@@ -685,6 +685,35 @@ object StreamingOps {
   def snapshotCountsByKey(events: DataFrame, keyCol: String): DataFrame =
     events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
 
+  /** Continuous corpus profiling: maintain ONE stream-wide Misra-Gries
+    * heavy-hitter summary (≤ `cap` counters + the exact token total)
+    * across micro-batches, at O(cap) state and O(batch) work per batch —
+    * the streaming half of [[graft.text.HeavyHitters]]. Each batch
+    * sketches ITSELF (one `mg_topk` aggregate over the batch), merges
+    * with the predecessor's persisted summary by the same
+    * subtract-the-(cap+1)-th rule the aggregate's own merge uses, and
+    * persists the result under `storePath/summary_batch=<id>`; the
+    * whole-stream recall guarantee (any term above streamTotal/(cap+1)
+    * present) carries through because merge errors add. Read the live
+    * summary with [[graft.text.HeavyHitters.summaryFromStore]]; when an
+    * EXACT top-k snapshot is needed, run the q109 verify scan over the
+    * accumulated corpus with the summary's terms as candidates.
+    *
+    * Replay safety: a batch merges from the newest summary STRICTLY
+    * OLDER than its own id — a replayed batch therefore re-merges from
+    * its predecessor and idempotently overwrites its own (possibly
+    * torn) output; a crash between sink and summary writes loses
+    * nothing (the summary is the only state). Batches of one query run
+    * sequentially, the single-writer premise of every store here.
+    */
+  def heavyHittersEachBatch(textCol: String, storePath: String,
+                            cap: Int = 256)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.text.HeavyHitters.mergeAndWriteSummary(
+      batch, textCol, storePath, batchId, cap)
+    ()
+  }
+
   /** OutputMode helpers pinned in one place for the write sites. */
   val AppendMode: OutputMode = OutputMode.Append()
   val CompleteMode: OutputMode = OutputMode.Complete()

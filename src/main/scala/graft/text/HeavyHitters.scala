@@ -74,4 +74,149 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
   }
+
+  // ---------------------------------------------------------------
+  // Incremental (streaming) summary maintenance — see
+  // StreamingOps.heavyHittersEachBatch for the foreachBatch wrapper.
+  // The persisted state is ONE Misra-Gries summary (≤ cap counters +
+  // the exact token total), written per batch under
+  // `storePath/summary_batch=<id>`; a batch merges the PRIOR summary
+  // with its own sketch using the same subtract-the-(cap+1)-th rule as
+  // MisraGriesAgg.merge, so the maintained summary carries the same
+  // recall guarantee over the WHOLE stream (errors add: any term above
+  // streamTotal/(cap+1) is present). The merge runs as DataFrame ops
+  // over ≤ 2*cap+2 rows — bounded by construction, no driver collect.
+  // A summary row with a NULL term is the meta row carrying the total
+  // (an adversarially flat batch can cancel every counter while still
+  // having counted tokens).
+  // ---------------------------------------------------------------
+
+  private def summaryDir(storePath: String, batchId: Long): String =
+    s"$storePath/summary_batch=$batchId"
+
+  /** The latest persisted summary STRICTLY BEFORE `beforeBatch`
+    * (replay safety: a replayed batch must merge from its
+    * predecessor's summary, never its own torn first attempt), as
+    * `(items, total)`; `(empty, 0)` when none exists.
+    */
+  private[graft] def readSummary(spark: org.apache.spark.sql.SparkSession,
+                                 storePath: String,
+                                 beforeBatch: Long): (DataFrame, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val Dir = """summary_batch=(\d+)""".r
+    val prior =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).flatMap(_.getPath.getName match {
+        case Dir(id) if id.toLong < beforeBatch => Some(id.toLong)
+        case _ => None
+      }).sorted.lastOption
+    prior match {
+      case None =>
+        import spark.implicits._
+        (Seq.empty[(String, Long)].toDF("term", "lb"), 0L)
+      case Some(id) =>
+        val df = spark.read.parquet(summaryDir(storePath, id))
+        val total = df.filter(col("term").isNull)
+          .select(col("total")).head().getLong(0)
+        (df.filter(col("term").isNotNull).select(col("term"), col("lb")),
+          total)
+    }
+  }
+
+  /** Merge the prior summary with a batch's sketch and persist as this
+    * batch's summary — the [[MisraGriesAgg]] merge rule expressed as
+    * DataFrame ops over ≤ `2*cap + 2` rows. Returns the new exact
+    * stream total. Rewriting the same `batchId` is idempotent (replay
+    * overwrites its own output, inputs pinned to the predecessor).
+    */
+  private[graft] def mergeAndWriteSummary(
+      docs: DataFrame, textCol: String, storePath: String,
+      batchId: Long, cap: Int): Long = {
+    val spark = docs.sparkSession
+    MisraGriesAgg.register(spark)
+    val (priorItems, priorTotal) = readSummary(spark, storePath, batchId)
+    val batchRow = docs
+      .agg(MisraGriesAgg.mgTopK(col(textCol), cap).as("s"))
+      .select(col("s.total").as("t"), col("s.items").as("items"))
+      .head()
+    val batchTotal = batchRow.getLong(0)
+    val batchItems = batchRow.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    val merged = priorItems
+      .union(batchItems.toDF("term", "lb"))
+      .groupBy("term").agg(sum("lb").as("lb"))
+    // MG prune, declaratively: subtract the (cap+1)-th largest counter
+    // (0 when ≤ cap survive) and drop the non-positive
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lb").desc, col("term").asc)
+    val ranked = merged.withColumn("r", row_number().over(w))
+    val dRow = ranked.filter(col("r") === cap + 1)
+      .agg(max(col("lb")).as("d"))
+    val total = priorTotal + batchTotal
+    val pruned = ranked.crossJoin(broadcast(dRow))
+      .select(col("term"), (col("lb") - coalesce(col("d"), lit(0L))).as("lb"))
+      .filter(col("lb") > 0)
+      .withColumn("total", lit(total))
+    val meta = Seq((null: String, 0L, total)).toDF("term", "lb", "total")
+    pruned.union(meta).coalesce(1)
+      .write.mode("overwrite").parquet(summaryDir(storePath, batchId))
+    total
+  }
+
+  /** The maintained stream-wide summary as of the newest persisted
+    * batch: `(term, lb, total)`, `lb` descending — `lb` is a lower
+    * bound on the term's whole-stream count, and every term above
+    * `total / (cap+1)` is guaranteed present (class doc of
+    * [[MisraGriesAgg]]; errors add across merges).
+    */
+  def summaryFromStore(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): DataFrame = {
+    val (items, total) = readSummary(spark, storePath, Long.MaxValue)
+    items.withColumn("total", lit(total))
+      .orderBy(col("lb").desc, col("term").asc)
+  }
+
+  /** Per-GROUP exact heavy hitters — `(group, term, cnt, provable)`,
+    * the top `k` tokens of every `groupCol` stratum (per-language /
+    * per-source boilerplate profiling). The same two-scan shape with
+    * `mg_topk` running as an ordinary grouped aggregate: the sketch
+    * exchange carries one ≤`cap`-item summary per (group, partial
+    * buffer), the verify join broadcasts ≤ `groups * cap` candidate
+    * rows, and the final per-group top-k is a window over ≤
+    * `groups * cap` verified counts — no stage is vocabulary-scale.
+    * `provable` certifies against the GROUP's own token total.
+    */
+  def exactTopKByGroup(docs: DataFrame, groupCol: String, k: Int,
+                       cap: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cap >= k, s"cap ($cap) must be >= k ($k)")
+    MisraGriesAgg.register(docs.sparkSession)
+    TermCounts.register(docs.sparkSession)
+    val candidates = docs
+      .groupBy(col(groupCol))
+      .agg(MisraGriesAgg.mgTopK(col("text"), cap).as("s"))
+      .select(col(groupCol), col("s.total").as("total"),
+        explode(col("s.items")).as("it"))
+      .select(col(groupCol), col("total"), col("it.term").as("term"))
+    val verified = docs
+      .select(col(groupCol),
+        explode(TermCounts.termCounts(col("text"))).as("tc"))
+      .select(col(groupCol), col("tc.term").as("term"),
+        col("tc.cnt").cast("long").as("c"))
+      .join(broadcast(candidates), Seq(groupCol, "term"))
+      .groupBy(col(groupCol), col("term"), col("total"))
+      .agg(sum(col("c")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term").asc)
+    verified
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("term"), col("cnt"),
+        (col("cnt") * lit(cap.toLong + 1) > col("total")).as("provable"))
+      .orderBy(col(groupCol), col("cnt").desc, col("term").asc)
+  }
 }

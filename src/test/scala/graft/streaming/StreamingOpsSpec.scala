@@ -957,4 +957,50 @@ class StreamingOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
   }
+
+  test("heavyHittersEachBatch maintains the stream-wide Misra-Gries " +
+      "summary: exact in the no-decrement regime, guaranteed recall " +
+      "under decrements, replay-idempotent via predecessor reads") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.HeavyHitters
+    // -- no-decrement regime: cap >> vocab, the summary IS exact counts
+    val store1 = Files.createTempDirectory("graft-hhs").resolve("s").toString
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingOps.heavyHittersEachBatch("text", store1, 64) _)
+      .outputMode("append").start()
+    input.addData((0L, "a a b"), (1L, "a c"))
+    query.processAllAvailable()
+    input.addData((2L, "b b c c c"))
+    query.processAllAvailable()
+    query.stop()
+    val sum1 = HeavyHitters.summaryFromStore(spark, store1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sum1 == Seq(("c", 4L, 10L), ("a", 3L, 10L), ("b", 3L, 10L)),
+      s"exact whole-stream counts with cap >> vocab: $sum1")
+
+    // -- decrement regime: 1 hot term + 60 unique fillers, cap 8: the
+    // hot term (30 of 90 tokens >> total/9) must survive with lb <= 30
+    val store2 = Files.createTempDirectory("graft-hhs").resolve("s").toString
+    val b1 = (0 until 30).map(i => (i.toLong, s"hot u${i}a")).toDF("doc_id", "text")
+    val b2 = (0 until 30).map(i => (100L + i, s"hot u${i}b")).toDF("doc_id", "text")
+    val gate2 = StreamingOps.heavyHittersEachBatch("text", store2, 8) _
+    gate2(b1, 0L)
+    gate2(b2, 1L)
+    val sum2 = HeavyHitters.summaryFromStore(spark, store2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sum2.head._3 == 120L, "total counts every token exactly")
+    val hot = sum2.find(_._1 == "hot")
+    assert(hot.isDefined, s"hot (60 > 120/9) must survive: $sum2")
+    assert(hot.get._2 <= 60L, "lb is a lower bound")
+    assert(sum2.size <= 8, "summary stays capped")
+
+    // -- replay: re-running batch 1 merges from batch 0's summary again
+    // (never its own output) and overwrites idempotently
+    gate2(b2, 1L)
+    val replayed = HeavyHitters.summaryFromStore(spark, store2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(replayed == sum2, s"replay must not double-count:\n$sum2\nvs\n$replayed")
+  }
 }

@@ -94,6 +94,34 @@ class HeavyHittersSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), s"expected broadcast join:\n$plan")
   }
 
+  test("exactTopKByGroup == per-group brute force, groups isolated, " +
+      "provable certifies against the GROUP's total") {
+    // group g0: hot tokens drowned in noise; group g1: a flat corpus —
+    // the same cap certifies g0's winners and refuses g1's
+    val g0 = (0 until 3).map(h =>
+      (h.toLong, (s"hot$h " * (60 - 10 * h)).trim, "g0")) ++
+      (0 until 150).map(i => (100L + i, s"n${i}x n${i}y", "g0"))
+    val g1 = (0 until 40).map(i => (500L + i, s"f$i f$i", "g1"))
+    val docs = (g0 ++ g1).toDF("doc_id", "text", "grp")
+    val got = HeavyHitters.exactTopKByGroup(docs, "grp", k = 3, cap = 16)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    // brute force for the certifiable group: g0's winners (60/50/40 of
+    // 450 tokens) clear total/(cap+1) so its top-3 is provably exact
+    val bruteG0 = docs.filter(col("grp") === "g0")
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+      .sortBy(r => (-r._2, r._1)).take(3)
+    assert(got.filter(_._1 == "g0").map(t => (t._2, t._3)) == bruteG0)
+    assert(got.filter(_._1 == "g0").forall(_._4), s"g0 must certify: $got")
+    // g1 is flat (every term appears 2x of 80): whatever candidates its
+    // sketch kept, NONE may claim provability — and every reported
+    // count is still exact (2) because the verify scan counts truly
+    val g1got = got.filter(_._1 == "g1")
+    assert(g1got.forall(!_._4), s"flat g1 must not certify: $g1got")
+    assert(g1got.forall(_._3 == 2L), s"verified counts stay exact: $g1got")
+  }
+
   test("mg_topk resolves through SQL and GraftExtensions registration") {
     MisraGriesAgg.register(spark)
     corpus(2, 10).createOrReplaceTempView("hh_docs")
