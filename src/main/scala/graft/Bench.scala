@@ -135,8 +135,10 @@ object Bench {
     // the bigram-LM family; q109 is the sketch-then-verify heavy-hitter
     // pair of full-corpus scans whose exchanges are CAP-bounded (one
     // MG summary per partial buffer, then <=cap verified keys) while
-    // the DuckDB oracle hash-aggregates the whole vocabulary
-    "q108_dsir_select", "q109_heavy_hitters")
+    // the DuckDB oracle hash-aggregates the whole vocabulary; q111 is
+    // the grouped twin (one summary per (lang, buffer), per-group
+    // verify + window over <= groups*cap rows)
+    "q108_dsir_select", "q109_heavy_hitters", "q111_heavy_hitters_by_lang")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -187,9 +189,9 @@ object Bench {
     "q102_span_dedup", "q104_least_fluent", "q105_span_incremental",
     "q107_fluency_transfer",
     // q108's two models and candidate stream all scale with the corpus;
-    // q109's both scans cover every document (cap stays fixed — the
+    // q109/q111's scans cover every document (cap stays fixed — the
     // sketch state does NOT grow, which is the point)
-    "q108_dsir_select", "q109_heavy_hitters")
+    "q108_dsir_select", "q109_heavy_hitters", "q111_heavy_hitters_by_lang")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let
