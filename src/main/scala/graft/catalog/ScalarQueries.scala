@@ -495,6 +495,9 @@ object ScalarQueries {
   private val ttStoreCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
   private val ttNonce = java.lang.Long.toHexString(System.nanoTime())
+  // never-reused suffix: the cache can SHRINK (releaseDataset), so its
+  // size would alias a re-seeded dataset's dir onto another LIVE store
+  private val ttSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Seed the retention-enabled store once per (session, dataset):
     * append the month (v1), then day-replace days 1-10 with doubled
@@ -504,7 +507,7 @@ object ScalarQueries {
                       dir: String): String =
     ttStoreCache.getOrElseUpdate((s, dir), {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ttstore_${ttNonce}_${ttStoreCache.size}").getPath
+        s"graft_ttstore_${ttNonce}_${ttSeq.getAndIncrement()}").getPath
       val month = Tables(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1995-02-01").cast("timestamp"))

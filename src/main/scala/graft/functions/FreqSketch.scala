@@ -102,9 +102,15 @@ case class MisraGriesAgg(
         val cnt = row.getInt(1).toLong
         buf.total += cnt
         buf.map.merge(row.getUTF8String(0).toString, cnt, MisraGriesAgg.Add)
+        // prune INSIDE the per-term loop: a single pathological document
+        // (a concatenated URL/hash dump) can carry millions of distinct
+        // tokens, and a post-document check would let the buffer grow
+        // unbounded within it — the hard 2*cap state bound must hold
+        // per insertion (the MG mass argument is insertion-order
+        // independent, so mid-document prunes are valid)
+        if (buf.map.size() > 2 * cap) MisraGriesAgg.prune(buf.map, cap)
         i += 1
       }
-      if (buf.map.size() > 2 * cap) MisraGriesAgg.prune(buf.map, cap)
     }
     buf
   }

@@ -70,10 +70,12 @@ object DailyStoreVersionRead {
     require(seq <= maxSeq,
       s"dailystore: VERSION AS OF $seq is in the future for $path " +
         s"(newest committed version is $maxSeq)")
-    val k = (maxSeq - seq).toInt
-    require(k <= vs.size,
+    // compare in LONG space before narrowing: a seq 2^32 below maxSeq
+    // would wrap the Int to a small k and silently pass every check
+    require(maxSeq - seq <= vs.size,
       s"dailystore: VERSION AS OF $seq predates retained history at " +
         s"$path (oldest reconstructable state is version ${maxSeq - vs.size})")
+    val k = (maxSeq - seq).toInt
     val walked = vs.take(k).map(_.seq)
     val expected = (0 until k).map(maxSeq - _)
     require(walked == expected,
@@ -102,6 +104,22 @@ object DailyStoreVersionRead {
     require(newer < vs.size,
       s"dailystore: TIMESTAMP AS OF ${new java.sql.Timestamp(tsMs)} " +
         s"predates the oldest retained commit at $path")
+    // the walk back must be gap-free INCLUDING the boundary version
+    // (the newest one at-or-before the instant): a commit made while
+    // retention was OFF leaves no version dir, so counting dirs newer
+    // than the instant would silently skip it and resolve to a state
+    // that includes a LATER commit than requested. Requiring
+    // vs(newer).seq consecutive with the walked dirs catches exactly
+    // that boundary gap. (A retention-off commit AFTER the newest dir
+    // is undetectable from dirs alone — both overloads share that blind
+    // spot; continuous retention is the store's time-travel contract.)
+    val walked = vs.take(newer + 1).map(_.seq)
+    val expected = (0 to newer).map(vs.head.seq - _)
+    require(walked == expected,
+      s"dailystore: retained versions at $path have a gap across the " +
+        s"requested instant (have ${walked.mkString(",")}, need " +
+        s"${expected.mkString(",")}) — a commit ran with retention off, " +
+        "or version dirs were removed out of order")
     newer
   }
 

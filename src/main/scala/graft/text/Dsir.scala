@@ -41,6 +41,25 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** The shared per-document scoring tail: joined occurrence rows →
+    * `(doc_id, n_bigrams, weight, avg_weight)`, with `weight` the exact
+    * long sum of `weightExpr` per document and `avg_weight` the ONE
+    * mirrored double division — factored so the three scoring shapes
+    * (two-model, sliced, hashed) whose exact equality DsirSpec and the
+    * q108 oracle pin cannot desynchronize on the arithmetic or the
+    * ordering contract.
+    */
+  private def scoreTail(joined: DataFrame,
+                        weightExpr: org.apache.spark.sql.Column): DataFrame =
+    joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(weightExpr).as("weight"))
+      .select(col("doc_id"), col("n_bigrams"), col("weight"),
+        (col("weight").cast("double") /
+          col("n_bigrams").cast("double")).as("avg_weight"))
+
+  private def topN(scores: DataFrame, n: Int): DataFrame =
+    scores.orderBy(col("avg_weight").desc, col("doc_id").asc).limit(n)
+
   /** Per-candidate importance scores against pre-trained models:
     * `(doc_id, n_bigrams, weight, avg_weight)` for every candidate with
     * at least one bigram. `targetModel` / `rawModel` are
@@ -52,17 +71,12 @@ object Dsir {
                        useHashKey: Boolean = true): DataFrame = {
     val t = targetModel.withColumnRenamed("micro", "micro_t")
     val r = rawModel.withColumnRenamed("micro", "micro_r")
-    BigramLm.keyed(BigramLm.bigrams(candidates), useHashKey)
-      .select(col("doc_id"), col("bk"))
-      .join(t.hint("shuffle_hash"), Seq("bk"), "left_outer")
-      .join(r.hint("shuffle_hash"), Seq("bk"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("micro_t"), lit(0L)) -
-          coalesce(col("micro_r"), lit(0L))).as("weight"))
-      .select(col("doc_id"), col("n_bigrams"), col("weight"),
-        (col("weight").cast("double") /
-          col("n_bigrams").cast("double")).as("avg_weight"))
+    scoreTail(
+      BigramLm.keyed(BigramLm.bigrams(candidates), useHashKey)
+        .select(col("doc_id"), col("bk"))
+        .join(t.hint("shuffle_hash"), Seq("bk"), "left_outer")
+        .join(r.hint("shuffle_hash"), Seq("bk"), "left_outer"),
+      coalesce(col("micro_t"), lit(0L)) - coalesce(col("micro_r"), lit(0L)))
   }
 
   /** The selection surface: train the target model on `target` and the
@@ -71,12 +85,10 @@ object Dsir {
     */
   def selectTopN(target: DataFrame, raw: DataFrame, candidates: DataFrame,
                  n: Int, useHashKey: Boolean = true): DataFrame =
-    importanceScores(
+    topN(importanceScores(
       BigramLm.trainModel(target, useHashKey),
       BigramLm.trainModel(raw, useHashKey),
-      candidates, useHashKey)
-      .orderBy(col("avg_weight").desc, col("doc_id").asc)
-      .limit(n)
+      candidates, useHashKey), n)
 
   /** The fused fast path for the common deployment where the TARGET is
     * a SLICE of the pool itself (a trusted-language/source/quality
@@ -118,18 +130,12 @@ object Dsir {
             .otherwise(0L).as("micro_t"),
           expr("(c_r * CAST(1000000 AS BIGINT)) div cf_r").as("micro_r")),
       useHashKey).select(col("bk"), col("micro_t"), col("micro_r"))
-    BigramLm.keyed(BigramLm.bigrams(pool), useHashKey)
-      .select(col("doc_id"), col("bk"))
-      .join(model.hint("shuffle_hash"), Seq("bk")) // inner: model covers
-      .groupBy(col("doc_id"))                      // every pool bigram
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("micro_t") - col("micro_r")).as("weight"))
-      .select(col("doc_id"), col("n_bigrams"), col("weight"),
-        (col("weight").cast("double") /
-          col("n_bigrams").cast("double")).as("avg_weight"))
-      .orderBy(col("avg_weight").desc, col("doc_id").asc)
-      .limit(n)
-  }
+    topN(scoreTail(
+      BigramLm.keyed(BigramLm.bigrams(pool), useHashKey)
+        .select(col("doc_id"), col("bk"))
+        .join(model.hint("shuffle_hash"), Seq("bk")), // inner: model
+      col("micro_t") - col("micro_r")), n)            // covers every
+  }                                                   // pool bigram
 
   /** The paper's HASHED-feature variant, the 100 TB deployment shape:
     * bigram features are bucketed `pmod(xxhash64(bigram), buckets)`, so
@@ -162,18 +168,12 @@ object Dsir {
     }
     val t = broadcast(model(target).withColumnRenamed("micro", "micro_t"))
     val r = broadcast(model(raw).withColumnRenamed("micro", "micro_r"))
-    bucketed(BigramLm.bigrams(candidates))
-      .select(col("doc_id"), col("bk"))
-      .join(t, Seq("bk"), "left_outer")
-      .join(r, Seq("bk"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("micro_t"), lit(0L)) -
-          coalesce(col("micro_r"), lit(0L))).as("weight"))
-      .select(col("doc_id"), col("n_bigrams"), col("weight"),
-        (col("weight").cast("double") /
-          col("n_bigrams").cast("double")).as("avg_weight"))
-      .orderBy(col("avg_weight").desc, col("doc_id").asc)
-      .limit(n)
+    topN(scoreTail(
+      bucketed(BigramLm.bigrams(candidates))
+        .select(col("doc_id"), col("bk"))
+        .join(t, Seq("bk"), "left_outer")
+        .join(r, Seq("bk"), "left_outer"),
+      coalesce(col("micro_t"), lit(0L)) - coalesce(col("micro_r"), lit(0L))),
+      n)
   }
 }

@@ -163,6 +163,23 @@ object HeavyHitters {
     val meta = Seq((null: String, 0L, total)).toDF("term", "lb", "total")
     pruned.union(meta).coalesce(1)
       .write.mode("overwrite").parquet(summaryDir(storePath, batchId))
+    // bound the store: replay safety only ever needs the PREDECESSOR
+    // summary, so dirs older than batchId - 1 are dead — without this
+    // sweep a long-running stream grows one dir per micro-batch forever
+    // and readSummary's listing slows with stream age
+    locally {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(storePath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val Dir = """summary_batch=(\d+)""".r
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case Dir(id) if id.toLong < batchId - 1 =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
     total
   }
 
@@ -201,12 +218,17 @@ object HeavyHitters {
       .select(col(groupCol), col("s.total").as("total"),
         explode(col("s.items")).as("it"))
       .select(col(groupCol), col("total"), col("it.term").as("term"))
+    // null-safe on the group key (<=>): an equi-join would silently drop
+    // a NULL-valued stratum — its sketch row exists but matches nothing
+    val cand = candidates.select(col(groupCol).as("c_grp"),
+      col("total"), col("term").as("c_term"))
     val verified = docs
       .select(col(groupCol),
         explode(TermCounts.termCounts(col("text"))).as("tc"))
       .select(col(groupCol), col("tc.term").as("term"),
         col("tc.cnt").cast("long").as("c"))
-      .join(broadcast(candidates), Seq(groupCol, "term"))
+      .join(broadcast(cand),
+        col(groupCol) <=> col("c_grp") && col("term") === col("c_term"))
       .groupBy(col(groupCol), col("term"), col("total"))
       .agg(sum(col("c")).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window

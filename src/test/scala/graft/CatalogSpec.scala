@@ -40,9 +40,15 @@ class CatalogSpec extends SparkSpec {
     assert(before.nonEmpty, "q98 must have seeded a tmpdir store")
     ScalarQueries.releaseDataset(spark, sf)
     val after = storeDirs().map(_.getName).toSet
-    assert(before.map(_.getName).toSet.diff(after).nonEmpty,
+    val deleted = before.map(_.getName).toSet.diff(after)
+    assert(deleted.nonEmpty,
       "releaseDataset must delete this dataset's seeded store from tmpdir")
-    // transparent rebuild: the query re-seeds and returns the same rows
+    // transparent rebuild: the query re-seeds and returns the same rows —
+    // into a FRESH dir (a reused suffix after the cache shrank would
+    // alias onto another live dataset's store and corrupt it)
     assert(q98.fn(spark, sf).count() == r1)
+    val rebuilt = storeDirs().map(_.getName).toSet.diff(after)
+    assert(rebuilt.nonEmpty && rebuilt.intersect(deleted).isEmpty,
+      s"re-seed must mint a never-used dir, not recycle $deleted")
   }
 }

@@ -280,6 +280,62 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("time-travel gap safety: an out-of-order-removed version dir " +
+      "fails BOTH resolution overloads loudly; huge version deltas " +
+      "don't wrap the Int narrowing") {
+    val root = freshDir("gap")
+    DailyStoreCatalog.register(spark, "dstore_gap", root)
+    try {
+      spark.sql("CREATE TABLE dstore_gap.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val tdir = s"$root/cases"
+      DailyStoreTimeTravel.enable(spark, tdir, keep = 10)
+      (1 to 5).foreach { i =>
+        write(days(("2020-03-01", i, s"r$i")), tdir, "overwrite",
+          dynamic = true)
+      }
+      // sabotage: remove v3's dir (prune never does this — it deletes
+      // oldest-first — so this models manual/interop damage)
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(tdir).getFileSystem(spark.sessionState.newHadoopConf())
+      val vs = DailyStoreTimeTravel.versions(fs, new Path(tdir))
+      val v3 = vs.find(_.seq == 3L).get
+      val v2Mtime = fs.getFileStatus(vs.find(_.seq == 2L).get.dir)
+        .getModificationTime
+      fs.delete(v3.dir, true)
+      // VERSION AS OF 2 must walk THROUGH the missing v3: loud error
+      val e1 = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_gap.cases VERSION AS OF 2")
+          .collect()
+      }
+      assert(e1.getMessage.contains("gap"), e1.getMessage)
+      // TIMESTAMP AS OF an instant at v2's commit: the boundary version
+      // below the walk is v2, not the expected v3 — loud error
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_gap.cases TIMESTAMP AS OF " +
+          s"'${new java.sql.Timestamp(v2Mtime)}'").collect()
+      }
+      assert(e2.getMessage.contains("gap"), e2.getMessage)
+      // versions ABOVE the gap stay readable
+      assert(rows(spark.sql(
+        "SELECT d, n, label FROM dstore_gap.cases VERSION AS OF 4"))
+        == Seq((d("2020-03-01"), 4, "r4")))
+
+      // Int-wrap guard: a seq 2^32 below maxSeq must be "predates", not
+      // a silently-wrapped k=0 read of the current state
+      val vsNow = DailyStoreTimeTravel.versions(fs, new Path(tdir))
+      val huge = intercept[IllegalArgumentException] {
+        DailyStoreVersionRead.versionsBackFor(
+          vsNow, vsNow.head.seq - (1L << 32), tdir)
+      }
+      assert(huge.getMessage.contains("predates"), huge.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_gap")
+      spark.conf.unset("spark.sql.catalog.dstore_gap.root")
+      spark.conf.unset("spark.sql.catalog.dstore_gap.partitionCol")
+    }
+  }
+
   test("retention: a corrupt _retention.json fails the commit LOUDLY " +
       "instead of silently flipping the store to delete-mode") {
     val dir = freshDir("corrupt")

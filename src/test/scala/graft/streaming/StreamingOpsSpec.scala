@@ -1002,5 +1002,13 @@ class StreamingOpsSpec extends SparkSpec {
     val replayed = HeavyHitters.summaryFromStore(spark, store2)
       .as[(String, Long, Long)].collect().toSeq
     assert(replayed == sum2, s"replay must not double-count:\n$sum2\nvs\n$replayed")
+
+    // -- the store stays bounded: after batch N only N and N-1 survive
+    // (replay needs the predecessor, nothing older)
+    val b3 = Seq((200L, "hot tail")).toDF("doc_id", "text")
+    gate2(b3, 2L)
+    val dirs = new java.io.File(store2).list().filter(_.startsWith("summary_batch="))
+    assert(dirs.toSet == Set("summary_batch=1", "summary_batch=2"),
+      s"superseded summaries must be swept: ${dirs.toSeq}")
   }
 }

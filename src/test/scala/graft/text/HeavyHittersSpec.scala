@@ -120,6 +120,17 @@ class HeavyHittersSpec extends SparkSpec {
     val g1got = got.filter(_._1 == "g1")
     assert(g1got.forall(!_._4), s"flat g1 must not certify: $g1got")
     assert(g1got.forall(_._3 == 2L), s"verified counts stay exact: $g1got")
+
+    // a NULL-valued stratum is a real group, not silently dropped (the
+    // verify join is null-safe on the group key)
+    val withNull = docs.union(
+      Seq((900L, "nullhot nullhot nullhot", null: String),
+        (901L, "nullhot other", null: String)).toDF("doc_id", "text", "grp"))
+    val nullTop = HeavyHitters.exactTopKByGroup(withNull, "grp", 1, cap = 16)
+      .filter(col("grp").isNull)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(nullTop.map(t => (t._2, t._3)) == Seq(("nullhot", 4L)),
+      s"the null stratum's top token must be reported: $nullTop")
   }
 
   test("mg_topk resolves through SQL and GraftExtensions registration") {
