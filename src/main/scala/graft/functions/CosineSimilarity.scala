@@ -186,6 +186,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => KmvDistinct(es(0), intArg(es(1)))),
       ("mg_topk", classOf[MisraGriesAgg].getName,
         es => MisraGriesAgg(es(0), intArg(es(1)))),
+      ("bigram_hash_counts", classOf[BigramHashCounts].getName,
+        es => BigramHashCounts(es(0))),
       // Spark's own (unregistered) Bloom expressions, re-exposed — see
       // graft.functions.Blooms
       ("bloom_agg",

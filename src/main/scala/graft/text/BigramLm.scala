@@ -32,17 +32,21 @@ import org.apache.spark.sql.functions._
   * stream joins the model DIRECTLY via shuffle_hash on the 8-byte
   * `xxhash64` of the bigram (`useHashKey`) — never the bigram text
   * (the [[graft.dedup.SpanDedup]] key doctrine: the text-keyed
-  * variant exists for the oracle, BigramLmSpec pins equality; an
-  * xxhash64 collision of two distinct bigrams would give the model
-  * two rows under one key and duplicate that key's scoring-join rows,
-  * inflating the affected documents' n_bigrams — a 2^-64-probability
-  * corruption whose insurance, an always-paid vocab-scale model dedup
-  * exchange, was deliberately rejected). A per-(doc, bigram)
-  * pre-collapse before the join was measured and REMOVED
-  * ([[scoreAgainst]]'s comment) — repeated-bigram skew is absorbed by
-  * the hash join's build side, not a collapse stage. Scoring
-  * documents the model was trained on hits every transition; scoring
-  * OTHER documents left-joins with a zero default — the
+  * variant exists for the oracle, BigramLmSpec pins equality). Since
+  * r17 the hash path is FUSED end to end
+  * ([[graft.functions.BigramHashCounts]]): one codegen byte scan emits
+  * each document's distinct bigrams pre-hashed and pre-counted, so the
+  * regex tokenize, the string-pair explode, and the per-occurrence
+  * hashing all disappear, and an xxhash64 collision now MERGES the two
+  * bigrams' counts scan-side (one model row) instead of duplicating a
+  * key's scoring-join rows — the same 2^-64 class, stated plainly
+  * rather than insured against with an always-paid vocab-scale dedup
+  * exchange. A SHUFFLE-stage per-(doc, bigram) pre-collapse was
+  * measured and REMOVED in r16 ([[scoreAgainst]]'s comment) — the r17
+  * collapse is different in kind: it happens inside the scan, before
+  * any exchange, and costs one open-addressing probe per occurrence.
+  * Scoring documents the model was trained on hits every transition;
+  * scoring OTHER documents left-joins with a zero default — the
   * out-of-vocabulary transition is maximally non-fluent.
   */
 object BigramLm {
@@ -64,6 +68,23 @@ object BigramLm {
     else
       df.withColumn("bk", concat_ws(" ", col("w1"), col("w2")))
 
+  /** The hash path's occurrence stream, fused (r17): one codegen scan
+    * emits each document's DISTINCT bigrams as `(doc_id, bk, w1h, n)` —
+    * keys pre-hashed, per-doc repeats pre-collapsed — replacing the
+    * regex-tokenize + arrays_zip + string-pair explode the text path
+    * keeps as the oracle anchor. `bk` is bit-equal to the old
+    * `xxhash64(concat_ws(' ', w1, w2))` key (BigramHashCountsSpec pins
+    * it), so models trained by either formulation join interchangeably.
+    */
+  private[text] def hashPairs(docs: DataFrame): DataFrame = {
+    graft.functions.BigramHashCounts.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(graft.functions.BigramHashCounts.bigramHashCounts(
+          col("text"))).as("b"))
+      .select(col("doc_id"), col("b.bk").as("bk"), col("b.w1h").as("w1h"),
+        col("b.cnt").cast("long").as("n"))
+  }
+
   /** Train the conditional-bigram model on `docs`: `(bk, micro)` — one
     * row per distinct training bigram, `micro` its exact micro-point
     * conditional probability. This is the frame the scoring surfaces
@@ -71,18 +92,25 @@ object BigramLm {
     * training across scoring batches.
     */
   def trainModel(docs: DataFrame, useHashKey: Boolean = true): DataFrame = {
+    if (useHashKey) {
+      // fused scan path (r17): count tables build from the pre-hashed,
+      // pre-collapsed (bk, w1h, n) stream — the exchange ships 16-byte
+      // key rows instead of string pairs, one per distinct bigram per
+      // doc. An 8-byte head-hash (w1h) grouping replaces the head TEXT
+      // for c_first — a head collision merges two heads' distributions,
+      // the same 2^-64 class as the bk key itself (class doc).
+      val bic = hashPairs(docs).groupBy(col("bk"), col("w1h"))
+        .agg(sum(col("n")).as("c_xy"))
+      val cFirst = bic.groupBy(col("w1h"))
+        .agg(sum(col("c_xy")).as("c_first"))
+      return bic.join(cFirst, Seq("w1h"))
+        .select(col("bk"),
+          expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first").as("micro"))
+    }
     val bic = bigrams(docs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
     val cFirst = bic.groupBy(col("w1"))
       .agg(sum(col("c_xy")).as("c_first"))
-    // NOT deduplicated by bk: insuring against an xxhash64 collision
-    // (two distinct bigrams sharing a model row's key, which would
-    // duplicate that key's scoring-join rows) would cost one more
-    // bigram-vocab-scale exchange per execution (adjacent solo
-    // sessions read it at roughly +10-15%, within the session bar but
-    // structurally always-paid) — a 2^-64-probability event does not
-    // buy an extra exchange; the class doc states the failure mode
-    // plainly instead
     keyed(
       bic.join(cFirst, Seq("w1"))
         .select(col("w1"), col("w2"),
@@ -102,22 +130,27 @@ object BigramLm {
                    useHashKey: Boolean = true): DataFrame =
     // the occurrence stream joins the model directly (one exchange to
     // the join key, one to the doc key, partial-agg map-side before
-    // each) — pre-collapsing to distinct (doc, bigram) rows first
-    // measured SLOWER at sf1 (3.75s vs the direct shape: the collapse
-    // adds a third full-stream exchange and typical docs repeat few
-    // bigrams; a boilerplate-heavy corpus where repeats dominate would
-    // tip the other way). shuffle_hash on the vocab-sized model: the
-    // SMJ sort of the token-scale stream was HALF the query
+    // each). An EXCHANGE-stage pre-collapse to distinct (doc, bigram)
+    // rows measured SLOWER at sf1 in r16 (3.75s — a third full-stream
+    // exchange); the r17 hash path instead collapses INSIDE the scan
+    // (BigramHashCounts — no exchange, one table probe per occurrence)
+    // and weights the join rows by n. shuffle_hash on the vocab-sized
+    // model: the SMJ sort of the token-scale stream was HALF the query
     // (solo-measured 3.75→1.89s)
-    keyed(bigrams(docs), useHashKey)
-      .select(col("doc_id"), col("bk"))
-      .join(model.hint("shuffle_hash"), Seq("bk"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("micro"), lit(0L))).as("sum_micro"))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
-        (col("sum_micro").cast("double") /
-          col("n_bigrams").cast("double")).as("fluency"))
+    {
+      val stream =
+        if (useHashKey) hashPairs(docs).select(col("doc_id"), col("bk"), col("n"))
+        else keyed(bigrams(docs), useHashKey)
+          .select(col("doc_id"), col("bk"), lit(1L).as("n"))
+      stream
+        .join(model.hint("shuffle_hash"), Seq("bk"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * coalesce(col("micro"), lit(0L))).as("sum_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+          (col("sum_micro").cast("double") /
+            col("n_bigrams").cast("double")).as("fluency"))
+    }
 
   /** Per-document fluency: `(doc_id, n_bigrams, sum_micro, fluency)`
     * for every document with at least one bigram, the corpus itself

@@ -51,8 +51,11 @@ object Dsir {
     */
   private def scoreTail(joined: DataFrame,
                         weightExpr: org.apache.spark.sql.Column): DataFrame =
+    // rows carry `n` (occurrences this row stands for): 1 on the text
+    // path, the per-doc pre-collapsed count on the fused hash path
     joined.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(weightExpr).as("weight"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * weightExpr).as("weight"))
       .select(col("doc_id"), col("n_bigrams"), col("weight"),
         (col("weight").cast("double") /
           col("n_bigrams").cast("double")).as("avg_weight"))
@@ -71,9 +74,13 @@ object Dsir {
                        useHashKey: Boolean = true): DataFrame = {
     val t = targetModel.withColumnRenamed("micro", "micro_t")
     val r = rawModel.withColumnRenamed("micro", "micro_r")
+    val stream =
+      if (useHashKey)
+        BigramLm.hashPairs(candidates).select(col("doc_id"), col("bk"), col("n"))
+      else BigramLm.keyed(BigramLm.bigrams(candidates), useHashKey)
+        .select(col("doc_id"), col("bk"), lit(1L).as("n"))
     scoreTail(
-      BigramLm.keyed(BigramLm.bigrams(candidates), useHashKey)
-        .select(col("doc_id"), col("bk"))
+      stream
         .join(t.hint("shuffle_hash"), Seq("bk"), "left_outer")
         .join(r.hint("shuffle_hash"), Seq("bk"), "left_outer"),
       coalesce(col("micro_t"), lit(0L)) - coalesce(col("micro_r"), lit(0L)))
@@ -106,36 +113,65 @@ object Dsir {
     */
   def selectTopNSliced(pool: DataFrame, isTarget: org.apache.spark.sql.Column,
                        n: Int, useHashKey: Boolean = true): DataFrame = {
-    // bigrams() keeps only (doc_id, w1, w2) — rebuild the bigram frame
-    // here so each occurrence carries the slice flag
-    val toks = pool.select(col("doc_id"), isTarget.cast("boolean").as("is_t"),
-      TextAnalysis.wsTokens(col("text")).as("t"))
-    val n1 = greatest(size(col("t")) - lit(1), lit(0))
-    val flaggedBi = toks
-      .select(col("doc_id"), col("is_t"), explode(arrays_zip(
-        slice(col("t"), lit(1), n1).as("w1"),
-        slice(col("t"), lit(2), n1).as("w2"))).as("b"))
-      .select(col("doc_id"), col("is_t"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bic = flaggedBi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_r"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
-    val cf = bic.groupBy(col("w1"))
-      .agg(sum(col("c_r")).as("cf_r"), sum(col("c_t")).as("cf_t"))
-    val model = BigramLm.keyed(
-      bic.join(cf, Seq("w1"))
-        .select(col("w1"), col("w2"),
-          when(col("c_t") > 0,
-            expr("(c_t * CAST(1000000 AS BIGINT)) div cf_t"))
-            .otherwise(0L).as("micro_t"),
-          expr("(c_r * CAST(1000000 AS BIGINT)) div cf_r").as("micro_r")),
-      useHashKey).select(col("bk"), col("micro_t"), col("micro_r"))
+    val model =
+      if (useHashKey) {
+        // fused scan path (r17): the flag rides the doc row through the
+        // pre-hashed, pre-collapsed stream; one count exchange carries
+        // BOTH models' counters (c_t alongside c_r)
+        val flagged = pool.select(col("doc_id"),
+            isTarget.cast("boolean").as("is_t"),
+            explode(graft.functions.BigramHashCounts.bigramHashCounts(
+              col("text"))).as("b"))
+          .select(col("is_t"), col("b.bk").as("bk"), col("b.w1h").as("w1h"),
+            col("b.cnt").cast("long").as("n"))
+        val bic = flagged.groupBy(col("bk"), col("w1h"))
+          .agg(sum(col("n")).as("c_r"),
+            sum(when(col("is_t"), col("n")).otherwise(0L)).as("c_t"))
+        val cf = bic.groupBy(col("w1h"))
+          .agg(sum(col("c_r")).as("cf_r"), sum(col("c_t")).as("cf_t"))
+        bic.join(cf, Seq("w1h"))
+          .select(col("bk"),
+            when(col("c_t") > 0,
+              expr("(c_t * CAST(1000000 AS BIGINT)) div cf_t"))
+              .otherwise(0L).as("micro_t"),
+            expr("(c_r * CAST(1000000 AS BIGINT)) div cf_r").as("micro_r"))
+      } else {
+        // text path (the oracle anchor): bigrams() keeps only
+        // (doc_id, w1, w2) — rebuild the frame so each occurrence
+        // carries the slice flag
+        val toks = pool.select(col("doc_id"),
+          isTarget.cast("boolean").as("is_t"),
+          TextAnalysis.wsTokens(col("text")).as("t"))
+        val n1 = greatest(size(col("t")) - lit(1), lit(0))
+        val flaggedBi = toks
+          .select(col("doc_id"), col("is_t"), explode(arrays_zip(
+            slice(col("t"), lit(1), n1).as("w1"),
+            slice(col("t"), lit(2), n1).as("w2"))).as("b"))
+          .select(col("doc_id"), col("is_t"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bic = flaggedBi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c_r"),
+            sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+        val cf = bic.groupBy(col("w1"))
+          .agg(sum(col("c_r")).as("cf_r"), sum(col("c_t")).as("cf_t"))
+        BigramLm.keyed(
+          bic.join(cf, Seq("w1"))
+            .select(col("w1"), col("w2"),
+              when(col("c_t") > 0,
+                expr("(c_t * CAST(1000000 AS BIGINT)) div cf_t"))
+                .otherwise(0L).as("micro_t"),
+              expr("(c_r * CAST(1000000 AS BIGINT)) div cf_r").as("micro_r")),
+          useHashKey).select(col("bk"), col("micro_t"), col("micro_r"))
+      }
+    val stream =
+      if (useHashKey)
+        BigramLm.hashPairs(pool).select(col("doc_id"), col("bk"), col("n"))
+      else BigramLm.keyed(BigramLm.bigrams(pool), useHashKey)
+        .select(col("doc_id"), col("bk"), lit(1L).as("n"))
     topN(scoreTail(
-      BigramLm.keyed(BigramLm.bigrams(pool), useHashKey)
-        .select(col("doc_id"), col("bk"))
-        .join(model.hint("shuffle_hash"), Seq("bk")), // inner: model
-      col("micro_t") - col("micro_r")), n)            // covers every
-  }                                                   // pool bigram
+      stream.join(model.hint("shuffle_hash"), Seq("bk")), // inner: model
+      col("micro_t") - col("micro_r")), n)                // covers every
+  }                                                       // pool bigram
 
   /** The paper's HASHED-feature variant, the 100 TB deployment shape:
     * bigram features are bucketed `pmod(xxhash64(bigram), buckets)`, so
@@ -152,16 +188,17 @@ object Dsir {
                        candidates: DataFrame, n: Int,
                        buckets: Int = 1 << 14): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    def bucketed(df: DataFrame): DataFrame =
-      BigramLm.keyed(df, useHashKey = true)
+    // the fused hash stream feeds bucketing too: bk buckets by pmod,
+    // the head keeps its full 8-byte hash (c_first stays the head's
+    // total, as in trainModel — the bucket only merges bigram pairs)
+    def bucketed(docs: DataFrame): DataFrame =
+      BigramLm.hashPairs(docs)
         .withColumn("bk", pmod(col("bk"), lit(buckets.toLong)))
     def model(docs: DataFrame): DataFrame = {
-      val bic = bucketed(BigramLm.bigrams(docs))
-        .groupBy(col("bk"), col("w1")).agg(count(lit(1)).as("c_xy"))
-      val cFirst = bic.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_first"))
-      // conditional within the HEAD WORD as in trainModel; the bucket
-      // only merges (w1, w2) pairs, c_first stays the head's total
-      bic.join(cFirst, Seq("w1"))
+      val bic = bucketed(docs)
+        .groupBy(col("bk"), col("w1h")).agg(sum(col("n")).as("c_xy"))
+      val cFirst = bic.groupBy(col("w1h")).agg(sum(col("c_xy")).as("c_first"))
+      bic.join(cFirst, Seq("w1h"))
         .groupBy(col("bk"))
         .agg(sum(expr("(c_xy * CAST(1000000 AS BIGINT)) div c_first"))
           .as("micro"))
@@ -169,8 +206,8 @@ object Dsir {
     val t = broadcast(model(target).withColumnRenamed("micro", "micro_t"))
     val r = broadcast(model(raw).withColumnRenamed("micro", "micro_r"))
     topN(scoreTail(
-      bucketed(BigramLm.bigrams(candidates))
-        .select(col("doc_id"), col("bk"))
+      bucketed(candidates)
+        .select(col("doc_id"), col("bk"), col("n"))
         .join(t, Seq("bk"), "left_outer")
         .join(r, Seq("bk"), "left_outer"),
       coalesce(col("micro_t"), lit(0L)) - coalesce(col("micro_r"), lit(0L))),
