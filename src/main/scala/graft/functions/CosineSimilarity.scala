@@ -188,6 +188,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => MisraGriesAgg(es(0), intArg(es(1)))),
       ("bigram_hash_counts", classOf[BigramHashCounts].getName,
         es => BigramHashCounts(es(0))),
+      ("bigram_counts", classOf[BigramCounts].getName,
+        es => BigramCounts(es(0))),
       // Spark's own (unregistered) Bloom expressions, re-exposed — see
       // graft.functions.Blooms
       ("bloom_agg",

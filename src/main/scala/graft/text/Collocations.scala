@@ -57,19 +57,26 @@ object Collocations {
                        memoKey: Option[String] = None): DataFrame = {
     def memo(tag: String)(df: DataFrame): DataFrame =
       memoKey.fold(df)(mk => graft.util.Checkpoints.scoped(s"$mk:$tag")(df))
-    val toks = docs.select(TextAnalysis.wsTokens(col("text")).as("t"))
-    val n1 = greatest(size(col("t")) - lit(1), lit(0))
-    val bi = toks
-      .select(explode(arrays_zip(
-        slice(col("t"), lit(1), n1).as("w1"),
-        slice(col("t"), lit(2), n1).as("w2"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // r17: both count tables build from fused per-document count scans
+    // (term_counts / bigram_counts — one byte walk each, one row per
+    // DISTINCT term/bigram per doc into the exchange) instead of
+    // regex-tokenize + per-occurrence explode; the q104-family lesson
+    // applied to the one bigram surface whose OUTPUT needs the text
+    graft.functions.TermCounts.register(docs.sparkSession)
+    graft.functions.BigramHashCounts.register(docs.sparkSession)
     val biAll = memo("bi")(
-      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
+      docs.select(explode(
+          graft.functions.BigramHashCounts.bigramCounts(col("text"))).as("b"))
+        .groupBy(col("b.bigram").as("bigram"))
+        .agg(sum(col("b.cnt").cast("long")).as("c_xy")))
     val uniC = memo("uni")(
-      toks.select(explode(col("t")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+      docs.select(explode(
+          graft.functions.TermCounts.termCounts(col("text"))).as("tc"))
+        .groupBy(col("tc.term").as("w"))
+        .agg(sum(col("tc.cnt").cast("long")).as("c")))
     val biC = biAll.filter(col("c_xy") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
     val totals = uniC.agg(sum(col("c")).as("n_uni"))
       .crossJoin(biAll.agg(sum(col("c_xy")).as("n_bi")))
 
@@ -82,8 +89,8 @@ object Collocations {
       .join(uniC.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
       .join(uniC.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
       .crossJoin(broadcast(totals))
-      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
-        col("c_xy"), col("c_x"), col("c_y"), lift.as("lift"))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        lift.as("lift"))
       .orderBy(col("lift").desc, col("bigram").asc)
       .limit(k)
   }

@@ -33,6 +33,7 @@ object ExtCheck {
         ws_token_count(' a  b ') AS wc,
         size(token_window_hashes('a b c d', 2)) AS tw,
         size(bigram_hash_counts('a b a b')) AS bh,
+        size(bigram_counts('a b a b')) AS bc,
         int8_cosine(int8_quantize(array(1.0f, 0.0f)),
                     int8_quantize(array(1.0f, 0.0f))) AS i8,
         size(html_table_rows('<table><tr><td>x</td></tr></table>')) AS ht

@@ -62,6 +62,20 @@ class BigramHashCountsSpec extends AnyFunSuite {
       "w1h set == head-token hashes")
   }
 
+  test("bigram_counts (string twin) matches the composable counts, " +
+      "normalized to single-space joins") {
+    texts.foreach { t =>
+      val got = Seq(t).toDF("text")
+        .select(explode(BigramHashCounts.bigramCounts(col("text"))).as("b"))
+        .select(col("b.bigram"), col("b.cnt"))
+        .as[(String, Int)].collect().toMap
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val ref = toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(got == ref, s"text=${t.take(40)}")
+    }
+  }
+
   test("null propagates; sub-2-token text gives an empty array; SQL " +
       "registration resolves") {
     BigramHashCounts.register(spark)
