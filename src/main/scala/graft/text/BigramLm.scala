@@ -37,11 +37,15 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.BigramHashCounts]]): one codegen byte scan emits
   * each document's distinct bigrams pre-hashed and pre-counted, so the
   * regex tokenize, the string-pair explode, and the per-occurrence
-  * hashing all disappear, and an xxhash64 collision now MERGES the two
-  * bigrams' counts scan-side (one model row) instead of duplicating a
-  * key's scoring-join rows — the same 2^-64 class, stated plainly
-  * rather than insured against with an always-paid vocab-scale dedup
-  * exchange. A SHUFFLE-stage per-(doc, bigram) pre-collapse was
+  * hashing all disappear, and an xxhash64 collision's blast radius
+  * shrinks: colliding bigrams in the SAME document merge scan-side,
+  * and cross-document collisions merge in the (bk, w1h) count
+  * aggregate when the heads also agree — only a cross-document
+  * collision with DIFFERENT heads still yields two model rows under
+  * one key and duplicated scoring-join rows (the r16 failure mode,
+  * now requiring the rarer double coincidence). Still the same 2^-64
+  * class, stated plainly rather than insured against with an
+  * always-paid vocab-scale dedup exchange. A SHUFFLE-stage per-(doc, bigram) pre-collapse was
   * measured and REMOVED in r16 ([[scoreAgainst]]'s comment) — the r17
   * collapse is different in kind: it happens inside the scan, before
   * any exchange, and costs one open-addressing probe per occurrence.

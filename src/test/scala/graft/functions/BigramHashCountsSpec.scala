@@ -33,7 +33,7 @@ class BigramHashCountsSpec extends AnyFunSuite {
     "single", "", "   ",
     "\ta\n b\fc\r d  ",             // every \s class, runs (copy path)
     "café naïve résumé tokens",     // multi-byte chars
-    "x y z",                         // NBSP is NOT \s
+    "x\u00a0y z",                    // NBSP is NOT \s: token "x\u00a0y"
     "the quick brown fox the quick brown cat")
 
   test("fused counts bit-match the composable xxhash64 formulation") {
