@@ -38,8 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Collision semantics (the [[graft.text.BigramLm]] class-doc
   * contract): keys are 8-byte hashes END TO END, so two distinct
   * bigrams (or heads) colliding — 2^-64 per pair — merge their counts
-  * here when they co-occur in one document (and downstream in the
-  * (bk, w1h) aggregate when the heads agree); the text-keyed
+  * here rather than duplicating join rows downstream; the text-keyed
   * (`useHashKey = false`) paths remain the oracle anchor and
   * BigramLmSpec pins hash == text on real corpora.
   */
@@ -75,13 +74,27 @@ case class BigramHashCounts(child: Expression) extends UnaryExpression {
 
 object BigramHashCounts {
 
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
   /** The fused scan. Public so generated code can call it. */
   def count(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
-    val spans = Tokens.scan(bytes)
-    val starts = spans.starts
-    val ends = spans.ends
-    val nTok = spans.n
+    val nb = bytes.length
+    val cap = nb / 2 + 1
+    val starts = new Array[Int](cap)
+    val ends = new Array[Int](cap)
+    var nTok = 0
+    var i = 0
+    while (i < nb) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        starts(nTok) = i
+        while (i < nb && !isWs(bytes(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
     if (nTok < 2) return new GenericArrayData(Array.empty[Any])
     val nBi = nTok - 1
     // open-addressing table keyed on bk; cnt == 0 marks an empty slot
@@ -212,13 +225,27 @@ case class BigramCounts(child: Expression) extends UnaryExpression {
 
 object BigramCounts {
 
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
   /** The fused scan. Public so generated code can call it. */
   def count(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
-    val spans = Tokens.scan(bytes)
-    val starts = spans.starts
-    val ends = spans.ends
-    val nTok = spans.n
+    val nb = bytes.length
+    val cap0 = nb / 2 + 1
+    val starts = new Array[Int](cap0)
+    val ends = new Array[Int](cap0)
+    var nTok = 0
+    var i = 0
+    while (i < nb) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        starts(nTok) = i
+        while (i < nb && !isWs(bytes(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
     if (nTok < 2) return new GenericArrayData(Array.empty[Any])
     val nBi = nTok - 1
     // bigram identity = both token byte ranges equal

@@ -109,16 +109,30 @@ object TermCounts {
     w
   }
 
-  private def isWs(b: Byte): Boolean = Tokens.isWs(b)
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
   /** The one-pass scan. Public so generated code can call it. */
   def count(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
-    // token byte spans via the shared package tokenization ([[Tokens]])
-    val spans = Tokens.scan(bytes)
-    val starts = spans.starts
-    val ends = spans.ends
-    val w = spans.n
+    val n = bytes.length
+    var starts = new Array[Int](math.max(8, n / 8))
+    var ends = new Array[Int](starts.length)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        if (w == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, w * 2)
+          ends = java.util.Arrays.copyOf(ends, w * 2)
+        }
+        starts(w) = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        ends(w) = i
+        w += 1
+      }
+    }
     if (w == 0) return new GenericArrayData(Array.empty[Any])
     def eqTok(a: Int, b: Int): Boolean = {
       if (ends(a) - starts(a) != ends(b) - starts(b)) return false

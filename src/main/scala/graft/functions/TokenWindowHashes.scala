@@ -69,15 +69,28 @@ case class TokenWindowHashes(child: Expression, w: Int)
 
 object TokenWindowHashes {
 
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
   /** The fused loop. Public so generated code can call it. */
   def hashAll(s: UTF8String, w: Int): GenericArrayData = {
     val bytes = s.getBytes
-    // token byte spans: maximal runs of non-\s bytes (the shared
-    // package tokenization contract, [[Tokens]])
-    val spans = Tokens.scan(bytes)
-    val starts = spans.starts
-    val ends = spans.ends
-    val nTok = spans.n
+    val nb = bytes.length
+    // token byte spans: maximal runs of non-\s bytes
+    val cap = nb / 2 + 1
+    val starts = new Array[Int](cap)
+    val ends = new Array[Int](cap)
+    var nTok = 0
+    var i = 0
+    while (i < nb) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        starts(nTok) = i
+        while (i < nb && !isWs(bytes(i))) i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
     if (nTok < w) return new GenericArrayData(Array.emptyLongArray)
     val count = nTok - w + 1
     // one scratch buffer, sized to the largest window's raw span (the
