@@ -714,6 +714,38 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming model-based QUALITY gate — the CCNet deployment shape
+    * end to end ([[graft.text.BigramLm.scoreAgainst]]'s scaladoc): a
+    * bigram-LM model trained ONCE on a trusted reference corpus and
+    * persisted ([[graft.text.BigramLm.saveModel]]), scoring every
+    * micro-batch as it arrives; documents whose average conditional
+    * transition probability falls below `minFluency` micro-points are
+    * dropped before the sink. Unlike the NOVELTY gates above this one
+    * keeps NO per-batch state at all — the model is read-only and
+    * shared by every batch — so replay safety is just the sink's
+    * batch-partitioned overwrite ([[gatedSinkWrite]]), and out-of-
+    * vocabulary transitions score zero (maximally non-fluent), which
+    * is the bias a REFERENCE-trained filter wants: novel gibberish
+    * cannot pass by being novel.
+    *
+    * Scale: per batch, one fused scoring scan of the batch
+    * ([[graft.functions.BigramHashCounts]]) + one shuffle_hash join
+    * against the persisted vocab-scale model + the doc-keyed
+    * aggregate — O(batch), never O(stream).
+    */
+  def fluencyGateEachBatch(idCol: String, textCol: String,
+                           modelPath: String, minFluency: Double,
+                           outPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val model = batch.sparkSession.read.parquet(modelPath)
+    val pass = graft.text.BigramLm.scoreAgainst(model,
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .filter(col("fluency") >= minFluency)
+      .select(col("doc_id").as(idCol))
+    gatedSinkWrite(batch, idCol, pass, outPath, batchId)
+    ()
+  }
+
   /** OutputMode helpers pinned in one place for the write sites. */
   val AppendMode: OutputMode = OutputMode.Append()
   val CompleteMode: OutputMode = OutputMode.Complete()

@@ -122,6 +122,18 @@ object BigramLm {
       useHashKey).select(col("bk"), col("micro"))
   }
 
+  /** Persist a trained model for cross-run scoring (the streaming
+    * quality gate's input, [[graft.streaming.StreamingOps
+    * .fluencyGateEachBatch]]). Plain parquet: the model is one
+    * vocab-scale (bk, micro) frame and the scoring join is
+    * `shuffle_hash`, which places both sides itself; a cluster
+    * deployment amortizing MANY scoring runs against one model would
+    * persist it as a `bk`-bucketed TABLE instead (bucket metadata only
+    * survives through the catalog, not a bare parquet read).
+    */
+  def saveModel(model: DataFrame, path: String): Unit =
+    model.write.mode("overwrite").parquet(path)
+
   /** Score `docs` against an already-trained `model` (the CCNet
     * deployment shape: train on a trusted reference corpus, score
     * candidate batches against it). Out-of-vocabulary transitions

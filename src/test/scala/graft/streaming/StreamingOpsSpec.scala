@@ -1011,4 +1011,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(dirs.toSet == Set("summary_batch=1", "summary_batch=2"),
       s"superseded summaries must be swept: ${dirs.toSeq}")
   }
+
+  test("fluencyGateEachBatch: a reference-trained model drops " +
+      "low-fluency and OOV-gibberish docs per batch; replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.BigramLm
+    val base = Files.createTempDirectory("graft-flgate")
+    val modelPath = base.resolve("model").toString
+    val outPath = base.resolve("out").toString
+    // reference corpus: strong "the cat sat on the mat" transitions
+    val ref = Seq(
+      0L -> "the cat sat on the mat",
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug").toDF("doc_id", "text")
+    BigramLm.saveModel(BigramLm.trainModel(ref), modelPath)
+    val gate = StreamingOps.fluencyGateEachBatch(
+      "doc_id", "text", modelPath, minFluency = 500000.0, outPath) _
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(gate).outputMode("append").start()
+    input.addData(
+      (10L, "the cat sat on the mat"),   // in-model: passes
+      (11L, "zxq vbn mmm qqq"),          // OOV gibberish: fluency 0
+      (12L, "mat the sat cat on the"))   // shuffled: weak transitions
+    query.processAllAvailable()
+    input.addData((20L, "the cat sat on the rug")) // rug: trained too
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(10L) && kept.contains(20L),
+      s"in-model docs must pass: $kept")
+    assert(!kept.contains(11L), "OOV gibberish cannot pass by being novel")
+    assert(!kept.contains(12L), "shuffled word-salad scores below the bar")
+    // replay: re-invoking batch 1 overwrites its own partition
+    gate(Seq((20L, "the cat sat on the rug")).toDF("doc_id", "text"), 1L)
+    val again = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again.sorted == kept.toSeq.sorted, "replay must not duplicate")
+  }
 }
