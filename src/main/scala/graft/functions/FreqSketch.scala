@@ -122,8 +122,14 @@ case class MisraGriesAgg(
     while (it.hasNext) {
       val e = it.next()
       buf.map.merge(e.getKey, e.getValue, MisraGriesAgg.Add)
+      // prune INSIDE the merge loop, as update does per insertion: the
+      // incoming buffer holds up to 2*cap entries of its own, so a
+      // single post-loop check would let the merged buffer transiently
+      // reach ~4*cap — the hard 2*cap bound must hold per insertion
+      // here too (prune validity is insertion-order independent; a
+      // counter already merged from `other` is just counted mass)
+      if (buf.map.size() > 2 * cap) MisraGriesAgg.prune(buf.map, cap)
     }
-    if (buf.map.size() > 2 * cap) MisraGriesAgg.prune(buf.map, cap)
     buf
   }
 

@@ -89,6 +89,15 @@ object DailyStoreVersionRead {
     * (commit time = the version dir's mtime, the [[DailyStoreTimeTravel
     * .history]] column). The CURRENT state's commit time is the newest
     * retained version's, so any later timestamp resolves to 0 back.
+    *
+    * Granularity caveat: commit times carry the filesystem's mtime
+    * resolution (1 s on many local filesystems — the DelegateCache
+    * coarse-mtime caveat). Two commits landing in one tick are
+    * indistinguishable by timestamp, and a request at that tick
+    * resolves to the NEWEST of the tie; sub-tick rollback points need
+    * `VERSION AS OF` with the explicit seq from `history()`. Non-tie
+    * mtime INVERSIONS (commit times not monotone in seq) fail loudly
+    * below instead of resolving to a wrong adjacent version.
     */
   private[sources] def versionsBackForTimestamp(
       vs: Seq[DailyStoreTimeTravel.StoreVersion],
@@ -99,8 +108,24 @@ object DailyStoreVersionRead {
         "(DailyStoreTimeTravel.enable) before time-travel reads")
     val tsMs = microsSinceEpoch / 1000L
     // newest first; versionsBack = how many retained commits are STRICTLY
-    // newer than the requested instant
-    val newer = vs.count(v => fs.getFileStatus(v.dir).getModificationTime > tsMs)
+    // newer than the requested instant. Commit time is the version dir's
+    // mtime — on coarse-mtime filesystems (1s ticks, the DelegateCache
+    // caveat) two commits can share a tick, so the count-of-newer is only
+    // a prefix of the seq walk if mtime order agrees with seq order WITH
+    // TIES BROKEN BY SEQ; verify that instead of assuming it, because an
+    // mtime INVERSION (a later commit with a smaller mtime — clock step,
+    // or a version dir touched after the fact) would silently resolve to
+    // the wrong adjacent version. Equal-mtime ties are fine: both sides
+    // of a tie compare identically against the instant.
+    val stamped = vs.map(v =>
+      (v.seq, fs.getFileStatus(v.dir).getModificationTime))
+    val bySeqDesc = stamped.map(_._2)
+    require(bySeqDesc == bySeqDesc.sorted(Ordering[Long].reverse),
+      s"dailystore: version commit times at $path are not monotone in " +
+        s"commit seq (${stamped.map { case (s, m) => s"v$s@$m" }
+          .mkString(", ")}) — TIMESTAMP AS OF cannot order the history; " +
+        "use VERSION AS OF with an explicit seq")
+    val newer = stamped.count(_._2 > tsMs)
     require(newer < vs.size,
       s"dailystore: TIMESTAMP AS OF ${new java.sql.Timestamp(tsMs)} " +
         s"predates the oldest retained commit at $path")

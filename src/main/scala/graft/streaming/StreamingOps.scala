@@ -720,30 +720,51 @@ object StreamingOps {
     * persisted ([[graft.text.BigramLm.saveModel]]), scoring every
     * micro-batch as it arrives; documents whose average conditional
     * transition probability falls below `minFluency` micro-points are
-    * dropped before the sink. Unlike the NOVELTY gates above this one
-    * keeps NO per-batch state at all — the model is read-only and
-    * shared by every batch — so replay safety is just the sink's
-    * batch-partitioned overwrite ([[gatedSinkWrite]]), and out-of-
-    * vocabulary transitions score zero (maximally non-fluent), which
-    * is the bias a REFERENCE-trained filter wants: novel gibberish
-    * cannot pass by being novel.
+    * dropped before the sink. Returns the `foreachBatch` function (the
+    * [[bloomNoveltyGateEachBatch]] convention): the closure owns the
+    * MODEL CACHE — the vocab-scale model parquet is read once, on the
+    * first batch, and `persist`ed for the closure's lifetime, so a
+    * 1 Hz trigger re-plans one cached in-memory relation per batch
+    * instead of re-listing and re-reading the model files every batch
+    * (the cache lives until the session ends or the caller unpersists;
+    * a restarted query re-reads once — the model is immutable by
+    * contract, retrain = new path). No other per-batch state exists,
+    * so replay safety is just the sink's batch-partitioned overwrite
+    * ([[gatedSinkWrite]]).
+    *
+    * Scoring policy: out-of-vocabulary transitions score zero
+    * (maximally non-fluent) — the bias a REFERENCE-trained filter
+    * wants, novel gibberish cannot pass by being novel — and a
+    * document with FEWER THAN TWO tokens has no transitions at all, so
+    * it carries zero fluency evidence and scores 0.0 by the same rule
+    * (the batch's ids are left-joined against the scores, never
+    * semi-joined, so zero-bigram docs get a DEFINED fluency instead of
+    * silent removal): sub-2-token docs pass exactly when
+    * `minFluency <= 0`.
     *
     * Scale: per batch, one fused scoring scan of the batch
     * ([[graft.functions.BigramHashCounts]]) + one shuffle_hash join
-    * against the persisted vocab-scale model + the doc-keyed
+    * against the cached vocab-scale model + the doc-keyed
     * aggregate — O(batch), never O(stream).
     */
   def fluencyGateEachBatch(idCol: String, textCol: String,
                            modelPath: String, minFluency: Double,
-                           outPath: String)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val model = batch.sparkSession.read.parquet(modelPath)
-    val pass = graft.text.BigramLm.scoreAgainst(model,
+                           outPath: String): (DataFrame, Long) => Unit = {
+    var model: DataFrame = null // read + persisted on first batch
+    (batch: DataFrame, batchId: Long) => {
+      if (model == null)
+        model = batch.sparkSession.read.parquet(modelPath)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scores = graft.text.BigramLm.scoreAgainst(model,
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .filter(col("fluency") >= minFluency)
-      .select(col("doc_id").as(idCol))
-    gatedSinkWrite(batch, idCol, pass, outPath, batchId)
-    ()
+      val pass = batch.select(col(idCol).as("doc_id"))
+        .join(scores.select(col("doc_id"), col("fluency")),
+          Seq("doc_id"), "left_outer")
+        .filter(coalesce(col("fluency"), lit(0.0)) >= minFluency)
+        .select(col("doc_id").as(idCol))
+      gatedSinkWrite(batch, idCol, pass, outPath, batchId)
+      ()
+    }
   }
 
   /** OutputMode helpers pinned in one place for the write sites. */

@@ -98,30 +98,57 @@ object HeavyHitters {
     * (replay safety: a replayed batch must merge from its
     * predecessor's summary, never its own torn first attempt), as
     * `(items, total)`; `(empty, 0)` when none exists.
+    *
+    * `tolerant = false` (the MERGE path): a summary that lists but
+    * cannot be read THROWS — under the single-writer premise the
+    * predecessor completed before this batch started, so an unreadable
+    * predecessor is store corruption and silently falling back a batch
+    * would drop its contribution from the stream total forever.
+    *
+    * `tolerant = true` (the public [[summaryFromStore]] reader, which
+    * may race the live writer): the NEWEST dir can be mid-overwrite
+    * (torn files, or no null-term meta row yet) and an older listed dir
+    * can vanish under the sweep between listing and read — so walk the
+    * candidates newest-first, skipping any that fail to read, and if
+    * every listed candidate failed re-list ONCE and walk again (the
+    * sweep keeps the two newest dirs, so a fresh listing always names a
+    * stable readable summary when one exists).
     */
   private[graft] def readSummary(spark: org.apache.spark.sql.SparkSession,
                                  storePath: String,
-                                 beforeBatch: Long): (DataFrame, Long) = {
+                                 beforeBatch: Long,
+                                 tolerant: Boolean = false): (DataFrame, Long) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val Dir = """summary_batch=(\d+)""".r
-    val prior =
-      if (!fs.exists(root)) None
+    def candidates(): Seq[Long] =
+      if (!fs.exists(root)) Nil
       else fs.listStatus(root).flatMap(_.getPath.getName match {
         case Dir(id) if id.toLong < beforeBatch => Some(id.toLong)
         case _ => None
-      }).sorted.lastOption
-    prior match {
-      case None =>
-        import spark.implicits._
-        (Seq.empty[(String, Long)].toDF("term", "lb"), 0L)
-      case Some(id) =>
-        val df = spark.read.parquet(summaryDir(storePath, id))
-        val total = df.filter(col("term").isNull)
-          .select(col("total")).head().getLong(0)
-        (df.filter(col("term").isNotNull).select(col("term"), col("lb")),
-          total)
+      }).toSeq.sorted(Ordering[Long].reverse)
+    def readOne(id: Long): (DataFrame, Long) = {
+      val df = spark.read.parquet(summaryDir(storePath, id))
+      val total = df.filter(col("term").isNull)
+        .select(col("total")).head().getLong(0)
+      (df.filter(col("term").isNotNull).select(col("term"), col("lb")),
+        total)
+    }
+    def empty(): (DataFrame, Long) = {
+      import spark.implicits._
+      (Seq.empty[(String, Long)].toDF("term", "lb"), 0L)
+    }
+    if (!tolerant) {
+      candidates().headOption.map(readOne).getOrElse(empty())
+    } else {
+      def walk(ids: Seq[Long]): Option[(DataFrame, Long)] =
+        ids.iterator.map(id => scala.util.Try(readOne(id)).toOption)
+          .collectFirst { case Some(r) => r }
+      val first = candidates()
+      walk(first)
+        .orElse(if (first.nonEmpty) walk(candidates()) else None)
+        .getOrElse(empty())
     }
   }
 
@@ -191,7 +218,8 @@ object HeavyHitters {
     */
   def summaryFromStore(spark: org.apache.spark.sql.SparkSession,
                        storePath: String): DataFrame = {
-    val (items, total) = readSummary(spark, storePath, Long.MaxValue)
+    val (items, total) =
+      readSummary(spark, storePath, Long.MaxValue, tolerant = true)
     items.withColumn("total", lit(total))
       .orderBy(col("lb").desc, col("term").asc)
   }

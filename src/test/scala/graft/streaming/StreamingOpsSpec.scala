@@ -1026,14 +1026,15 @@ class StreamingOpsSpec extends SparkSpec {
       2L -> "the cat sat on the rug").toDF("doc_id", "text")
     BigramLm.saveModel(BigramLm.trainModel(ref), modelPath)
     val gate = StreamingOps.fluencyGateEachBatch(
-      "doc_id", "text", modelPath, minFluency = 500000.0, outPath) _
+      "doc_id", "text", modelPath, minFluency = 500000.0, outPath)
     val input = MemoryStream[(Long, String)]
     val query = input.toDF().toDF("doc_id", "text")
       .writeStream.foreachBatch(gate).outputMode("append").start()
     input.addData(
       (10L, "the cat sat on the mat"),   // in-model: passes
       (11L, "zxq vbn mmm qqq"),          // OOV gibberish: fluency 0
-      (12L, "mat the sat cat on the"))   // shuffled: weak transitions
+      (12L, "mat the sat cat on the"),   // shuffled: weak transitions
+      (13L, "cat"))                      // sub-2-token: fluency 0
     query.processAllAvailable()
     input.addData((20L, "the cat sat on the rug")) // rug: trained too
     query.processAllAvailable()
@@ -1044,10 +1045,22 @@ class StreamingOpsSpec extends SparkSpec {
       s"in-model docs must pass: $kept")
     assert(!kept.contains(11L), "OOV gibberish cannot pass by being novel")
     assert(!kept.contains(12L), "shuffled word-salad scores below the bar")
+    assert(!kept.contains(13L),
+      "a sub-2-token doc carries zero fluency evidence: scores 0.0")
     // replay: re-invoking batch 1 overwrites its own partition
     gate(Seq((20L, "the cat sat on the rug")).toDF("doc_id", "text"), 1L)
     val again = spark.read.parquet(outPath)
       .select("doc_id").as[Long].collect().toSeq
     assert(again.sorted == kept.toSeq.sorted, "replay must not duplicate")
+    // sub-2-token docs have a DEFINED fluency of 0.0, not silent
+    // removal: a minFluency <= 0 gate passes them (and everything else)
+    val outAll = base.resolve("out_all").toString
+    val gate0 = StreamingOps.fluencyGateEachBatch(
+      "doc_id", "text", modelPath, minFluency = 0.0, outAll)
+    gate0(Seq((30L, "cat"), (31L, ""), (32L, "zxq vbn")).toDF("doc_id", "text"), 0L)
+    val keptAll = spark.read.parquet(outAll)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(30L, 31L, 32L),
+      s"minFluency <= 0 must pass zero-bigram docs: $keptAll")
   }
 }

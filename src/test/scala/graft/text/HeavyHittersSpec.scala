@@ -133,6 +133,44 @@ class HeavyHittersSpec extends SparkSpec {
       s"the null stratum's top token must be reported: $nullTop")
   }
 
+  test("summaryFromStore survives a torn newest summary (mid-overwrite " +
+      "crash or a dir swept between listing and read): falls back to " +
+      "the predecessor; the MERGE path stays strict") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hh-torn").toString
+    val b0 = Seq((0L, "alpha alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "gamma gamma delta")).toDF("doc_id", "text")
+    HeavyHitters.mergeAndWriteSummary(b0, "text", store, 0L, cap = 8)
+    HeavyHitters.mergeAndWriteSummary(b1, "text", store, 1L, cap = 8)
+    assert(HeavyHitters.summaryFromStore(spark, store)
+      .select("total").head().getLong(0) == 6L)
+    // tear the newest dir the way a crashed overwrite (or a sweep
+    // racing the reader's listing) leaves it: present but unreadable
+    val d1 = new java.io.File(s"$store/summary_batch=1")
+    d1.listFiles().foreach(f => assert(f.delete() || f.isDirectory))
+    val fallback = HeavyHitters.summaryFromStore(spark, store)
+    assert(fallback.select("total").head().getLong(0) == 3L,
+      "the public reader must fall back to the predecessor summary")
+    assert(fallback.select("term").as[String].collect().toSet ==
+      Set("alpha", "beta"))
+    // a summary dir with files but NO null-term meta row (torn between
+    // part-file writes) is equally unreadable — same fallback
+    Seq(("gamma", 2L)).toDF("term", "lb")
+      .withColumn("total", lit(0L))
+      .write.mode("overwrite").parquet(d1.toString)
+    assert(HeavyHitters.summaryFromStore(spark, store)
+      .select("total").head().getLong(0) == 3L,
+      "a meta-less summary must not be trusted")
+    // the merge path must NOT silently fall back: batch 2's predecessor
+    // (batch 1) being unreadable is corruption under the single-writer
+    // premise, and skipping it would drop its mass from the stream total
+    d1.listFiles().foreach(_.delete())
+    intercept[Exception] {
+      HeavyHitters.mergeAndWriteSummary(
+        Seq((2L, "x y")).toDF("doc_id", "text"), "text", store, 2L, cap = 8)
+    }
+  }
+
   test("mg_topk resolves through SQL and GraftExtensions registration") {
     MisraGriesAgg.register(spark)
     corpus(2, 10).createOrReplaceTempView("hh_docs")
