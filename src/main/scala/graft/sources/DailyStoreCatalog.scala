@@ -106,8 +106,10 @@ class DailyStoreCatalog extends TableCatalog {
           s"dailystore: VERSION AS OF wants the numeric commit seq from " +
             s"DailyStoreTimeTravel.history, got '$version'")
       }
+    val f = fs(dir)
     val back = DailyStoreVersionRead.versionsBackFor(
-      DailyStoreTimeTravel.versions(fs(dir), dir), seq, dir.toString)
+      DailyStoreTimeTravel.versions(f, dir), seq, dir.toString,
+      DailyStoreTimeTravel.lastCommitSeq(f, dir))
     new DailyStoreVersionTable(dir.toString, pcol, schema, back)
   }
 
@@ -118,7 +120,8 @@ class DailyStoreCatalog extends TableCatalog {
     val (dir, schema) = liveFor(ident)
     val f = fs(dir)
     val back = DailyStoreVersionRead.versionsBackForTimestamp(
-      DailyStoreTimeTravel.versions(f, dir), f, timestampMicros, dir.toString)
+      DailyStoreTimeTravel.versions(f, dir), f, timestampMicros, dir.toString,
+      DailyStoreTimeTravel.lastCommitSeq(f, dir))
     new DailyStoreVersionTable(dir.toString, pcol, schema, back)
   }
 

@@ -634,16 +634,20 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     // time-travel retention (r16): when the store carries a retention
     // marker, this commit's condemned files are ARCHIVED into a version
     // dir instead of deleted, and the manifest is retained there —
-    // `archiveRel` rides the manifest so crash replay does the same
+    // `archiveRel` rides the manifest so crash replay does the same.
+    // The seq is assigned retention ON OR OFF (r18): every state-changing
+    // commit stamps the `_last_commit` sidecar with it, which is what
+    // lets time-travel readers detect a retention-off commit at the
+    // head that left no version dir behind
+    val commitSeq = DailyStoreTimeTravel.nextSeq(fs, live)
     val archiveRel: Option[String] =
       DailyStoreTimeTravel.retentionOf(fs, live).map(_ =>
-        DailyStoreTimeTravel.versionDirName(
-          DailyStoreTimeTravel.nextSeq(fs, live), queryId))
+        DailyStoreTimeTravel.versionDirName(commitSeq, queryId))
     if (condemned.nonEmpty || committed.nonEmpty) {
       fs.mkdirs(live)
       DailyStoreRecovery.writeManifest(fs, manifest, pcol,
         new Path(staging).getName, condemned.map(_.getName), committed,
-        archiveRel)
+        archiveRel, Some(commitSeq))
     }
     // a window stalled past the TTL may have been taken over — verify
     // before the destructive phase rather than interleave two writers'
@@ -671,6 +675,14 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
           s"dailystore: commit rename failed: $from -> $to")
     }
     fs.delete(new Path(staging), true)
+    // stamp the commit head BEFORE finalizing the manifest: a crash
+    // between the stamp and the finalize leaves the manifest pending,
+    // and recovery's replay re-stamps idempotently (monotone advance) —
+    // so a completed commit is ALWAYS visible in the sidecar, retention
+    // on or off, which is the invariant the time-travel head-gap check
+    // rests on
+    if (condemned.nonEmpty || committed.nonEmpty)
+      DailyStoreTimeTravel.recordCommitSeq(fs, live, commitSeq)
     archiveRel match {
       case Some(rel) if fs.exists(manifest) =>
         // retain the manifest with its version (renamed OUT of the
@@ -824,7 +836,8 @@ object DailyStoreRecovery {
       fs: org.apache.hadoop.fs.FileSystem, manifest: Path, pcol: String,
       stagingName: String, condemnedDirs: Seq[String],
       files: Seq[(String, String)],
-      archiveRel: Option[String] = None): Unit = {
+      archiveRel: Option[String] = None,
+      seq: Option[Long] = None): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("pcol", pcol)
@@ -832,6 +845,9 @@ object DailyStoreRecovery {
     // retention mode: condemned files go HERE instead of being deleted
     // (replay honors the same field, so a torn commit archives too)
     archiveRel.foreach(root.put("archive", _))
+    // commit seq (r18): rides the manifest so crash REPLAY stamps the
+    // `_last_commit` sidecar exactly like the live commit path would
+    seq.foreach(root.put("seq", _))
     val c = root.putArray("condemned")
     condemnedDirs.foreach(c.add)
     val f = root.putArray("files")
@@ -995,6 +1011,11 @@ object DailyStoreRecovery {
       }
     }
     fs.delete(staging, true)
+    // stamp the replayed commit's seq before finalizing its manifest —
+    // same ordering, same idempotent monotone advance as the live
+    // commit path (legacy manifests without a seq skip the stamp)
+    if (root.hasNonNull("seq"))
+      DailyStoreTimeTravel.recordCommitSeq(fs, live, root.get("seq").asLong())
     archiveRel match {
       case Some(rel) =>
         val adir = new Path(live, rel)

@@ -71,6 +71,59 @@ object DailyStoreTimeTravel {
 
   private[sources] val VersionsDir = "_versions"
   private[sources] val RetentionFile = "_retention.json"
+  private[sources] val LastCommitFile = "_last_commit.json"
+
+  /** The newest committed seq the store has recorded, from the
+    * `_last_commit.json` sidecar every commit stamps (retention ON or
+    * OFF — the sidecar is what lets a time-travel read DETECT a commit
+    * that ran with retention off after the newest version dir, the
+    * blind spot dirs alone cannot see). `None` on stores that predate
+    * the sidecar (their commits were all pre-r18; the readers then fall
+    * back to the dirs-only contract). Unreadable-but-present fails
+    * loudly, like [[retentionOf]]: a silent `None` would hide exactly
+    * the gap the sidecar exists to expose.
+    */
+  private[sources] def lastCommitSeq(fs: FileSystem, live: Path): Option[Long] = {
+    val p = new Path(live, LastCommitFile)
+    if (!fs.exists(p)) None
+    else {
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(bytes).get("seq")
+        if (node == null || !node.canConvertToLong)
+          throw new java.io.IOException("no integer 'seq' field")
+        Some(node.asLong())
+      } catch {
+        case e: Exception =>
+          throw new java.io.IOException(
+            s"dailystore: $p exists but is unreadable (${e.getMessage}); " +
+              "refusing to guess the commit head — fix or remove the " +
+              "sidecar (removing it downgrades time-travel gap detection " +
+              "to the dirs-only contract)", e)
+      }
+    }
+  }
+
+  /** Advance the sidecar to `seq` — monotone (a replay stamping an old
+    * manifest's seq never regresses the head), write-then-rename so the
+    * sidecar appears atomically. Runs under the writer lease like every
+    * other commit mutation.
+    */
+  private[sources] def recordCommitSeq(fs: FileSystem, live: Path,
+                                       seq: Long): Unit = {
+    if (lastCommitSeq(fs, live).exists(_ >= seq)) return
+    val p = new Path(live, LastCommitFile)
+    val tmp = new Path(live, LastCommitFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"seq":$seq}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"dailystore: last-commit sidecar rename failed: $tmp -> $p")
+  }
 
   /** Turn retention on for the store (idempotent; `keep` latest
     * versions are retained, older ones pruned at each commit). */
@@ -151,15 +204,26 @@ object DailyStoreTimeTravel {
     }.sortBy(-_.seq)
   }
 
-  /** Next commit's sequence number (single writer under the lease). */
+  /** Next commit's sequence number (single writer under the lease):
+    * one past the newest of (version dirs, `_last_commit` sidecar) —
+    * sidecar-aware so seqs stay monotone across retention toggles: a
+    * commit made while retention is OFF leaves no dir but bumps the
+    * sidecar, and the next retention-ON commit's dir then lands with a
+    * seq GAP the readers' consecutiveness checks can see.
+    */
   private[sources] def nextSeq(fs: FileSystem, live: Path): Long = {
+    val recorded = lastCommitSeq(fs, live).getOrElse(0L)
     val vroot = new Path(live, VersionsDir)
-    if (!fs.exists(vroot)) return 1L
-    val seqs = fs.listStatus(vroot).flatMap(_.getPath.getName match {
-      case VersionName(s, _) => Some(s.toLong)
-      case _ => None
-    })
-    if (seqs.isEmpty) 1L else seqs.max + 1L
+    val dirMax =
+      if (!fs.exists(vroot)) 0L
+      else {
+        val seqs = fs.listStatus(vroot).flatMap(_.getPath.getName match {
+          case VersionName(s, _) => Some(s.toLong)
+          case _ => None
+        })
+        if (seqs.isEmpty) 0L else seqs.max
+      }
+    math.max(recorded, dirMax) + 1L
   }
 
   /** Zero-padded so version dirs sort lexically by sequence. */
@@ -255,11 +319,30 @@ object DailyStoreTimeTravel {
         "write, which self-heals) before readVersion, or the torn " +
         "commit's days would be reconstructed incorrectly")
     val vs = versions(fs, live)
+    // r18: a commit that ran with retention OFF after the newest
+    // version dir has no manifest to roll back through — walking the
+    // retained manifests from the CURRENT live state would silently
+    // keep its changes in every "historical" result
+    DailyStoreVersionRead.assertNoHeadGap(
+      lastCommitSeq(fs, live), vs, path)
     require(vs.size >= versionsBack,
       s"dailystore: only ${vs.size} version(s) retained at $path, " +
         s"cannot go $versionsBack back (raise keep in enable(), or the " +
         "commits predate retention)")
     val rolled = vs.take(versionsBack) // newest first
+    // the walk must be gap-free: a missing manifest INSIDE the walk
+    // (retention toggled mid-life, or a dir removed out of order) would
+    // silently skip that commit's undo — same consecutiveness contract
+    // as the SQL fronts' versionsBackFor (r18)
+    locally {
+      val walked = rolled.map(_.seq)
+      val expected = (0 until versionsBack).map(vs.head.seq - _)
+      require(walked == expected,
+        s"dailystore: retained versions at $path have a gap in the " +
+          s"rollback walk (have ${walked.mkString(",")}, need " +
+          s"${expected.mkString(",")}) — a commit ran with retention " +
+          "off, or version dirs were removed out of order")
+    }
 
     def addedOf(v: StoreVersion): Seq[(String, String)] =
       v.manifest.get("files").elements().asScala

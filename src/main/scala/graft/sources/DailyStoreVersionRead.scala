@@ -55,6 +55,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object DailyStoreVersionRead {
 
+  /** Fail loudly when the `_last_commit` sidecar records a commit NEWER
+    * than the newest retained version dir: a commit ran with retention
+    * OFF after the newest version, left no manifest to roll back
+    * through, and every reconstruction walking from the CURRENT live
+    * state would silently include it — the blind spot the r17 scaladoc
+    * documented, closed by the sidecar every commit now stamps.
+    * `lastCommit = None` (a store whose commits all predate the
+    * sidecar) keeps the dirs-only contract.
+    */
+  private[sources] def assertNoHeadGap(
+      lastCommit: Option[Long],
+      vs: Seq[DailyStoreTimeTravel.StoreVersion], path: String): Unit =
+    lastCommit.foreach { last =>
+      val head = vs.headOption.map(_.seq).getOrElse(0L)
+      require(last <= head,
+        s"dailystore: commit seq $last at $path ran with retention OFF " +
+          s"after the newest retained version ($head) — historical states " +
+          "cannot be reconstructed across an untracked commit. Re-enable " +
+          "retention (DailyStoreTimeTravel.enable) and keep it on; only " +
+          "states at or after the untracked commit will become " +
+          "time-travelable again")
+    }
+
   /** Map an absolute commit seq to `versionsBack`, validating that the
     * walk from the newest retained commit down to `seq` is gap-free
     * (prune keeps the NEWEST `keep`, so retained seqs are consecutive
@@ -62,7 +85,8 @@ object DailyStoreVersionRead {
     */
   private[sources] def versionsBackFor(
       vs: Seq[DailyStoreTimeTravel.StoreVersion], seq: Long,
-      path: String): Int = {
+      path: String, lastCommit: Option[Long] = None): Int = {
+    assertNoHeadGap(lastCommit, vs, path)
     require(vs.nonEmpty,
       s"dailystore: $path retains no versions — enable retention " +
         "(DailyStoreTimeTravel.enable) before time-travel reads")
@@ -102,7 +126,8 @@ object DailyStoreVersionRead {
   private[sources] def versionsBackForTimestamp(
       vs: Seq[DailyStoreTimeTravel.StoreVersion],
       fs: org.apache.hadoop.fs.FileSystem, microsSinceEpoch: Long,
-      path: String): Int = {
+      path: String, lastCommit: Option[Long] = None): Int = {
+    assertNoHeadGap(lastCommit, vs, path)
     require(vs.nonEmpty,
       s"dailystore: $path retains no versions — enable retention " +
         "(DailyStoreTimeTravel.enable) before time-travel reads")
@@ -136,8 +161,8 @@ object DailyStoreVersionRead {
     // that includes a LATER commit than requested. Requiring
     // vs(newer).seq consecutive with the walked dirs catches exactly
     // that boundary gap. (A retention-off commit AFTER the newest dir
-    // is undetectable from dirs alone — both overloads share that blind
-    // spot; continuous retention is the store's time-travel contract.)
+    // leaves no dir either — that head gap is caught by assertNoHeadGap
+    // above via the `_last_commit` sidecar, r18.)
     val walked = vs.take(newer + 1).map(_.seq)
     val expected = (0 to newer).map(vs.head.seq - _)
     require(walked == expected,

@@ -336,6 +336,65 @@ class DailyStoreTimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("r18 head-gap: a retention-OFF commit after the newest version " +
+      "is DETECTED via the _last_commit sidecar — time travel refuses " +
+      "loudly instead of silently including the untracked commit, and " +
+      "heals forward once retention is back on") {
+    val root = freshDir("headgap")
+    DailyStoreCatalog.register(spark, "dstore_hg", root)
+    try {
+      spark.sql("CREATE TABLE dstore_hg.cases (d date, n int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      val tdir = s"$root/cases"
+      DailyStoreTimeTravel.enable(spark, tdir, keep = 10)
+      write(days(("2020-03-01", 1, "a")), tdir)                    // seq 1
+      write(days(("2020-03-02", 2, "b")), tdir)                    // seq 2
+      assert(readV(tdir, 1) == Seq((d("2020-03-01"), 1, "a")))
+      // the untracked commit: retention OFF, no version dir — before
+      // r18 every reconstruction silently KEPT its changes
+      DailyStoreTimeTravel.disable(spark, tdir)
+      write(days(("2020-03-01", 9, "junk")), tdir,
+        "overwrite", dynamic = true)                               // seq 3
+      val e1 = intercept[IllegalArgumentException] { readV(tdir, 1) }
+      assert(e1.getMessage.contains("retention OFF"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_hg.cases VERSION AS OF 2").collect()
+      }
+      assert(e2.getMessage.contains("retention OFF"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_hg.cases TIMESTAMP AS OF " +
+          s"'${new java.sql.Timestamp(System.currentTimeMillis())}'")
+          .collect()
+      }
+      assert(e3.getMessage.contains("retention OFF"), e3.getMessage)
+      // current-state reads are unaffected
+      assert(readV(tdir, 0).exists(_._3 == "junk"))
+
+      // heal forward: retention back on, a new commit lands as seq 4
+      // (the sidecar keeps seqs monotone across the toggle) — the
+      // state BEFORE it (i.e. after the untracked commit) becomes
+      // reconstructable, states across the untracked commit stay loud
+      DailyStoreTimeTravel.enable(spark, tdir, keep = 10)
+      write(days(("2020-03-03", 3, "c")), tdir)                    // seq 4
+      assert(readV(tdir, 1) ==
+        Seq((d("2020-03-01"), 9, "junk"), (d("2020-03-02"), 2, "b")),
+        "one back = the state after the untracked commit")
+      assert(rows(spark.sql(
+        "SELECT d, n, label FROM dstore_hg.cases VERSION AS OF 3"))
+        == Seq((d("2020-03-01"), 9, "junk"), (d("2020-03-02"), 2, "b")))
+      val e4 = intercept[Exception] { readV(tdir, 2) }
+      assert(e4.getMessage.contains("gap"), e4.getMessage)
+      val e5 = intercept[Exception] {
+        spark.sql("SELECT * FROM dstore_hg.cases VERSION AS OF 2").collect()
+      }
+      assert(e5.getMessage.contains("gap"), e5.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_hg")
+      spark.conf.unset("spark.sql.catalog.dstore_hg.root")
+      spark.conf.unset("spark.sql.catalog.dstore_hg.partitionCol")
+    }
+  }
+
   test("retention: a corrupt _retention.json fails the commit LOUDLY " +
       "instead of silently flipping the store to delete-mode") {
     val dir = freshDir("corrupt")
