@@ -454,7 +454,36 @@ object Bench {
         graft.dedup.Dedup.embeddingGate(vecBatch, "vec_id", "embedding",
           table, minCosine = 0.95, bandBloom = embBloom).count())
 
-      Seq("incgate1k_small_store_sec" -> exactSec(small),
+      // r18: the FLUENCY gate family — the model-based quality gate's
+      // store analogue is the persisted MODEL (trained on the small vs
+      // large corpus; the large model has ~10x the bigram vocabulary).
+      // Model training is untimed seed work like every other family's
+      // store build; the timed rep is one full gate batch — fused
+      // scoring scan + shuffle_hash join against the CACHED model +
+      // replay-idempotent sink write — i.e. the steady-state per-batch
+      // cost after fluencyGateEachBatch's first-batch model persist
+      // (the warm-up call inside timed() is what loads the cache).
+      def seedFlModel(tag: String, dir: String): String = {
+        val (_, p) = storeFor(tag)
+        graft.text.BigramLm.saveModel(
+          graft.text.BigramLm.trainModel(
+            Tables(spark, dir, "documents").select("doc_id", "text")), p)
+        p
+      }
+      val flSmall = seedFlModel("flmodelsmall", smallDir)
+      val flLarge = seedFlModel("flmodellarge", largeDir)
+      val flBatch = batch.select("doc_id", "text").localCheckpoint()
+      def flSec(modelPath: String, tag: String): Double = {
+        val (_, outP) = storeFor(s"flout_$tag")
+        val gate = graft.streaming.StreamingOps.fluencyGateEachBatch(
+          "doc_id", "text", modelPath, minFluency = 1000.0, outP)
+        try timed(() => gate(flBatch, 0L))
+        finally graft.streaming.StreamingOps.uncacheFluencyModel(modelPath)
+      }
+
+      Seq("flgate1k_small_store_sec" -> flSec(flSmall, "small"),
+        "flgate1k_large_store_sec" -> flSec(flLarge, "large"),
+        "incgate1k_small_store_sec" -> exactSec(small),
         "incgate1k_large_store_sec" -> exactSec(large),
         "mhgate1k_small_store_sec" -> mhSec(mhSmall),
         "mhgate1k_large_store_sec" -> mhSec(mhLarge),

@@ -721,16 +721,17 @@ object StreamingOps {
     * micro-batch as it arrives; documents whose average conditional
     * transition probability falls below `minFluency` micro-points are
     * dropped before the sink. Returns the `foreachBatch` function (the
-    * [[bloomNoveltyGateEachBatch]] convention): the closure owns the
-    * MODEL CACHE — the vocab-scale model parquet is read once, on the
-    * first batch, and `persist`ed for the closure's lifetime, so a
-    * 1 Hz trigger re-plans one cached in-memory relation per batch
-    * instead of re-listing and re-reading the model files every batch
-    * (the cache lives until the session ends or the caller unpersists;
-    * a restarted query re-reads once — the model is immutable by
-    * contract, retrain = new path). No other per-batch state exists,
-    * so replay safety is just the sink's batch-partitioned overwrite
-    * ([[gatedSinkWrite]]).
+    * [[bloomNoveltyGateEachBatch]] convention): the vocab-scale model
+    * parquet is read once, on the first batch, and `persist`ed in a
+    * process-wide MODEL CACHE keyed by model path, so a 1 Hz trigger
+    * re-plans one cached in-memory relation per batch instead of
+    * re-listing and re-reading the model files every batch — and a
+    * RESTARTED query (new closure, same path) reuses the cached model
+    * instead of re-persisting a duplicate. The model is immutable by
+    * contract (retrain = new path); release the memory with
+    * [[uncacheFluencyModel]] when a model is retired. No other
+    * per-batch state exists, so replay safety is just the sink's
+    * batch-partitioned overwrite ([[gatedSinkWrite]]).
     *
     * Scoring policy: out-of-vocabulary transitions score zero
     * (maximally non-fluent) — the bias a REFERENCE-trained filter
@@ -750,11 +751,14 @@ object StreamingOps {
   def fluencyGateEachBatch(idCol: String, textCol: String,
                            modelPath: String, minFluency: Double,
                            outPath: String): (DataFrame, Long) => Unit = {
-    var model: DataFrame = null // read + persisted on first batch
     (batch: DataFrame, batchId: Long) => {
-      if (model == null)
-        model = batch.sparkSession.read.parquet(modelPath)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spark = batch.sparkSession
+      // computeIfAbsent keyed by path; a cached frame from a STOPPED
+      // session (its persisted blocks died with it) is replaced
+      val model = fluencyModelCache.compute(modelPath, (_, cur) =>
+        if (cur != null && (cur.sparkSession eq spark)) cur
+        else spark.read.parquet(modelPath)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val scores = graft.text.BigramLm.scoreAgainst(model,
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       val pass = batch.select(col(idCol).as("doc_id"))
@@ -765,6 +769,24 @@ object StreamingOps {
       gatedSinkWrite(batch, idCol, pass, outPath, batchId)
       ()
     }
+  }
+
+  /** Process-wide cache of persisted fluency models, keyed by model
+    * path ([[fluencyGateEachBatch]] class doc): models are immutable
+    * (retrain = new path), so the path IS the identity; entries whose
+    * owning session has been replaced re-read lazily on next use.
+    */
+  private val fluencyModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop a retired model from the [[fluencyGateEachBatch]] cache and
+    * release its persisted blocks. Safe to call for an uncached path.
+    */
+  def uncacheFluencyModel(modelPath: String): Unit = {
+    val df = fluencyModelCache.remove(modelPath)
+    if (df != null)
+      scala.util.Try(df.unpersist(blocking = false))
+    ()
   }
 
   /** OutputMode helpers pinned in one place for the write sites. */

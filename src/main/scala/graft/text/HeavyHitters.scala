@@ -229,17 +229,39 @@ object HeavyHitters {
     * per-source boilerplate profiling). The same two-scan shape with
     * `mg_topk` running as an ordinary grouped aggregate: the sketch
     * exchange carries one ≤`cap`-item summary per (group, partial
-    * buffer), the verify join broadcasts ≤ `groups * cap` candidate
-    * rows, and the final per-group top-k is a window over ≤
-    * `groups * cap` verified counts — no stage is vocabulary-scale.
-    * `provable` certifies against the GROUP's own token total.
+    * buffer), the verify join carries ≤ `groups * cap` candidate rows,
+    * and the final per-group top-k is a window over ≤ `groups * cap`
+    * verified counts — no stage is vocabulary-scale. `provable`
+    * certifies against the GROUP's own token total.
+    *
+    * The candidate join's side is `groups × cap` rows, so its strategy
+    * is a LOUD contract on group cardinality, not a silent assumption
+    * (a per-language call is tens of groups; a per-domain call can be
+    * millions): the group count is pre-measured with one column-pruned
+    * `approx_count_distinct` scan (±~5% — a threshold decision, not a
+    * result), and
+    *  - at or below `maxBroadcastGroups` the candidates BROADCAST
+    *    (the low-stratum fast path, no stream exchange for the join);
+    *  - above it the verify falls through to a SHUFFLED hash join on
+    *    `(group, term)` — result-equal, spec-pinned — whose candidate
+    *    side stays `groups × cap` rows per partition-of-key rather
+    *    than `groups × cap` rows ON EVERY EXECUTOR.
+    * The default (4096 groups × cap 256 ≈ 1M candidate rows) keeps the
+    * broadcast under tens of MB; raise it only with executor memory to
+    * spare.
     */
   def exactTopKByGroup(docs: DataFrame, groupCol: String, k: Int,
-                       cap: Int = 256): DataFrame = {
+                       cap: Int = 256,
+                       maxBroadcastGroups: Int = 4096): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cap >= k, s"cap ($cap) must be >= k ($k)")
+    require(maxBroadcastGroups >= 1,
+      s"maxBroadcastGroups must be >= 1, got $maxBroadcastGroups")
     MisraGriesAgg.register(docs.sparkSession)
     TermCounts.register(docs.sparkSession)
+    val nGroups = docs
+      .agg(approx_count_distinct(col(groupCol)).as("n"))
+      .head().getLong(0)
     val candidates = docs
       .groupBy(col(groupCol))
       .agg(MisraGriesAgg.mgTopK(col("text"), cap).as("s"))
@@ -250,12 +272,15 @@ object HeavyHitters {
     // a NULL-valued stratum — its sketch row exists but matches nothing
     val cand = candidates.select(col(groupCol).as("c_grp"),
       col("total"), col("term").as("c_term"))
+    val candSided =
+      if (nGroups <= maxBroadcastGroups) broadcast(cand)
+      else cand.hint("shuffle_hash")
     val verified = docs
       .select(col(groupCol),
         explode(TermCounts.termCounts(col("text"))).as("tc"))
       .select(col(groupCol), col("tc.term").as("term"),
         col("tc.cnt").cast("long").as("c"))
-      .join(broadcast(cand),
+      .join(candSided,
         col(groupCol) <=> col("c_grp") && col("term") === col("c_term"))
       .groupBy(col(groupCol), col("term"), col("total"))
       .agg(sum(col("c")).as("cnt"))

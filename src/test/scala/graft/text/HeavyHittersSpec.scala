@@ -133,6 +133,36 @@ class HeavyHittersSpec extends SparkSpec {
       s"the null stratum's top token must be reported: $nullTop")
   }
 
+  test("exactTopKByGroup group-cardinality contract: above " +
+      "maxBroadcastGroups the verify join takes the SHUFFLED path, " +
+      "result-equal to the broadcast path") {
+    // 20 strata, each with its own hot token + filler
+    val docs = (0 until 20).flatMap { g =>
+      Seq((g * 10L, s"hot$g hot$g hot$g common", s"g$g"),
+        (g * 10L + 1, s"filler$g common", s"g$g"))
+    }.toDF("doc_id", "text", "grp")
+    val viaBroadcast = HeavyHitters
+      .exactTopKByGroup(docs, "grp", k = 2, cap = 16)
+    val viaShuffle = HeavyHitters
+      .exactTopKByGroup(docs, "grp", k = 2, cap = 16,
+        maxBroadcastGroups = 4)
+    val pb = viaBroadcast.queryExecution.executedPlan.toString
+    val ps = viaShuffle.queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin"),
+      s"low-cardinality call must broadcast:\n$pb")
+    assert(!ps.contains("BroadcastHashJoin"),
+      s"over-threshold call must not build a groups*cap broadcast:\n$ps")
+    assert(ps.contains("ShuffledHashJoin") || ps.contains("SortMergeJoin"),
+      s"over-threshold call must shuffle the candidate join:\n$ps")
+    val a = viaBroadcast
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    val b = viaShuffle
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(a == b, s"paths must be result-equal:\n$a\nvs\n$b")
+    assert(a.nonEmpty && a.count(_._2.startsWith("hot")) == 20,
+      s"every stratum's hot token must surface: $a")
+  }
+
   test("summaryFromStore survives a torn newest summary (mid-overwrite " +
       "crash or a dir swept between listing and read): falls back to " +
       "the predecessor; the MERGE path stays strict") {
