@@ -874,6 +874,42 @@ object TextQueries {
            |SELECT r.lang, term, cnt, (cnt * 257 > total) AS provable
            |FROM r JOIN tot ON r.lang = tot.lang
            |WHERE rn <= 5 ORDER BY r.lang, cnt DESC, term""".stripMargin),
-      "per-language exact top-k tokens: grouped Misra-Gries + broadcast verify")
+      "per-language exact top-k tokens: grouped Misra-Gries + broadcast verify"),
+
+    // ----- DSIR hashed-bucket collision semantics, answer-key (r18) --
+    // The 100 TB deployment shape of q108: features bucketed
+    // pmod(xxhash64, buckets) so both models are fixed-size broadcast
+    // tables. DuckDB cannot mirror xxhash64 bit-exactly, so this is
+    // the q96 answer-key pattern over Dsir.CollisionFixture — a fixed
+    // micro-corpus whose 14 distinct bigrams FORCE mod-8 collisions
+    // (pigeonhole), making the collision-MERGE arithmetic (same-head
+    // counts add before the conditional division, cross-head micros
+    // add after) observable rather than merely absent. The frozen rows
+    // come from DsirSpec's independent plain-Scala reconstruction over
+    // the enumerated collision classes (provenance: tools.FreezeQ112);
+    // the oracle re-derives avg_weight by the same one double
+    // division, so a regression anywhere in the bucketing, the merge
+    // arithmetic, or the ordering flips the hash.
+    "q112_dsir_hashed_collisions" -> Q(
+      (s, _) => {
+        val (t, r, c) = graft.text.Dsir.CollisionFixture.frames(s)
+        graft.text.Dsir.hashedSelectTopN(t, r, c,
+          n = graft.text.Dsir.CollisionFixture.candidates.size,
+          buckets = graft.text.Dsir.CollisionFixture.Buckets)
+      },
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+          |  CAST(weight AS BIGINT) AS weight,
+          |  CAST(weight AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_weight
+          |FROM (VALUES
+          |  (11, 1, 0),
+          |  (10, 1, -500000),
+          |  (14, 7, -6500000),
+          |  (12, 1, -1000000),
+          |  (13, 1, -1000000),
+          |  (15, 1, -1000000)) AS t(doc_id, n_bigrams, weight)
+          |ORDER BY avg_weight DESC, doc_id""".stripMargin),
+      "DSIR hashed-feature variant: enumerated-collision answer key pins the bucket-merge arithmetic")
   )
 }

@@ -216,4 +216,36 @@ object Dsir {
       coalesce(col("micro_t"), lit(0L)) - coalesce(col("micro_r"), lit(0L))),
       n)
   }
+
+  /** The q112 collision fixture: a fixed micro-corpus whose 14 distinct
+    * bigrams FORCE `pmod(xxhash64, 8)` bucket collisions by pigeonhole,
+    * so [[hashedSelectTopN]]'s collision-MERGE arithmetic (same-head
+    * collisions add counts before the conditional division, cross-head
+    * collisions add micro contributions after it) is exercised, not
+    * merely absent. WHICH bigrams collide is up to xxhash64 — DsirSpec
+    * enumerates the classes at run time and reconstructs the expected
+    * output in plain Scala, independent of every operator under test;
+    * the q112 oracle freezes that reconstruction as an answer key
+    * (xxhash64 with seed 42 is a fixed public function, so the frozen
+    * rows are stable; provenance: [[graft.tools.FreezeQ112]]). Shared
+    * here so the spec and the catalog entry can never drift onto
+    * different fixtures.
+    */
+  object CollisionFixture {
+    val Buckets = 8
+    val target: Seq[(Long, String)] =
+      Seq(1L -> "a b a b c d", 2L -> "c d c e")
+    val raw: Seq[(Long, String)] =
+      target ++ Seq(3L -> "e f e f g h", 4L -> "g h i j")
+    val candidates: Seq[(Long, String)] = Seq(
+      10L -> "a b", 11L -> "c d", 12L -> "e f", 13L -> "g h",
+      14L -> "a b c d e f g h", 15L -> "x y")
+
+    def frames(spark: org.apache.spark.sql.SparkSession)
+        : (DataFrame, DataFrame, DataFrame) = {
+      def df(rows: Seq[(Long, String)]): DataFrame =
+        spark.createDataFrame(rows).toDF("doc_id", "text")
+      (df(target), df(raw), df(candidates))
+    }
+  }
 }

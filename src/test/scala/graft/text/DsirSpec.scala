@@ -101,4 +101,73 @@ class DsirSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"hashed models must broadcast:\n$plan")
   }
+
+  test("hashed variant COLLISION-MERGE semantics: collisions proven " +
+      "then enumerated, output equals an independent plain-Scala " +
+      "reconstruction over the enumerated classes (the q112 answer key)") {
+    // the collision-free test above pins hashed == unhashed when no
+    // bucket merges; this one pins what a merge DOES. buckets = 4 with
+    // 8 distinct bigrams FORCES collisions (pigeonhole) — which pairs
+    // collide is up to xxhash64, so the expected result is not assumed
+    // but RECONSTRUCTED from the enumerated classes in plain Scala,
+    // independent of every engine operator under test. The same
+    // fixture + frozen expected rows back the q112 oracle.
+    val buckets = Dsir.CollisionFixture.Buckets
+    val (tgt, rw, cands) = Dsir.CollisionFixture.frames(spark)
+
+    def toks(s: String): Seq[String] = s.split(" ").toSeq
+    def occOf(s: String): Seq[(String, String)] = {
+      val t = toks(s); t.zip(t.drop(1))
+    }
+    val tgtTexts = Dsir.CollisionFixture.target.map(_._2)
+    val rawTexts = Dsir.CollisionFixture.raw.map(_._2)
+    val candDocs = Dsir.CollisionFixture.candidates
+
+    // ENUMERATE: fixed public hashes (xxhash64, seed 42 — the bk/w1h
+    // contract BigramHashCountsSpec pins) for every distinct bigram
+    val allBi = (rawTexts ++ candDocs.map(_._2)).flatMap(occOf).distinct
+    val hashed = allBi.toDF("w1", "w2")
+      .select(col("w1"), col("w2"),
+        pmod(xxhash64(concat_ws(" ", col("w1"), col("w2"))),
+          lit(buckets.toLong)).as("b"),
+        xxhash64(col("w1")).as("h"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    val bucketOf = hashed.map(r => (r._1, r._2) -> r._3).toMap
+    val headOf = hashed.map(r => (r._1, r._2) -> r._4).toMap
+    // PROVE: the fixture must actually exercise a merge
+    val classes = allBi.groupBy(bucketOf).filter(_._2.size > 1)
+    assert(classes.nonEmpty,
+      s"fixture must carry a mod-$buckets collision — " +
+        s"buckets: ${allBi.map(bucketOf).sorted}")
+
+    // independent reconstruction of the hashed-model arithmetic:
+    // same-head collisions add counts BEFORE the conditional division,
+    // cross-head collisions add micro contributions AFTER it
+    def model(texts: Seq[String]): Map[Long, Long] = {
+      val occ = texts.flatMap(occOf)
+      val cxy = occ.groupBy(b => (bucketOf(b), headOf(b)))
+        .view.mapValues(_.size.toLong).toMap
+      val cfirst = occ.groupBy(headOf).view.mapValues(_.size.toLong).toMap
+      cxy.toSeq.groupBy(_._1._1).map { case (b, rows) =>
+        b -> rows.map { case ((_, h), c) => c * 1000000L / cfirst(h) }.sum
+      }
+    }
+    val mT = model(tgtTexts)
+    val mR = model(rawTexts)
+    val expected = candDocs.map { case (id, text) =>
+      val occ = occOf(text)
+      val w = occ.map { b =>
+        val bb = bucketOf(b)
+        mT.getOrElse(bb, 0L) - mR.getOrElse(bb, 0L)
+      }.sum
+      (id, occ.size.toLong, w, w.toDouble / occ.size.toDouble)
+    }.sortBy { case (id, _, _, avg) => (-avg, id) }
+
+    val got = Dsir.hashedSelectTopN(tgt, rw, cands,
+        n = candDocs.size, buckets = buckets)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected,
+      s"hashed collision-merge must match the enumerated-class " +
+        s"reconstruction:\n$got\nvs\n$expected")
+  }
 }
