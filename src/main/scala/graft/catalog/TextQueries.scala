@@ -910,6 +910,41 @@ object TextQueries {
           |  (13, 1, -1000000),
           |  (15, 1, -1000000)) AS t(doc_id, n_bigrams, weight)
           |ORDER BY avg_weight DESC, doc_id""".stripMargin),
-      "DSIR hashed-feature variant: enumerated-collision answer key pins the bucket-merge arithmetic")
+      "DSIR hashed-feature variant: enumerated-collision answer key pins the bucket-merge arithmetic"),
+
+    // ----- heavy-hitter stop-token tier: q109 composed into q87 (r18) --
+    // PROFILE→CONFIG→ENFORCE: the Misra-Gries sketch + verify scan
+    // (q109's plan) nominates every token above 2% of corpus
+    // occurrences — exact and complete by the recall guarantee, since
+    // 0.02 >= 1/257 — and the stop set drives the stop-SEGMENT tier's
+    // enforcement machinery at width 1 (q87's broadcast flag join,
+    // doc-keyed regroup, scan-side rebuild). The corpus' 30 hot
+    // vocabulary tokens (~3.4% each at every SF) make the rule
+    // organically active, no seeding needed. The oracle recomputes the
+    // occurrence rule and the rebuild from raw text: full work.
+    "q113_stop_token_tier" -> Q(
+      (s, dir) => graft.text.HeavyHitters.dropStopTokens(
+          Tables(s, dir, "documents"), maxTokenFrac = 0.02, cap = 256)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tokrows AS (
+           |  SELECT doc_id, s.pos, s.tok FROM t,
+           |    LATERAL (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(toks)),
+           |      i -> {'pos': i, 'tok': toks[i+1]}), recursive:=true)) s),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tokrows),
+           |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM tokrows GROUP BY 1),
+           |flagged AS (
+           |  SELECT r.doc_id, r.pos, r.tok,
+           |    NOT (CAST(cnt AS DOUBLE) >
+           |      0.02 * CAST((SELECT n FROM tot) AS DOUBLE)) AS kept
+           |  FROM tokrows r JOIN c ON r.tok = c.tok)
+           |SELECT doc_id, COUNT(*) AS n_toks,
+           |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+           |  COALESCE(STRING_AGG(tok, ' ' ORDER BY pos) FILTER (WHERE kept),
+           |    '') AS text_dedup
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "heavy-hitter stop-token removal: the q109 profile configuring q87's enforcement tier")
   )
 }

@@ -430,6 +430,22 @@ object Segments {
       .filter(col("__df") >
         greatest(lit(1L), floor(lit(maxDocFrac) * col("__nd"))))
       .select(col("h").as("__stop_h"))
+    dropSegmentsInSet(docs, w, stopSet)
+  }
+
+  /** The ENFORCEMENT half shared by the declared rules (the df rule
+    * above; the heavy-hitter occurrence rule of
+    * [[graft.text.HeavyHitters.dropStopTokens]], r18): drop every
+    * segment whose md5 key appears in `stopSet` (one `__stop_h` binary
+    * column; broadcast-small by the CALLER's rule — both rules bound it
+    * by construction, see their scaladocs) and rebuild each document
+    * from the survivors, the [[dropStopSegments]] tail verbatim: a
+    * null-producing broadcast left join flags KEY rows only, surviving
+    * `(doc_id, seg_no)` pairs regroup per doc as 12-byte rows, and the
+    * text rebuilds scan-side in the one corpus-to-corpus join.
+    */
+  private[graft] def dropSegmentsInSet(docs: DataFrame, w: Int,
+                                       stopSet: DataFrame): DataFrame = {
     val keptPerDoc = segmentKeyRows(docs, w)
       .join(broadcast(stopSet), col("h") === col("__stop_h"), "left_outer")
       .filter(col("__stop_h").isNull)

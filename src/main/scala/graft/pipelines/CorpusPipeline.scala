@@ -56,6 +56,16 @@ object CorpusPipeline {
       minEstJaccard: Double = 0.5,
       stopSegmentFrac: Option[Double] = None,
       segmentW: Int = 16,
+      // tier 2.6 (r18, off by default): the q109→q87 composition —
+      // profile the deboiled corpus' dominant tokens with the
+      // heavy-hitter sketch and drop every token above this occurrence
+      // fraction corpus-wide (HeavyHitters.dropStopTokens) before
+      // near-dup signatures, so MinHash fingerprints content rather
+      // than the crawl's dominant chrome. Requires
+      // stopTokenFrac >= 1/(stopTokenCap+1) (the stopTokens recall
+      // contract — an under-capped rule fails loudly, never silently)
+      stopTokenFrac: Option[Double] = None,
+      stopTokenCap: Int = 256,
       // when set, intermediate checkpoints register under scoped keys so
       // a repeated invocation (bench rep, recurring sweep) REPLACES the
       // previous run's blocks instead of stranding them (see
@@ -106,21 +116,35 @@ object CorpusPipeline {
           exactKept.drop("text").join(rebuilt, Seq("doc_id")))
     }
 
+    // optional tier 2.6: heavy-hitter stop-token removal (see Config) —
+    // the q109 profile configuring the q87 enforcement machinery.
+    // Materialized like deboiled: the near-dup tier consumes it from
+    // several branches.
+    val detokened = cfg.stopTokenFrac match {
+      case None => deboiled
+      case Some(frac) =>
+        val rebuilt = graft.text.HeavyHitters
+          .dropStopTokens(deboiled, frac, cfg.stopTokenCap)
+          .select(col("doc_id"), col("text_dedup").as("text"))
+        cp("detokened")(
+          deboiled.drop("text").join(rebuilt, Seq("doc_id")))
+    }
+
     // tier 3: near-dup clusters -> canonical survivor per cluster
     // (signatures feed both the band join and the verify join; pairs feed
     // the iterative CC — materialize each once)
-    val sig = cp("sig")(Dedup.minhashSignatures(deboiled, "doc_id", "text",
+    val sig = cp("sig")(Dedup.minhashSignatures(detokened, "doc_id", "text",
       cfg.minhashBits, cfg.shingleN))
     val nearPairs = cp("pairs")(Dedup.minhashJaccard(
         Dedup.lshCandidates(sig, "doc_id", cfg.lshBands), sig, "doc_id")
       .filter(col("est_jaccard") >= cfg.minEstJaccard))
     val clusters = Dedup.canonicalClusters(
-      deboiled.select("doc_id"), nearPairs, "doc_id",
+      detokened.select("doc_id"), nearPairs, "doc_id",
       scope = cfg.scope.map(k => s"$k:cc"))
     // shuffle_hash: the stream side is document text — sort-merge would
     // sort it; the id-only build side hashes (the r13 segment-rebuild
     // finding applied to the survivor filter)
-    val survivors = deboiled.join(
+    val survivors = detokened.join(
       clusters.filter(col("doc_id") === col("canonical_id"))
         .select("doc_id").hint("shuffle_hash"),
       Seq("doc_id"), "left_semi")

@@ -55,6 +55,19 @@ object HeavyHitters {
   def exactTopK(docs: DataFrame, k: Int, cap: Int = 256): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cap >= k, s"cap ($cap) must be >= k ($k)")
+    verifiedCandidateCounts(docs, cap)
+      .select(col("term"), col("cnt"),
+        (col("cnt") * lit(cap.toLong + 1) > col("total")).as("provable"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** The shared sketch-then-verify core: `(term, total, cnt)` — exact
+    * corpus counts for every sketch candidate (class doc shape: one
+    * `mg_topk` scan nominates ≤ `cap` candidates, one broadcast-pruned
+    * scan counts exactly those).
+    */
+  private def verifiedCandidateCounts(docs: DataFrame, cap: Int): DataFrame = {
     // operator entry-point convention (functions.Texts scaladoc):
     // register against THIS frame's session, not the thread-active one
     MisraGriesAgg.register(docs.sparkSession)
@@ -69,10 +82,55 @@ object HeavyHitters {
       .join(broadcast(candidates), Seq("term")) // inner: candidates only
       .groupBy(col("term"), col("total"))
       .agg(sum(col("c")).as("cnt"))
-      .select(col("term"), col("cnt"),
-        (col("cnt") * lit(cap.toLong + 1) > col("total")).as("provable"))
-      .orderBy(col("cnt").desc, col("term").asc)
-      .limit(k)
+  }
+
+  /** PROFILE→CONFIG: the tokens whose exact corpus occurrence fraction
+    * exceeds `maxTokenFrac`, as `(term, cnt, total)` — the q109
+    * heavy-hitter profile turned into a stop-token RULE for the
+    * curation pipeline's boilerplate tier. The set is EXACT AND
+    * COMPLETE, not best-effort: `maxTokenFrac >= 1/(cap+1)` is required
+    * below, so the Misra-Gries recall guarantee (every term above
+    * `total/(cap+1)` is a sketch candidate) covers the rule's whole
+    * threshold region and the verify scan's counts are exact — a
+    * dominant token CANNOT be missed, and the require makes an
+    * under-capped rule loud instead of silently lossy. Broadcast-small
+    * by construction: at most `1/maxTokenFrac` tokens can each exceed
+    * that fraction of the total.
+    */
+  def stopTokens(docs: DataFrame, maxTokenFrac: Double,
+                 cap: Int = 256): DataFrame = {
+    require(maxTokenFrac > 0.0 && maxTokenFrac < 1.0,
+      s"maxTokenFrac must be in (0, 1), got $maxTokenFrac")
+    require(maxTokenFrac * (cap + 1) >= 1.0,
+      s"maxTokenFrac=$maxTokenFrac is below the cap=$cap sketch's recall " +
+        s"guarantee threshold 1/${cap + 1} — the stop set could miss a " +
+        "qualifying token; raise cap to at least " +
+        s"${math.ceil(1.0 / maxTokenFrac).toLong} or raise the fraction")
+    verifiedCandidateCounts(docs, cap)
+      .filter(col("cnt").cast("double") >
+        lit(maxTokenFrac) * col("total").cast("double"))
+      .select(col("term"), col("cnt"), col("total"))
+  }
+
+  /** PROFILE→CONFIG→ENFORCE (the q109 → q87 composition, r18): drop
+    * every [[stopTokens]] token corpus-wide and rebuild each document —
+    * a token is a width-1 segment, so enforcement IS the stop-segment
+    * tier's machinery ([[graft.ops.Segments.dropSegmentsInSet]]) with
+    * the declared rule swapped from segment document-frequency to the
+    * heavy-hitter occurrence fraction. Returns `(doc_id, n_toks,
+    * n_kept, text_dedup)`. Plan: the members' exchanges and nothing
+    * more — the q109 sketch (one-row aggregate) + cap-keyed verify
+    * build the ≤`1/maxTokenFrac`-row stop set, which maps onto the
+    * segment tier's 16-byte md5 keys with one narrow projection and
+    * broadcasts into q87's flag join + doc-keyed regroup + scan-side
+    * rebuild (the PLANS q113 row).
+    */
+  def dropStopTokens(docs: DataFrame, maxTokenFrac: Double,
+                     cap: Int = 256): DataFrame = {
+    val stop = stopTokens(docs, maxTokenFrac, cap)
+      .select(unhex(md5(col("term"))).as("__stop_h"))
+    graft.ops.Segments.dropSegmentsInSet(docs, 1, stop)
+      .withColumnRenamed("n_segs", "n_toks")
   }
 
   // ---------------------------------------------------------------

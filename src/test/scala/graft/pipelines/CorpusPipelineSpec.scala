@@ -61,6 +61,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(off(1L) == s"$bp ${bodies.head._2}")
   }
 
+  test("curate: heavy-hitter stop-token tier (q109 profile -> q87 " +
+      "enforcement) strips the dominant token corpus-wide") {
+    // "sponsored" floods every doc (4 of ~17 tokens each ≈ 24% of all
+    // occurrences); body vocabulary is diverse so nothing else crosses
+    // the 10% occurrence rule
+    val flood = "sponsored sponsored sponsored sponsored"
+    val bodies = Seq(
+      (1L, "the quick brown fox jumps over a dog while cats run far away"),
+      (2L, "some slow green turtle walks under that sun and birds fly high"),
+      (3L, "one large blue whale swims beneath big waves where fish dart past"))
+    val docs = bodies.map { case (id, b) => (id, s"$flood $b") }
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.0,
+      stopTokenFrac = Some(0.1), stopTokenCap = 64)
+    val out = CorpusPipeline.curate(docs, cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    bodies.foreach { case (id, b) =>
+      assert(out(id) == b,
+        s"doc $id should keep its body, lose the flood token: ${out(id)}")
+    }
+    // tier off: the flood stays
+    val off = CorpusPipeline.curate(docs,
+        CorpusPipeline.Config(langs = Seq("en"), minQuality = 0.0))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(off(1L).startsWith(flood))
+    // an under-capped rule fails LOUDLY (0.01 < 1/65), never silently
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.curate(docs, CorpusPipeline.Config(
+        langs = Seq("en"), minQuality = 0.0,
+        stopTokenFrac = Some(0.01), stopTokenCap = 64))
+    }
+    assert(e.getMessage.contains("recall"), e.getMessage)
+  }
+
   test("curateIncremental: day-2 batch gated against day-1 state") {
     val table = s"spec_curinc_${System.nanoTime()}"
     val path = java.nio.file.Files

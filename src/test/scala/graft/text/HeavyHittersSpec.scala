@@ -163,6 +163,42 @@ class HeavyHittersSpec extends SparkSpec {
       s"every stratum's hot token must surface: $a")
   }
 
+  test("stopTokens == brute-force occurrence rule (exact+complete by " +
+      "the recall contract); dropStopTokens rebuilds == brute-force " +
+      "token filter") {
+    val docs = corpus(hot = 4, noise = 120) // hot0..hot3 dominate
+    val brute = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val total = brute.map(_._2).sum
+    val frac = 0.05
+    val expectStop = brute.filter(_._2.toDouble > frac * total)
+      .map(_._1).toSet
+    assert(expectStop.nonEmpty && expectStop.size < brute.size)
+    val gotStop = HeavyHitters.stopTokens(docs, frac, cap = 32)
+      .select("term").as[String].collect().toSet
+    assert(gotStop == expectStop, s"$gotStop vs $expectStop")
+    // enforcement: every doc rebuilt without exactly the stop tokens
+    val rebuilt = HeavyHitters.dropStopTokens(docs, frac, cap = 32)
+      .select("doc_id", "n_toks", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val kept = toks.filterNot(expectStop)
+      val (_, nT, nK, td) = rebuilt(id)
+      assert(nT == toks.size && nK == kept.size && td == kept.mkString(" "),
+        s"doc $id: got $nK/$nT '$td', want ${kept.size}/${toks.size}")
+    }
+    // the recall contract is loud: frac below 1/(cap+1) throws
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.stopTokens(docs, 0.001, cap = 32)
+    }
+    assert(e.getMessage.contains("recall"), e.getMessage)
+  }
+
   test("summaryFromStore survives a torn newest summary (mid-overwrite " +
       "crash or a dir swept between listing and read): falls back to " +
       "the predecessor; the MERGE path stays strict") {
