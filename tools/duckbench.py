@@ -4,17 +4,48 @@ of the shipped library — duckdb exists driver-side only). Usage:
     python3 tools/duckbench.py <oracle_sql.json> <sfdir> [reps]
 Runs every oracle SQL against the sfdir parquet tables `reps` times
 (default 3) and prints ONE JSON line
-    {"total": sec, "queries": {name: sec}, "reps": n}
+    {"total": sec, "queries": {name: sec}, "reps": n,
+     "precache_sec": s, "precache_mb": mb, "recache_sec": s}
 where each per-query number is the MEDIAN over reps (same discipline as
 graft.Bench, so the Spark:DuckDB ratio compares like with like).
 graft.Bench shells out to this (best-effort) so BENCH_r{N}.json carries
 duckdb_total_sec / duckdb_queries and the "within 2x of a tuned
 single-node engine" gate is falsifiable.
+
+PINNED-WARM PROTOCOL (r18): before the in-process warm pass, every
+input parquet byte is read once, forcing the OS page cache to a
+DETERMINISTIC warm state — the r16 vs r17 solo records measured a
+−34.7% DuckDB-side swing on IDENTICAL SQL from page-cache state alone,
+which made the headline Spark:DuckDB ratio incomparable across
+windows. The JSON records the evidence: `precache_sec` is the cost of
+that first full read (large ⇒ the window ENTERED cold; ~0 ⇒ it was
+already resident) and `recache_sec` is an immediate second full read
+(~0 proves the inputs are now resident and STAYED resident — i.e. the
+timed reps below ran pinned-warm, RAM permitting). The Spark side's
+untimed warm-up pass (graft.Bench / graft.tools.TimeSet) plays the
+same role there; with both sides pinned warm, ratios are comparable
+across same-machine windows, not just within one.
 """
 import sys, os, json, time, statistics
 import duckdb
 
+def touch_parquet(sfdir):
+    """Read every parquet byte under sfdir once; returns (sec, mb)."""
+    t0, n = time.time(), 0
+    for root, _, files in os.walk(sfdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    while True:
+                        b = fh.read(1 << 22)
+                        if not b:
+                            break
+                        n += len(b)
+    return round(time.time() - t0, 3), n >> 20
+
 def main(sql_json, sfdir, reps=3):
+    precache_sec, precache_mb = touch_parquet(sfdir)
+    recache_sec, _ = touch_parquet(sfdir)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -42,7 +73,10 @@ def main(sql_json, sfdir, reps=3):
         good = [t for t in ts[1:] if t >= 0]  # drop warm-up + failures
         per[name] = round(statistics.median(good), 4) if good else -1.0
     total = round(sum(t for t in per.values() if t >= 0), 4)
-    print(json.dumps({"total": total, "queries": per, "reps": reps}))
+    print(json.dumps({"total": total, "queries": per, "reps": reps,
+                      "precache_sec": precache_sec,
+                      "precache_mb": precache_mb,
+                      "recache_sec": recache_sec}))
     return 0
 
 if __name__ == "__main__":
