@@ -138,7 +138,14 @@ object Bench {
     // the DuckDB oracle hash-aggregates the whole vocabulary; q111 is
     // the grouped twin (one summary per (lang, buffer), per-group
     // verify + window over <= groups*cap rows)
-    "q108_dsir_select", "q109_heavy_hitters", "q111_heavy_hitters_by_lang")
+    "q108_dsir_select", "q109_heavy_hitters", "q111_heavy_hitters_by_lang",
+    // r18: the q109->q87 composition — heavy-hitter profile (cap-bounded
+    // sketch + verify) configuring the stop-token enforcement tail
+    // (broadcast flag join + doc-keyed regroup + scan-side rebuild) over
+    // the full documents table. q112 is NOT a member: the fixture-sized
+    // DSIR collision answer key is a correctness surface with no
+    // scale-growing work to time.
+    "q113_stop_token_tier")
 
   /** Headline members whose INPUT rows grow with SF. q36/q57/q58 cap
     * their input (`doc_id < 100/200`) and q49 caps its fact side
@@ -190,8 +197,11 @@ object Bench {
     "q107_fluency_transfer",
     // q108's two models and candidate stream all scale with the corpus;
     // q109/q111's scans cover every document (cap stays fixed — the
-    // sketch state does NOT grow, which is the point)
-    "q108_dsir_select", "q109_heavy_hitters", "q111_heavy_hitters_by_lang")
+    // sketch state does NOT grow, which is the point); q113's profile
+    // scans and rebuild join cover every document too (the stop set
+    // stays <= 1/frac rows at any SF)
+    "q108_dsir_select", "q109_heavy_hitters", "q111_heavy_hitters_by_lang",
+    "q113_stop_token_tier")
 
   /** Execute a query doing ALL its declared work: materialize every
     * output row (`toRdd` keeps the plan as-is). `.count()` would let

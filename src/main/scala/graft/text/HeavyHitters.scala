@@ -113,24 +113,35 @@ object HeavyHitters {
   }
 
   /** PROFILE→CONFIG→ENFORCE (the q109 → q87 composition, r18): drop
-    * every [[stopTokens]] token corpus-wide and rebuild each document —
-    * a token is a width-1 segment, so enforcement IS the stop-segment
-    * tier's machinery ([[graft.ops.Segments.dropSegmentsInSet]]) with
-    * the declared rule swapped from segment document-frequency to the
-    * heavy-hitter occurrence fraction. Returns `(doc_id, n_toks,
-    * n_kept, text_dedup)`. Plan: the members' exchanges and nothing
-    * more — the q109 sketch (one-row aggregate) + cap-keyed verify
-    * build the ≤`1/maxTokenFrac`-row stop set, which maps onto the
-    * segment tier's 16-byte md5 keys with one narrow projection and
-    * broadcasts into q87's flag join + doc-keyed regroup + scan-side
-    * rebuild (the PLANS q113 row).
+    * every [[stopTokens]] token corpus-wide and rebuild each document.
+    * Returns `(doc_id, n_toks, n_kept, text_dedup)`.
+    *
+    * Plan: the q109 sketch (one-row aggregate) + cap-keyed verify build
+    * the stop set, which is then COLLECTED — bounded by construction at
+    * ≤ `1/maxTokenFrac` rows (the [[stopTokens]] mass argument), the
+    * same bounded-collect class as the Bloom assemblies — and the whole
+    * enforcement half runs as ONE narrow codegen projection
+    * ([[graft.functions.StripStopTokensExpr]]): a token is a width-1
+    * segment, and a width-1 stop rule against a driver-held set needs
+    * no per-position bookkeeping, so the segment machinery's per-token
+    * md5 scan, kept-positions exchange, and rebuild join all collapse
+    * into the scan (measured A/B in the expression's scaladoc; the
+    * width-16 rule of `dropStopSegments` keeps the machinery because
+    * its windows genuinely need position bookkeeping). Zero exchanges
+    * beyond the profile's own (the PLANS q113 row).
     */
   def dropStopTokens(docs: DataFrame, maxTokenFrac: Double,
                      cap: Int = 256): DataFrame = {
     val stop = stopTokens(docs, maxTokenFrac, cap)
-      .select(unhex(md5(col("term"))).as("__stop_h"))
-    graft.ops.Segments.dropSegmentsInSet(docs, 1, stop)
-      .withColumnRenamed("n_segs", "n_toks")
+      .select(col("term")).collect().map(_.getString(0)).toSeq.sorted
+    graft.functions.StripStopTokens.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.functions.StripStopTokens
+          .stripStopTokens(col("text"), stop).as("s"))
+      .select(col("doc_id"),
+        coalesce(col("s.n_toks").cast("long"), lit(0L)).as("n_toks"),
+        coalesce(col("s.n_kept").cast("long"), lit(0L)).as("n_kept"),
+        coalesce(col("s.text_dedup"), lit("")).as("text_dedup"))
   }
 
   // ---------------------------------------------------------------
