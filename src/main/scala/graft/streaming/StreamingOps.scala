@@ -714,6 +714,69 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming boilerplate-token STRIP (r18) — [[heavyHittersEachBatch]]
+    * composed with the q113 enforcement: the LIVE stop set derives from
+    * the stream-wide Misra-Gries summary instead of a batch-exact
+    * profile. Each micro-batch:
+    *
+    *  1. merges itself into the persisted summary (same store, state
+    *     bound, and sweep as [[heavyHittersEachBatch]] — this closure
+    *     IS that maintenance plus enforcement);
+    *  2. derives the stop set from the summary it just wrote: terms
+    *     whose counter `lb` exceeds `maxTokenFrac` of the stream's
+    *     exact token total. `lb` is a LOWER bound, so the rule is
+    *     SOUND — a stripped token truly exceeds the fraction — and the
+    *     MG error bound (`total/(cap+1)`) makes it COMPLETE above
+    *     `maxTokenFrac + 1/(cap+1)`; between the two thresholds
+    *     stripping is best-effort, the inherent streaming relaxation
+    *     of [[graft.text.HeavyHitters.stopTokens]]' exact batch
+    *     contract (which certifies because it re-scans the corpus; a
+    *     stream cannot);
+    *  3. rebuilds every document through the one-scan
+    *     [[graft.functions.StripStopTokensExpr]] enforcement — the
+    *     collected stop set is ≤ `cap` rows by the summary bound —
+    *     writing `(idCol, n_toks, n_kept, text_dedup)` under
+    *     `__batch_id=<id>`.
+    *
+    * Replay: the summary merge re-reads the strictly-older predecessor
+    * and idempotently overwrites this batch's summary, so a replayed
+    * batch recomputes the SAME stop set and overwrites its own
+    * partition with identical rows — a deterministic transform needs
+    * no union-with-prior (that machinery exists for gates, whose
+    * replayed survivor sets can shrink).
+    */
+  def stopTokenStripEachBatch(idCol: String, textCol: String,
+                              storePath: String, outPath: String,
+                              maxTokenFrac: Double,
+                              cap: Int = 256): (DataFrame, Long) => Unit = {
+    require(maxTokenFrac > 0.0 && maxTokenFrac < 1.0,
+      s"maxTokenFrac must be in (0, 1), got $maxTokenFrac")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val total = graft.text.HeavyHitters.mergeAndWriteSummary(
+        batch, textCol, storePath, batchId, cap)
+      val (items, _) = graft.text.HeavyHitters.readSummary(
+        spark, storePath, batchId + 1) // the summary just written
+      val stop = items
+        .filter(col("lb").cast("double") >
+          lit(maxTokenFrac) * lit(total.toDouble))
+        .select(col("term")).collect().map(_.getString(0)).toSeq.sorted
+      graft.functions.StripStopTokens.register(spark)
+      batch.select(col(idCol),
+          graft.functions.StripStopTokens
+            .stripStopTokens(col(textCol), stop).as("s"))
+        .select(col(idCol),
+          coalesce(col("s.n_toks").cast("long"), lit(0L)).as("n_toks"),
+          coalesce(col("s.n_kept").cast("long"), lit(0L)).as("n_kept"),
+          coalesce(col("s.text_dedup"), lit("")).as("text_dedup"))
+        .withColumn("__batch_id", lit(batchId))
+        .write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(outPath)
+      ()
+    }
+  }
+
   /** Streaming model-based QUALITY gate — the CCNet deployment shape
     * end to end ([[graft.text.BigramLm.scoreAgainst]]'s scaladoc): a
     * bigram-LM model trained ONCE on a trusted reference corpus and

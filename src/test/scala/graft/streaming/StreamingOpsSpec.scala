@@ -1012,6 +1012,49 @@ class StreamingOpsSpec extends SparkSpec {
       s"superseded summaries must be swept: ${dirs.toSeq}")
   }
 
+  test("stopTokenStripEachBatch: the live stream-wide MG summary drives " +
+      "the strip — dominant tokens vanish from every batch, the rule " +
+      "is sound (lb is a lower bound), replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ttstrip")
+    val store = base.resolve("store").toString
+    val out = base.resolve("out").toString
+    val strip = StreamingOps.stopTokenStripEachBatch(
+      "doc_id", "text", store, out, maxTokenFrac = 0.2, cap = 16)
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(strip).outputMode("append").start()
+    // batch 0: "ad" is 6 of 11 tokens (55% > 20%) — stripped from BOTH
+    // docs; every other token is far below the rule
+    input.addData(
+      (1L, "ad ad ad ad unique1 unique2"),
+      (2L, "ad ad body words here"))
+    query.processAllAvailable()
+    def rows(): Map[Long, (Long, Long, String)] =
+      spark.read.parquet(out)
+        .select("doc_id", "n_toks", "n_kept", "text_dedup")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val r0 = rows()
+    assert(r0(1L) == ((6L, 2L, "unique1 unique2")), s"$r0")
+    assert(r0(2L) == ((5L, 3L, "body words here")), s"$r0")
+    // batch 1: "ad" appears once here (17% of this BATCH) but 7/17 of
+    // the STREAM — the stream-wide summary strips it where a
+    // batch-local rule would not
+    val b1 = Seq((10L, "ad fresh content"), (11L, "fresh other stuff"))
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    query.stop()
+    val r1 = rows()
+    assert(r1(10L) == ((3L, 2L, "fresh content")), s"$r1")
+    assert(r1(11L) == ((3L, 3L, "fresh other stuff")), s"$r1")
+    // replay of the last batch: same summary recomputed from the
+    // predecessor, same stop set, identical overwrite — no duplicates
+    strip(b1.toDF("doc_id", "text"), 1L)
+    assert(rows() == r1, "replay must be idempotent")
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("fluencyGateEachBatch: a reference-trained model drops " +
       "low-fluency and OOV-gibberish docs per batch; replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
