@@ -939,12 +939,18 @@ object TextQueries {
            |  SELECT r.doc_id, r.pos, r.tok,
            |    NOT (CAST(cnt AS DOUBLE) >
            |      0.02 * CAST((SELECT n FROM tot) AS DOUBLE)) AS kept
-           |  FROM tokrows r JOIN c ON r.tok = c.tok)
-           |SELECT doc_id, COUNT(*) AS n_toks,
-           |  COUNT(*) FILTER (WHERE kept) AS n_kept,
-           |  COALESCE(STRING_AGG(tok, ' ' ORDER BY pos) FILTER (WHERE kept),
-           |    '') AS text_dedup
-           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+           |  FROM tokrows r JOIN c ON r.tok = c.tok),
+           |perdoc AS (
+           |  SELECT doc_id, COUNT(*) AS n_toks,
+           |    COUNT(*) FILTER (WHERE kept) AS n_kept,
+           |    COALESCE(STRING_AGG(tok, ' ' ORDER BY pos) FILTER (WHERE kept),
+           |      '') AS text_dedup
+           |  FROM flagged GROUP BY doc_id)
+           |SELECT t.doc_id, COALESCE(p.n_toks, 0) AS n_toks,
+           |  COALESCE(p.n_kept, 0) AS n_kept,
+           |  COALESCE(p.text_dedup, '') AS text_dedup
+           |FROM t LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin),
       "heavy-hitter stop-token removal: the q109 profile configuring q87's enforcement tier")
   )
 }

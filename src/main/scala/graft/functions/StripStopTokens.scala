@@ -1,12 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{call_function, coalesce, col, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -150,5 +150,22 @@ object StripStopTokens {
   def stripStopTokens(text: Column, stop: Seq[String]): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(name, text, lit(stop.toArray))
+  }
+
+  /** The shared ENFORCEMENT projection of the batch and streaming
+    * stop-token surfaces ([[graft.text.HeavyHitters.dropStopTokens]] /
+    * `StreamingOps.stopTokenStripEachBatch`): strip against `stop` and
+    * project `(idCol, n_toks long, n_kept long, text_dedup)` with the
+    * null-doc `(0, 0, '')` convention — ONE definition so the two
+    * surfaces cannot diverge on the output contract.
+    */
+  def stripProjection(docs: DataFrame, idCol: String, textCol: String,
+                      stop: Seq[String]): DataFrame = {
+    register(docs.sparkSession)
+    docs.select(col(idCol), stripStopTokens(col(textCol), stop).as("s"))
+      .select(col(idCol),
+        coalesce(col("s.n_toks").cast("long"), lit(0L)).as("n_toks"),
+        coalesce(col("s.n_kept").cast("long"), lit(0L)).as("n_kept"),
+        coalesce(col("s.text_dedup"), lit("")).as("text_dedup"))
   }
 }

@@ -761,14 +761,8 @@ object StreamingOps {
         .filter(col("lb").cast("double") >
           lit(maxTokenFrac) * lit(total.toDouble))
         .select(col("term")).collect().map(_.getString(0)).toSeq.sorted
-      graft.functions.StripStopTokens.register(spark)
-      batch.select(col(idCol),
-          graft.functions.StripStopTokens
-            .stripStopTokens(col(textCol), stop).as("s"))
-        .select(col(idCol),
-          coalesce(col("s.n_toks").cast("long"), lit(0L)).as("n_toks"),
-          coalesce(col("s.n_kept").cast("long"), lit(0L)).as("n_kept"),
-          coalesce(col("s.text_dedup"), lit("")).as("text_dedup"))
+      graft.functions.StripStopTokens
+        .stripProjection(batch, idCol, textCol, stop)
         .withColumn("__batch_id", lit(batchId))
         .write.partitionBy("__batch_id")
         .option("partitionOverwriteMode", "dynamic")

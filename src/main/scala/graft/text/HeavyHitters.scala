@@ -134,14 +134,8 @@ object HeavyHitters {
                      cap: Int = 256): DataFrame = {
     val stop = stopTokens(docs, maxTokenFrac, cap)
       .select(col("term")).collect().map(_.getString(0)).toSeq.sorted
-    graft.functions.StripStopTokens.register(docs.sparkSession)
-    docs.select(col("doc_id"),
-        graft.functions.StripStopTokens
-          .stripStopTokens(col("text"), stop).as("s"))
-      .select(col("doc_id"),
-        coalesce(col("s.n_toks").cast("long"), lit(0L)).as("n_toks"),
-        coalesce(col("s.n_kept").cast("long"), lit(0L)).as("n_kept"),
-        coalesce(col("s.text_dedup"), lit("")).as("text_dedup"))
+    graft.functions.StripStopTokens
+      .stripProjection(docs, "doc_id", "text", stop)
   }
 
   // ---------------------------------------------------------------
@@ -179,9 +173,13 @@ object HeavyHitters {
     * (torn files, or no null-term meta row yet) and an older listed dir
     * can vanish under the sweep between listing and read — so walk the
     * candidates newest-first, skipping any that fail to read, and if
-    * every listed candidate failed re-list ONCE and walk again (the
-    * sweep keeps the two newest dirs, so a fresh listing always names a
-    * stable readable summary when one exists).
+    * every listed candidate failed re-list ONCE and walk again (after
+    * batch 1 the sweep keeps the two newest dirs, so a fresh listing
+    * names a stable readable summary). If candidates WERE listed but
+    * none could be read even after the re-list (a single-summary store
+    * torn at batch 0 — no predecessor to fall back to), the read THROWS
+    * rather than fabricating an empty stream: `(empty, 0)` means "no
+    * summaries exist", never "summaries exist but are unreadable".
     */
   private[graft] def readSummary(spark: org.apache.spark.sql.SparkSession,
                                  storePath: String,
@@ -215,9 +213,13 @@ object HeavyHitters {
         ids.iterator.map(id => scala.util.Try(readOne(id)).toOption)
           .collectFirst { case Some(r) => r }
       val first = candidates()
-      walk(first)
-        .orElse(if (first.nonEmpty) walk(candidates()) else None)
-        .getOrElse(empty())
+      if (first.isEmpty) empty()
+      else walk(first).orElse(walk(candidates())).getOrElse(
+        throw new java.io.IOException(
+          s"dailysummary: $storePath lists ${first.size} summary dir(s) " +
+            "but none could be read even after a re-list — the store is " +
+            "torn with no readable predecessor (a batch-0 crash?); " +
+            "replay the stream's last batch or remove the torn dir"))
     }
   }
 

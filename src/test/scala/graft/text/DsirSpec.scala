@@ -106,12 +106,13 @@ class DsirSpec extends SparkSpec {
       "then enumerated, output equals an independent plain-Scala " +
       "reconstruction over the enumerated classes (the q112 answer key)") {
     // the collision-free test above pins hashed == unhashed when no
-    // bucket merges; this one pins what a merge DOES. buckets = 4 with
-    // 8 distinct bigrams FORCES collisions (pigeonhole) — which pairs
-    // collide is up to xxhash64, so the expected result is not assumed
-    // but RECONSTRUCTED from the enumerated classes in plain Scala,
-    // independent of every engine operator under test. The same
-    // fixture + frozen expected rows back the q112 oracle.
+    // bucket merges; this one pins what a merge DOES. The shared
+    // fixture's 14 distinct bigrams into Buckets = 8 FORCE collisions
+    // (pigeonhole) — which pairs collide is up to xxhash64, so the
+    // expected result is not assumed but RECONSTRUCTED from the
+    // enumerated classes in plain Scala, independent of every engine
+    // operator under test. The same fixture + frozen expected rows
+    // back the q112 oracle.
     val buckets = Dsir.CollisionFixture.Buckets
     val (tgt, rw, cands) = Dsir.CollisionFixture.frames(spark)
 
