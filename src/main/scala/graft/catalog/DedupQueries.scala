@@ -863,7 +863,7 @@ object DedupQueries {
       },
       Some(
         """WITH toks AS (
-          |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> LEN(x) > 0) AS t
+          |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '[\s\x0B]+'), x -> LEN(x) > 0) AS t
           |  FROM documents),
           |segs AS (
           |  SELECT doc_id, LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(t)/16.0) AS INT)),
@@ -1003,7 +1003,7 @@ object DedupQueries {
       Some(
         """WITH t AS (
           |  SELECT doc_id,
-          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '[\s\x0B]+'),
           |                x -> LEN(x) > 0) AS t
           |  FROM documents),
           |g AS (SELECT doc_id, s AS pos, ARRAY_TO_STRING(t[s:s+7], ' ') AS k
@@ -1047,7 +1047,7 @@ object DedupQueries {
       Some(
         """WITH t AS (
           |  SELECT doc_id,
-          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '[\s\x0B]+'),
           |                x -> LEN(x) > 0) AS t
           |  FROM documents),
           |g AS (SELECT doc_id, s AS pos, ARRAY_TO_STRING(t[s:s+7], ' ') AS k
@@ -1086,7 +1086,7 @@ object DedupQueries {
       Some(
         """WITH t AS (
           |  SELECT doc_id,
-          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '[\s\x0B]+'),
           |                x -> LEN(x) > 0) AS t
           |  FROM documents),
           |g AS (SELECT doc_id, s AS pos, ARRAY_TO_STRING(t[s:s+7], ' ') AS k

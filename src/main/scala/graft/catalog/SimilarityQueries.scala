@@ -383,7 +383,7 @@ object SimilarityQueries {
       Some(
         """WITH t AS (
           |  SELECT doc_id,
-          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+          |    LIST_FILTER(STRING_SPLIT_REGEX(text, '[\s\x0B]+'),
           |                x -> LEN(x) > 0) AS toks
           |  FROM documents),
           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -26,8 +26,13 @@ object TextQueries {
     graft.text.Bm25.topKFromNarrow(narrow, k)
   }
 
+  // RE2's \s is [ \t\n\f\r] — NO vertical tab — while the engine's
+  // Tokens contract treats 0x0B as a separator; the explicit \x0B in
+  // the class keeps the oracle's tokenization bit-identical to the
+  // engine's on any corpus, not just ones that happen to avoid VT
+  // (observable since q113 rebuilds text, not just counts).
   private val toksSql =
-    "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)"
+    "LIST_FILTER(STRING_SPLIT_REGEX(text, '[\\s\\x0B]+'), x -> LEN(x) > 0)"
 
   private def hitsSql(words: Seq[String]): String =
     s"LEN(LIST_FILTER($toksSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"

@@ -107,6 +107,10 @@ class DailyStoreCatalog extends TableCatalog {
             s"DailyStoreTimeTravel.history, got '$version'")
       }
     val f = fs(dir)
+    // pending-manifest check BEFORE the head-gap check, so a reader
+    // racing a live commit (sidecar stamped, version-dir rename not yet
+    // landed) sees "commit mid-flight", not "ran with retention OFF"
+    DailyStoreTimeTravel.assertNoPendingCommits(f, dir, dir.toString)
     val back = DailyStoreVersionRead.versionsBackFor(
       DailyStoreTimeTravel.versions(f, dir), seq, dir.toString,
       DailyStoreTimeTravel.lastCommitSeq(f, dir))
@@ -119,6 +123,8 @@ class DailyStoreCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val (dir, schema) = liveFor(ident)
     val f = fs(dir)
+    // same mid-flight-commit ordering as the VERSION AS OF front
+    DailyStoreTimeTravel.assertNoPendingCommits(f, dir, dir.toString)
     val back = DailyStoreVersionRead.versionsBackForTimestamp(
       DailyStoreTimeTravel.versions(f, dir), f, timestampMicros, dir.toString,
       DailyStoreTimeTravel.lastCommitSeq(f, dir))

@@ -106,6 +106,30 @@ object DailyStoreTimeTravel {
     }
   }
 
+  /** Fail loudly when a pending `_commit-*` manifest sits at the store
+    * root: either a crashed commit awaiting recovery, or a LIVE commit
+    * mid-flight (the window between the sidecar stamp and the
+    * manifest-to-version-dir rename). Every historical reader must run
+    * this BEFORE the sidecar-vs-dirs head-gap check — in that mid-flight
+    * window the sidecar reads seq N while the newest version dir is
+    * still N-1, and a head-gap check alone would misreport a healthy
+    * racing commit as "ran with retention OFF" (r18 ADVICE).
+    */
+  private[sources] def assertNoPendingCommits(fs: FileSystem, live: Path,
+                                              path: String): Unit = {
+    val pending = fs.listStatus(live).filter(!_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_commit-") &&
+        (n.endsWith(".json") || n.endsWith(".json.tmp")))
+    require(pending.isEmpty,
+      s"dailystore: $path has ${pending.length} pending commit " +
+        s"manifest(s) (${pending.mkString(", ")}) — a commit is either " +
+        "mid-flight (retry the read) or crashed; run " +
+        "DailyStoreRecovery.recoverPendingCommits(path, conf) (or any " +
+        "write, which self-heals) before historical reads, or the torn " +
+        "commit's days would be reconstructed incorrectly")
+  }
+
   /** Advance the sidecar to `seq` — monotone (a replay stamping an old
     * manifest's seq never regresses the head), write-then-rename so the
     * sidecar appears atomically. Runs under the writer lease like every
@@ -308,16 +332,7 @@ object DailyStoreTimeTravel {
     // rollback. Fail loudly instead of mutating inside a reader; this
     // is exactly the post-crash moment a rollback reader gets reached
     // for, so the message names the repair.
-    val pending = fs.listStatus(live).filter(!_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("_commit-") &&
-        (n.endsWith(".json") || n.endsWith(".json.tmp")))
-    require(pending.isEmpty,
-      s"dailystore: $path has ${pending.length} pending commit " +
-        s"manifest(s) (${pending.mkString(", ")}) from a crashed write — " +
-        "run DailyStoreRecovery.recoverPendingCommits(path, conf) (or any " +
-        "write, which self-heals) before readVersion, or the torn " +
-        "commit's days would be reconstructed incorrectly")
+    assertNoPendingCommits(fs, live, path)
     val vs = versions(fs, live)
     // r18: a commit that ran with retention OFF after the newest
     // version dir has no manifest to roll back through — walking the

@@ -86,10 +86,13 @@ object DailyStoreVersionRead {
   private[sources] def versionsBackFor(
       vs: Seq[DailyStoreTimeTravel.StoreVersion], seq: Long,
       path: String, lastCommit: Option[Long] = None): Int = {
-    assertNoHeadGap(lastCommit, vs, path)
+    // nonEmpty FIRST: a store with a sidecar but zero retained versions
+    // should get the actionable "enable retention" error, not a head-gap
+    // message about a phantom version 0 (r18 ADVICE)
     require(vs.nonEmpty,
       s"dailystore: $path retains no versions — enable retention " +
         "(DailyStoreTimeTravel.enable) before time-travel reads")
+    assertNoHeadGap(lastCommit, vs, path)
     val maxSeq = vs.head.seq
     require(seq <= maxSeq,
       s"dailystore: VERSION AS OF $seq is in the future for $path " +
@@ -127,10 +130,11 @@ object DailyStoreVersionRead {
       vs: Seq[DailyStoreTimeTravel.StoreVersion],
       fs: org.apache.hadoop.fs.FileSystem, microsSinceEpoch: Long,
       path: String, lastCommit: Option[Long] = None): Int = {
-    assertNoHeadGap(lastCommit, vs, path)
+    // same ordering rationale as versionsBackFor: nonEmpty first
     require(vs.nonEmpty,
       s"dailystore: $path retains no versions — enable retention " +
         "(DailyStoreTimeTravel.enable) before time-travel reads")
+    assertNoHeadGap(lastCommit, vs, path)
     val tsMs = microsSinceEpoch / 1000L
     // newest first; versionsBack = how many retained commits are STRICTLY
     // newer than the requested instant. Commit time is the version dir's

@@ -739,11 +739,17 @@ object StreamingOps {
     *     `__batch_id=<id>`.
     *
     * Replay: the summary merge re-reads the strictly-older predecessor
-    * and idempotently overwrites this batch's summary, so a replayed
-    * batch recomputes the SAME stop set and overwrites its own
-    * partition with identical rows — a deterministic transform needs
-    * no union-with-prior (that machinery exists for gates, whose
-    * replayed survivor sets can shrink).
+    * and idempotently overwrites this batch's summary, and the batch
+    * overwrites its own `__batch_id` partition — so a replay never
+    * duplicates rows and always leaves a SELF-CONSISTENT result (the
+    * written rows match the written summary). The rows are not
+    * guaranteed bit-identical across replays, though: once MG pruning
+    * fires (vocab > 2*cap, per [[graft.functions.FreqSketch]]'s class
+    * doc) the counter `lb` values depend on partitioning/merge order,
+    * so a replayed batch under different partitioning can derive a
+    * slightly different stop set near the threshold. Union-with-prior
+    * machinery is still unnecessary — that exists for gates, whose
+    * replayed survivor sets can shrink.
     */
   def stopTokenStripEachBatch(idCol: String, textCol: String,
                               storePath: String, outPath: String,
@@ -810,12 +816,26 @@ object StreamingOps {
                            outPath: String): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      // computeIfAbsent keyed by path; a cached frame from a STOPPED
-      // session (its persisted blocks died with it) is replaced
-      val model = fluencyModelCache.compute(modelPath, (_, cur) =>
-        if (cur != null && (cur.sparkSession eq spark)) cur
-        else spark.read.parquet(modelPath)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // Keyed by path; a cached frame from a DIFFERENT session (stopped,
+      // or a sibling sharing the JVM) is replaced. The parquet
+      // listing/read happens OUTSIDE the map (no I/O under the
+      // ConcurrentHashMap bin lock), and the displaced entry is
+      // unpersisted so its blocks don't leak if the prior session is
+      // still live — a reader mid-flight on the displaced frame merely
+      // recomputes, unpersist is never unsafe. The benign get/put race
+      // (two sessions alternating on one path) at worst re-reads; the
+      // steady state is single-session, single-writer per query.
+      val cached = fluencyModelCache.get(modelPath)
+      val model =
+        if (cached != null && (cached.sparkSession eq spark)) cached
+        else {
+          val fresh = spark.read.parquet(modelPath)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val prev = fluencyModelCache.put(modelPath, fresh)
+          if (prev != null && !(prev eq fresh))
+            scala.util.Try(prev.unpersist(blocking = false))
+          fresh
+        }
       val scores = graft.text.BigramLm.scoreAgainst(model,
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       val pass = batch.select(col(idCol).as("doc_id"))
