@@ -489,7 +489,52 @@ object ScalarQueries {
           |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           |  AND o_orderdate < TIMESTAMP '1995-02-01'
           |ORDER BY d, o_orderkey""".stripMargin),
-      "SQL VERSION AS OF == the pre-replace state, via the catalog resolution path")
+      "SQL VERSION AS OF == the pre-replace state, via the catalog resolution path"),
+
+    // ----- copy-on-write row-level MERGE on the dailystore (r19) -----
+    // The last S8 surface: the reference corrects individual cases with
+    // update_one (cv.py:126-132); here the corrections batch merges
+    // through DailyStoreMerge.mergeByKey — discovery scan finds the
+    // days holding updated keys, ONLY those day partitions rewrite
+    // (anti-join ∪ updates), committed under the connector's manifest +
+    // lease. The updates exercise all three merge shapes: in-place
+    // corrections (%7 keys, price bumped), cross-day MOVES (%14 keys
+    // shift one day, so their old-day copy must be discovered and
+    // removed), and brand-new keys into brand-new days (the Feb 1-5
+    // slice, absent from the January store). The oracle reconstructs
+    // the merged state INDEPENDENTLY from the raw orders table
+    // (anti-join ∪ updates in SQL), so a merge bug anywhere — a key's
+    // old copy surviving a move, a touched day losing bystander rows,
+    // an insert day dropped — hash-fails. Row-level output, no
+    // aggregates. (Store seeds + merges once per session/dataset; reps
+    // re-run only the read — the q98 discipline.)
+    "q114_dailystore_merge" -> Q(
+      (s, dir) => {
+        val path = mergeStore(s, dir)
+        s.read.parquet(path)
+          .select(col("d"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("d", "o_orderkey")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |    AND o_orderdate < TIMESTAMP '1995-02-01'),
+          |upd AS (
+          |  SELECT CAST(o_orderdate AS DATE) +
+          |      CASE WHEN o_orderkey % 14 = 0 THEN 1 ELSE 0 END AS d,
+          |    o_orderkey, o_totalprice + 100000 AS o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |    AND o_orderdate < TIMESTAMP '1995-02-06'
+          |    AND o_orderkey % 7 = 0)
+          |SELECT d, o_orderkey, o_totalprice FROM (
+          |  SELECT b.d, b.o_orderkey, b.o_totalprice FROM base b
+          |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          |  UNION ALL SELECT d, o_orderkey, o_totalprice FROM upd)
+          |ORDER BY d, o_orderkey""".stripMargin),
+      "copy-on-write keyed MERGE: touched-day rewrite == independent anti-join ∪ updates reconstruction")
   )
 
   private val ttStoreCache = scala.collection.concurrent.TrieMap
@@ -524,6 +569,42 @@ object ScalarQueries {
       path
     })
 
+  private val mergeStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val mergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Seed the q114 store once per (session, dataset): January 1995
+    * orders day-partitioned (the base), then ONE mergeByKey of the
+    * corrections batch — %7 keys get price+100000; of those, %14 keys
+    * also MOVE one day forward; the Feb 1-5 slice inserts new keys
+    * into new days. Reps re-run only the read. */
+  private def mergeStore(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String =
+    mergeStoreCache.getOrElseUpdate((s, dir), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mergestore_${ttNonce}_${mergeSeq.getAndIncrement()}").getPath
+      val base = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+      base.write.format("dailystore").option("path", path)
+        .mode("append").save()
+      val updates = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-06").cast("timestamp") &&
+          col("o_orderkey") % 7 === 0)
+        .select(
+          when(col("o_orderkey") % 14 === 0,
+            date_add(to_date(col("o_orderdate")), 1))
+            .otherwise(to_date(col("o_orderdate"))).as("d"),
+          col("o_orderkey"),
+          (col("o_totalprice") + 100000).as("o_totalprice"))
+      graft.sources.DailyStoreMerge.mergeByKey(
+        s, path, updates, key = "o_orderkey", pcol = "d")
+      path
+    })
+
   /** Drop the q98 seeded time-travel store for `dir` — the heap entry
     * AND the on-disk tmp store (it exists only to serve the query; the
     * seed rebuilds transparently on next use). [[DedupQueries
@@ -532,12 +613,14 @@ object ScalarQueries {
     */
   def releaseDataset(s: org.apache.spark.sql.SparkSession,
                      dir: String): Unit =
-    ttStoreCache.keys.filter(k => (k._1 eq s) && k._2 == dir).foreach { k =>
-      ttStoreCache.remove(k).foreach { path =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-        try fs.delete(p, true)
-        catch { case _: java.io.IOException => () } // tmpdir; best-effort
+    Seq(ttStoreCache, mergeStoreCache).foreach { cache =>
+      cache.keys.filter(k => (k._1 eq s) && k._2 == dir).foreach { k =>
+        cache.remove(k).foreach { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+          try fs.delete(p, true)
+          catch { case _: java.io.IOException => () } // tmpdir; best-effort
+        }
       }
     }
 }

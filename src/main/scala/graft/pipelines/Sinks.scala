@@ -138,14 +138,25 @@ object Sinks {
 
   /** S8 — keyed upsert (cv.py:126-132 update_one per under-investigation
     * case): rows in `updates` replace same-key rows, everything else is
-    * kept. Implemented as existing-anti-join ∪ updates written to a temp
-    * dir then swapped in, because plain parquet overwrite would delete its
-    * own input mid-read.
+    * kept.
     *
-    * The swap is two atomic renames (live → backup, merged → live), so a
-    * crash at ANY point loses no data: every row is always in at least
-    * one of live/backup/tmp, and recovery is renaming the backup (or
-    * tmp) back into place. What this still is NOT is an atomic swap for
+    * When the target is a DAY-PARTITIONED store (a unique hive `col=`
+    * layout whose partition column the updates carry), the upsert
+    * routes through [[graft.sources.DailyStoreMerge.mergeByKey]] (r19):
+    * copy-on-write of only the touched day partitions, committed under
+    * the dailystore's manifest + writer lease — crash-replayable,
+    * time-travel-versioned, no reader-visible rename gap, and at 100 TB
+    * a handful of corrected rows rewrites a handful of days instead of
+    * the store.
+    *
+    * Otherwise (a flat parquet dir — no day partitioning to prune on),
+    * the merge is the documented whole-table shape: existing-anti-join
+    * ∪ updates written to a temp dir then swapped in, because plain
+    * parquet overwrite would delete its own input mid-read. The swap is
+    * two atomic renames (live → backup, merged → live), so a crash at
+    * ANY point loses no data: every row is always in at least one of
+    * live/backup/tmp, and recovery is renaming the backup (or tmp) back
+    * into place. What this still is NOT is an atomic swap for
     * CONCURRENT READERS — one arriving between the renames sees a
     * missing path. Single-writer batch jobs (the reference's model) are
     * safe; concurrent readers need a transactional table format where
@@ -156,6 +167,14 @@ object Sinks {
     if (!exists(spark, path)) {
       updates.write.mode("overwrite").parquet(path)
       return
+    }
+    graft.sources.DailyStoreMerge.sniffPartitionCol(spark, path) match {
+      case Some(pcol) if updates.columns.contains(pcol) && pcol != key =>
+        graft.sources.DailyStoreMerge.mergeByKey(
+          spark, path, updates, key, pcol)
+        return
+      case _ => () // flat layout (or updates lack the partition column):
+        // the whole-table swap below is the only sound shape
     }
     val existing = spark.read.parquet(path)
     val merged = existing

@@ -489,6 +489,26 @@ class DailyStoreWriteBuilder(path: String, pcol: String,
     * dynamic.
     */
   override def truncate(): WriteBuilder = {
+    // explicit condemned-day front for PATH-BASED writes (r19): the
+    // DataFrameWriter path has no way to reach overwrite(filters), but
+    // a copy-on-write MERGE ([[DailyStoreMerge.mergeByKey]]) must
+    // condemn days the OUTPUT may not mention (a day emptied by key
+    // moves) — dynamic mode can't express that, and truncate would
+    // rewrite the world. `option("overwriteDays", "v1,v2,...")` names
+    // the exact day set, same ValuesMode semantics as a catalog
+    // `overwrite(d IN ...)`. Honored only with mode("overwrite") on the
+    // path front; catalog tables keep the DSv2 filter contract.
+    Option(info.options.get("overwriteDays")).filter(_ => !viaCatalog)
+      .foreach { csv =>
+        val days = csv.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(days.nonEmpty,
+          "dailystore: overwriteDays names no partition values")
+        days.foreach(v => require(v.matches("[0-9A-Za-z._-]+"),
+          s"dailystore: overwriteDays value '$v' contains path-unsafe " +
+            "characters (allowed: [0-9A-Za-z._-])"))
+        mode = ValuesMode(days.distinct.sorted)
+        return this
+      }
     val dynamic = !viaCatalog && {
       val opt = Option(info.options.get("partitionOverwriteMode"))
       val conf = org.apache.spark.sql.SparkSession.active.conf

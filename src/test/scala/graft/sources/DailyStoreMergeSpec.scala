@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins for [[DailyStoreMerge.mergeByKey]] — the copy-on-write S8
+  * merge: keyed-replace semantics (incl. day MOVES and emptied days),
+  * the untouched-day byte-identity contract, contract violations
+  * rejected loudly, composition with retention/time travel, and the
+  * [[graft.pipelines.Sinks.upsertByKey]] routing.
+  */
+class DailyStoreMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"dsmerge_${tag}_${System.nanoTime()}").getPath
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  private def rows(rs: (String, Int, String)*) =
+    rs.toSeq.map { case (dt, k, v) => (d(dt), k, v) }
+      .toDF("d", "k", "v").repartition(3)
+
+  private def readBack(dir: String): Seq[(Date, Int, String)] =
+    spark.read.parquet(dir).select("d", "k", "v").orderBy("d", "k")
+      .as[(Date, Int, String)].collect().toSeq
+
+  /** (relative file path -> content bytes) for every data file of one
+    * day partition — the byte-identity probe. */
+  private def dayFiles(dir: String, day: String): Map[String, Seq[Byte]] = {
+    val dd = new java.io.File(dir, s"d=$day")
+    if (!dd.exists()) Map.empty
+    else dd.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+    }.toMap
+  }
+
+  private def seed(dir: String): Unit =
+    rows(
+      ("2020-03-01", 1, "a"), ("2020-03-01", 2, "b"),
+      ("2020-03-02", 3, "c"), ("2020-03-02", 4, "d"),
+      ("2020-03-03", 5, "e"))
+      .write.format("dailystore").option("path", dir)
+      .option("partitionCol", "d").mode("append").save()
+
+  test("keyed replace: update in place, key day-MOVE, new-key insert " +
+    "into a new day; untouched day files stay byte-identical") {
+    val dir = freshDir("semantics")
+    seed(dir)
+    val before0301 = dayFiles(dir, "2020-03-01")
+    assert(before0301.nonEmpty)
+    // k=3 updated in place on 03-02; k=5 MOVES 03-03 -> 03-02; k=9 is a
+    // new key landing in a brand-new day 03-04. 03-01 is untouched.
+    val touched = DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-02", 3, "C2"), ("2020-03-02", 5, "E2"),
+        ("2020-03-04", 9, "I")),
+      key = "k", pcol = "d")
+    assert(touched == Seq("2020-03-02", "2020-03-03", "2020-03-04"))
+    assert(readBack(dir) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 3, "C2"), (d("2020-03-02"), 4, "d"),
+      (d("2020-03-02"), 5, "E2"),
+      (d("2020-03-04"), 9, "I")))
+    // the untouched day was never rewritten: same file names, same bytes
+    assert(dayFiles(dir, "2020-03-01") == before0301)
+    // 03-03 lost its only row to the day move: the DIRECTORY is gone,
+    // not left holding a stale copy of k=5 (the case dynamic overwrite
+    // cannot express)
+    assert(!new java.io.File(dir, "d=2020-03-03").exists())
+  }
+
+  test("merge is idempotent: re-applying the same updates is a no-op " +
+    "on contents") {
+    val dir = freshDir("idem")
+    seed(dir)
+    val upd = rows(("2020-03-02", 3, "C2"), ("2020-03-04", 9, "I"))
+    DailyStoreMerge.mergeByKey(spark, dir, upd, key = "k")
+    val first = readBack(dir)
+    DailyStoreMerge.mergeByKey(spark, dir, upd, key = "k")
+    assert(readBack(dir) == first)
+  }
+
+  test("assumeKeyDayStable = true skips discovery: same result when " +
+    "keys keep their day; the scan-free prune is the documented trade") {
+    val dir = freshDir("stable")
+    seed(dir)
+    DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-02", 3, "C2"), ("2020-03-04", 9, "I")),
+      key = "k", assumeKeyDayStable = true)
+    assert(readBack(dir).contains((d("2020-03-02"), 3, "C2")))
+    assert(readBack(dir).contains((d("2020-03-04"), 9, "I")))
+    assert(readBack(dir).size == 6)
+  }
+
+  test("contract violations fail loudly: duplicate keys, null key, " +
+    "missing column, column-set drift") {
+    val dir = freshDir("contract")
+    seed(dir)
+    val dup = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        rows(("2020-03-02", 3, "x"), ("2020-03-03", 3, "y")), key = "k")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val nullKey = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        Seq((d("2020-03-02"), Option.empty[Int], "x"))
+          .toDF("d", "k", "v"), key = "k")
+    }
+    assert(nullKey.getMessage.contains("null 'k'"))
+    val noPcol = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        Seq((3, "x")).toDF("k", "v"), key = "k")
+    }
+    assert(noPcol.getMessage.contains("partition column"))
+    val drift = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        Seq((d("2020-03-02"), 3)).toDF("d", "k"), key = "k")
+    }
+    assert(drift.getMessage.contains("column"))
+  }
+
+  test("merge on a missing store creates it; empty updates are a no-op") {
+    val dir = freshDir("create")
+    val touched = DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-01", 1, "a")), key = "k")
+    assert(touched == Seq("2020-03-01"))
+    assert(readBack(dir) == Seq((d("2020-03-01"), 1, "a")))
+    assert(DailyStoreMerge.mergeByKey(spark, dir,
+      rows().toDF.limit(0).select(col("d"), col("k"), col("v")),
+      key = "k").isEmpty)
+    assert(readBack(dir) == Seq((d("2020-03-01"), 1, "a")))
+  }
+
+  test("merge under retention is an ordinary versioned commit: " +
+    "readVersion(1) reconstructs the pre-merge state") {
+    val dir = freshDir("retention")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 3)
+    seed(dir)
+    val pre = readBack(dir)
+    DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-02", 3, "C2"), ("2020-03-02", 5, "E2")), key = "k")
+    assert(readBack(dir) != pre)
+    val rolled = DailyStoreTimeTravel.readVersion(spark, dir, 1)
+      .select("d", "k", "v").orderBy("d", "k")
+      .as[(Date, Int, String)].collect().toSeq
+    assert(rolled == pre)
+  }
+
+  test("string partition values (digit-like) round-trip without " +
+    "inference corruption") {
+    val dir = freshDir("strpcol")
+    Seq(("20200301", 1, "a"), ("20200302", 2, "b"))
+      .toDF("d", "k", "v")
+      .write.format("dailystore").option("path", dir)
+      .option("partitionCol", "d").mode("append").save()
+    DailyStoreMerge.mergeByKey(spark, dir,
+      Seq(("20200302", 2, "B2"), ("20200303", 3, "c"))
+        .toDF("d", "k", "v"), key = "k")
+    val got = spark.read.schema("d STRING, k INT, v STRING").parquet(dir)
+      .select("d", "k", "v")
+      .orderBy("d", "k").as[(String, Int, String)].collect().toSeq
+    assert(got == Seq(("20200301", 1, "a"), ("20200302", 2, "B2"),
+      ("20200303", 3, "c")))
+  }
+
+  test("Sinks.upsertByKey routes a day-partitioned store through the " +
+    "copy-on-write merge (untouched day not rewritten); flat parquet " +
+    "keeps the swap") {
+    val dir = freshDir("route")
+    seed(dir)
+    val before0301 = dayFiles(dir, "2020-03-01")
+    graft.pipelines.Sinks.upsertByKey(spark,
+      rows(("2020-03-02", 3, "C2")), dir, "k")
+    assert(readBack(dir).contains((d("2020-03-02"), 3, "C2")))
+    // merge path taken: the untouched day's files were not rewritten
+    assert(dayFiles(dir, "2020-03-01") == before0301)
+    // flat layout: swap path still works end to end
+    val flat = freshDir("routeflat")
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(flat)
+    graft.pipelines.Sinks.upsertByKey(spark,
+      Seq((2, "B2"), (3, "c")).toDF("k", "v"), flat, "k")
+    assert(spark.read.parquet(flat).orderBy("k")
+      .as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "B2"), (3, "c")))
+  }
+}

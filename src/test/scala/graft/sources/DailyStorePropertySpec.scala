@@ -208,4 +208,145 @@ object DailyStorePropertySpec extends Properties("DailyStore") {
         println(s"[dailystore-tt] ops=$ops\n bad=$bad")
       bad.isEmpty
     }
+
+  // ---- r19: copy-on-write mergeByKey ------------------------------
+  // rows are (day, key, value); the store may hold a key on ANY day,
+  // and an update may MOVE a key to a new day — the case the
+  // discovery scan exists for.
+  private val mergeRowGen: Gen[(Int, Int, Int)] = for {
+    d <- Gen.chooseNum(0, 5)
+    k <- Gen.chooseNum(0, 15)
+    v <- Gen.chooseNum(0, 1000)
+  } yield (d, k, v)
+
+  private def toKeyedDf(rows: Seq[(Int, Int, Int)]) =
+    rows.map { case (d, k, v) =>
+      (Date.valueOf(day0.plusDays(d.toLong)), k, v)
+    }.toDF("d", "k", "v").repartition(3)
+
+  private def readKeyed(dir: String): Seq[(Int, Int, Int)] =
+    spark.read.parquet(dir)
+      .select(datediff(col("d"), lit(Date.valueOf(day0))).as("d"),
+        col("k"), col("v"))
+      .as[(Int, Int, Int)].collect().sorted.toSeq
+
+  /** r19 merge property: for ANY seeded store (keys may repeat across
+    * days — a bag store) and ANY update batch (one row per key; keys
+    * may keep their day, move days, or be brand new), mergeByKey lands
+    * on exactly the keyed-replace model:
+    *   final = store rows whose key is not updated ++ updates.
+    * This covers in-place replaces, cross-day moves (every old copy
+    * must vanish, found by the discovery scan), inserts into new days,
+    * and days emptied by moves (condemned, not left stale).
+    */
+  property("mergeByKey = keyed-replace model for ANY store and updates") =
+    forAll(for {
+      seedRows <- Gen.listOfN(8, mergeRowGen)
+      updRows <- Gen.listOfN(5, mergeRowGen)
+    } yield (seedRows, updRows)) { case (seedRows, updRows0) =>
+      // one row per key in the updates (the merge contract)
+      val updRows = updRows0.groupBy(_._2).values.map(_.head).toSeq
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"dailystore_merge_${seq.incrementAndGet()}_${System.nanoTime()}")
+        .getPath
+      toKeyedDf(seedRows).write.format("dailystore").option("path", dir)
+        .mode("append").save()
+      DailyStoreMerge.mergeByKey(spark, dir, toKeyedDf(updRows), key = "k")
+      val got = readKeyed(dir)
+      val updKeys = updRows.map(_._2).toSet
+      val want = (seedRows.filterNot(r => updKeys(r._2)) ++ updRows)
+        .sorted.toSeq
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      if (got != want)
+        println(s"[dailystore-merge] seed=$seedRows upd=$updRows\n" +
+          s" got=$got\nwant=$want")
+      got == want
+    }
+
+  /** r19 merge crash-replay property: a merge commit's decided state is
+    * (manifest: condemned = the touched days — including days the
+    * OUTPUT never mentions, emptied by key moves — plus the staged
+    * per-day files of the merged content). For ANY (seed, updates) and
+    * a crash after ANY number of the deletes and ANY number of the
+    * renames, replay lands on exactly the completed merge's
+    * keyed-replace state. This is the manifest-replay property
+    * specialized to the merge SHAPE: condemned days with zero staged
+    * files (all rows moved out) and staged files landing in days the
+    * condemned set never names (pure inserts).
+    */
+  property("merge-shaped manifest replay from ANY crash point = " +
+    "the merged state") =
+    forAll(for {
+      seedRows <- Gen.listOfN(8, mergeRowGen)
+      updRows <- Gen.listOfN(5, mergeRowGen)
+      k <- Gen.chooseNum(0, 6)
+      m <- Gen.chooseNum(0, 5)
+    } yield (seedRows, updRows, k, m)) { case (seedRows, updRows0, k, m) =>
+      val updRows = updRows0.groupBy(_._2).values.map(_.head).toSeq
+      val hconf = spark.sessionState.newHadoopConf()
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"dailystore_mergecrash_${seq.incrementAndGet()}_${System.nanoTime()}")
+        .getPath
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      def dayStr(dd: Int) = day0.plusDays(dd.toLong).toString
+      toKeyedDf(seedRows).write.format("dailystore").option("path", dir)
+        .mode("append").save()
+      // the merge's decided state, built from the model exactly as
+      // mergeByKey's ValuesMode commit builds it: touched = days where
+      // updated keys live ∪ the updates' days; staged = merged rows of
+      // the touched days
+      val updKeys = updRows.map(_._2).toSet
+      val touched = (seedRows.filter(r => updKeys(r._2)).map(_._1) ++
+        updRows.map(_._1)).distinct.sorted
+      val stagedRows = (seedRows.filterNot(r => updKeys(r._2)) ++ updRows)
+        .filter(r => touched.contains(r._1))
+      val src = dir + "_src"
+      if (stagedRows.nonEmpty)
+        toKeyedDf(stagedRows).write.format("dailystore").option("path", src)
+          .mode("append").save()
+      val stagingName = "__stage_mergeprop"
+      val files: Seq[(String, String)] =
+        stagedRows.map(_._1).distinct.sorted.zipWithIndex.map {
+          case (dd, i) =>
+            val pv = dayStr(dd)
+            val f = new java.io.File(s"$src/d=$pv").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val name = s"part-mergeprop-$i.parquet"
+            fs.mkdirs(new org.apache.hadoop.fs.Path(
+              s"$dir/$stagingName/d=$pv"))
+            fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+              new org.apache.hadoop.fs.Path(s"$dir/$stagingName/d=$pv/$name"))
+            (pv, name)
+        }
+      val condemnedDirs = touched.map(dd => s"d=${dayStr(dd)}")
+      DailyStoreRecovery.writeManifest(fs,
+        DailyStoreRecovery.manifestPath(
+          new org.apache.hadoop.fs.Path(dir), "mergeprop"),
+        "d", stagingName, condemnedDirs, files)
+      // crash: k of the deletes ran, then m of the renames, then nothing
+      condemnedDirs.take(k).foreach(cd =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$cd"), true))
+      files.take(m).foreach { case (pv, name) =>
+        val from = new org.apache.hadoop.fs.Path(
+          s"$dir/$stagingName/d=$pv/$name")
+        if (fs.exists(from)) {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/d=$pv"))
+          fs.rename(from, new org.apache.hadoop.fs.Path(s"$dir/d=$pv/$name"))
+        }
+      }
+      DailyStoreRecovery.recoverPendingCommits(dir, hconf)
+      val got = readKeyed(dir)
+      val want = (seedRows.filterNot(r => updKeys(r._2)) ++ updRows)
+        .sorted.toSeq
+      val manifestsLeft = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("_commit-"))
+      val stagingLeft = new java.io.File(dir, stagingName).exists()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+      if (got != want || manifestsLeft != 0 || stagingLeft)
+        println(s"[dailystore-mergecrash] seed=$seedRows upd=$updRows " +
+          s"k=$k m=$m\n got=$got\nwant=$want manifests=$manifestsLeft " +
+          s"staging=$stagingLeft")
+      got == want && manifestsLeft == 0 && !stagingLeft
+    }
 }
