@@ -956,6 +956,91 @@ object TextQueries {
            |  COALESCE(p.text_dedup, '') AS text_dedup
            |FROM t LEFT JOIN perdoc p USING (doc_id)
            |ORDER BY t.doc_id""".stripMargin),
-      "heavy-hitter stop-token removal: the q109 profile configuring q87's enforcement tier")
+      "heavy-hitter stop-token removal: the q109 profile configuring q87's enforcement tier"),
+
+    // ----- the stop-token tier through the SQL surface (r19) --------
+    // q113's PROFILE→CONFIG→ENFORCE expressed entirely in spark.sql —
+    // the deployment recipe for a SQL-first pipeline, same oracle as
+    // q113 so the two fronts cannot drift. Three steps, because
+    // strip_stop_tokens REQUIRES a foldable (driver-held) stop array —
+    // the stop set is a config ARTIFACT, not a runtime join input:
+    //   1. PROFILE (one SQL statement): mg_topk sketch → candidate
+    //      terms, exact-verified by a broadcast-pruned term_counts
+    //      scan — the q109 plan in SQL;
+    //   2. CONFIG: the ≤ 1/frac rule rows are collected (bounded by
+    //      the stopTokens mass argument) and rendered into the next
+    //      statement as a literal array — exactly how a production
+    //      run deploys the profile output;
+    //   3. ENFORCE (one SQL statement): the fused strip_stop_tokens
+    //      scan with q113's coalesce output convention.
+    "q115_stop_token_tier_sql" -> Q(
+      (s, dir) => {
+        graft.functions.MisraGriesAgg.register(s)
+        graft.functions.TermCounts.register(s)
+        graft.functions.StripStopTokens.register(s)
+        Tables(s, dir, "documents")
+          .createOrReplaceTempView("v_docs_stoptier")
+        // 1. PROFILE: sketch → candidates → exact verify counts
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW v_stop_profile AS
+            |WITH sketch AS (
+            |  SELECT mg_topk(text, 256) AS s FROM v_docs_stoptier),
+            |cand AS (
+            |  SELECT s.total AS total, it.term AS term
+            |  FROM sketch LATERAL VIEW explode(s.items) x AS it),
+            |tok AS (
+            |  SELECT tc.term AS term, tc.cnt AS c
+            |  FROM v_docs_stoptier
+            |  LATERAL VIEW explode(term_counts(text)) x AS tc)
+            |SELECT /*+ BROADCAST(c) */ c.term, c.total, SUM(t.c) AS cnt
+            |FROM tok t JOIN cand c ON t.term = c.term
+            |GROUP BY c.term, c.total""".stripMargin)
+        // 2. CONFIG: the exact-and-complete 2% rule (0.02 >= 1/257,
+        // the q113 recall contract), collected — bounded at <= 50 rows
+        val stop = s.sql(
+          """SELECT term FROM v_stop_profile
+            |WHERE CAST(cnt AS DOUBLE) > 0.02 * CAST(total AS DOUBLE)
+            |ORDER BY term""".stripMargin)
+          .collect().map(_.getString(0))
+        val stopArr =
+          if (stop.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+          else stop.map(t => "'" + t.replace("'", "''") + "'")
+            .mkString("array(", ", ", ")")
+        // 3. ENFORCE: the fused scan, q113's output convention
+        s.sql(
+          s"""SELECT doc_id,
+             |  CAST(coalesce(s.n_toks, 0) AS BIGINT) AS n_toks,
+             |  CAST(coalesce(s.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(s.text_dedup, '') AS text_dedup
+             |FROM (SELECT doc_id, strip_stop_tokens(text, $stopArr) AS s
+             |      FROM v_docs_stoptier)
+             |ORDER BY doc_id""".stripMargin)
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tokrows AS (
+           |  SELECT doc_id, s.pos, s.tok FROM t,
+           |    LATERAL (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(toks)),
+           |      i -> {'pos': i, 'tok': toks[i+1]}), recursive:=true)) s),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tokrows),
+           |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM tokrows GROUP BY 1),
+           |flagged AS (
+           |  SELECT r.doc_id, r.pos, r.tok,
+           |    NOT (CAST(cnt AS DOUBLE) >
+           |      0.02 * CAST((SELECT n FROM tot) AS DOUBLE)) AS kept
+           |  FROM tokrows r JOIN c ON r.tok = c.tok),
+           |perdoc AS (
+           |  SELECT doc_id, COUNT(*) AS n_toks,
+           |    COUNT(*) FILTER (WHERE kept) AS n_kept,
+           |    COALESCE(STRING_AGG(tok, ' ' ORDER BY pos) FILTER (WHERE kept),
+           |      '') AS text_dedup
+           |  FROM flagged GROUP BY doc_id)
+           |SELECT t.doc_id, COALESCE(p.n_toks, 0) AS n_toks,
+           |  COALESCE(p.n_kept, 0) AS n_kept,
+           |  COALESCE(p.text_dedup, '') AS text_dedup
+           |FROM t LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin),
+      "the q113 stop-token tier run entirely through spark.sql (profile view, collected config, literal enforcement)")
   )
 }
