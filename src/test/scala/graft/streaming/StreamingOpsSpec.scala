@@ -1055,6 +1055,85 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("stopTokenStripEachBatch crash replay (r19): a crash between " +
+      "summary write and sink write replays cleanly; a torn OWN summary " +
+      "is overwritten from the predecessor; an unreadable PREDECESSOR " +
+      "throws on the strict merge path by design") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.HeavyHitters
+    val base = Files.createTempDirectory("graft-ttcrash")
+
+    // -- scenario 1: crash AFTER summary write, BEFORE sink write.
+    // The summary is the only cross-batch state, so the replayed batch
+    // must (a) not double-count the stream total and (b) land the sink
+    // partition the crashed attempt never wrote.
+    val store1 = base.resolve("s1").toString
+    val out1 = base.resolve("o1").toString
+    val strip1 = StreamingOps.stopTokenStripEachBatch(
+      "doc_id", "text", store1, out1, maxTokenFrac = 0.2, cap = 16)
+    val b0 = Seq((1L, "ad ad ad ad one two"), (2L, "ad ad three"))
+    val b1 = Seq((10L, "ad four five"))
+    strip1(b0.toDF("doc_id", "text"), 0L)
+    // crashed attempt of batch 1: ONLY the summary half ran (this is
+    // the exact closure order — merge first, sink second)
+    HeavyHitters.mergeAndWriteSummary(
+      b1.toDF("doc_id", "text"), "text", store1, 1L, 16)
+    assert(!new java.io.File(out1, "__batch_id=1").exists(),
+      "crash point: summary written, sink not")
+    // replay of batch 1 (the restarted query re-runs the whole closure)
+    strip1(b1.toDF("doc_id", "text"), 1L)
+    val sum1 = HeavyHitters.summaryFromStore(spark, store1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sum1.head._3 == 12L,
+      s"stream total counts batch 1 exactly ONCE despite the crashed " +
+        s"attempt's summary (9 + 3 tokens): $sum1")
+    val r1 = spark.read.parquet(out1)
+      .select("doc_id", "n_toks", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(r1.keySet == Set(1L, 2L, 10L), "sink holds every batch")
+    // "ad" is 7 of 12 stream tokens (> 20%): stripped everywhere,
+    // including the replayed batch's doc
+    assert(r1(10L) == ((10L, 3L, 2L, "four five")), s"$r1")
+
+    // -- scenario 2: the crashed attempt left its OWN summary dir TORN
+    // (unreadable). Replay merges from the strictly-older predecessor
+    // and overwrites the torn dir — never reads its own torn output.
+    val store2 = base.resolve("s2").toString
+    val out2 = base.resolve("o2").toString
+    val strip2 = StreamingOps.stopTokenStripEachBatch(
+      "doc_id", "text", store2, out2, maxTokenFrac = 0.2, cap = 16)
+    strip2(b0.toDF("doc_id", "text"), 0L)
+    val torn = new java.io.File(store2, "summary_batch=1")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(torn, "part-torn.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    strip2(b1.toDF("doc_id", "text"), 1L)
+    val sum2 = HeavyHitters.summaryFromStore(spark, store2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sum2.head._3 == 12L,
+      s"replay over a torn own summary is clean: $sum2")
+
+    // -- scenario 3: the PREDECESSOR summary is unreadable. The strict
+    // merge path must THROW (silently falling back a batch would drop
+    // its contribution from the stream total forever) — the tolerant
+    // walk is for the racing PUBLIC reader only.
+    val store3 = base.resolve("s3").toString
+    val out3 = base.resolve("o3").toString
+    val strip3 = StreamingOps.stopTokenStripEachBatch(
+      "doc_id", "text", store3, out3, maxTokenFrac = 0.2, cap = 16)
+    strip3(b0.toDF("doc_id", "text"), 0L)
+    val pred = new java.io.File(store3, "summary_batch=0")
+    pred.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(pred, "part-corrupt.parquet").toPath,
+      "garbage".getBytes("UTF-8"))
+    intercept[Exception] {
+      strip3(b1.toDF("doc_id", "text"), 1L)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("fluencyGateEachBatch: a reference-trained model drops " +
       "low-fluency and OOV-gibberish docs per batch; replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
