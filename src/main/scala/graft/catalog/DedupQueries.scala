@@ -132,6 +132,13 @@ object DedupQueries {
                                dir: String): org.apache.spark.sql.DataFrame =
     saltedCopySeeded(s, dir)
 
+  /** The q45/q95 curation corpus for evidence tools (tools.StageEquiv
+    * exports its minhash signatures as the stage-equivalent
+    * intermediate — same rationale as [[saltedCopySeededForAudit]]). */
+  def curationCorpusForAudit(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    curationCorpus(s, dir)
+
   /** The q45 curation corpus: [[saltedCopySeeded]] (salted originals +
     * 50 verbatim copies = tier-2 exact-dedup fodder) plus 20 seeded
     * NEAR-DUP FAMILIES that make the near-dup tier's outcome closed-form
