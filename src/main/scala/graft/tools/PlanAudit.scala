@@ -87,19 +87,84 @@ object PlanAudit {
       }
     }
 
+    // AQE-FINAL join strategies for the localCheckpoint-backed members
+    // (r19): the header's "their SMJs are AQE broadcasts in practice"
+    // claim, pinned mechanically instead of argued. Each query runs to
+    // completion in an AQE-ON child session and the ADAPTIVE plan's
+    // final physical plan (post runtime re-optimization) is walked with
+    // the same executed-operator counter as the static table.
+    val aqeRows = {
+      val aqeSpark = spark0.newSession()
+      aqeSpark.conf.set("spark.sql.adaptive.enabled", "true")
+      aqeSpark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      aqeSpark.conf.set("spark.sql.shuffle.partitions", "8")
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // the static counter's collect stops at QueryStageExec (a LEAF
+      // whose materialized plan is not a child) — final plans are built
+      // OF query stages, so traverse into them explicitly
+      def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val through = p match {
+          case q: QueryStageExec => p.children :+ q.plan
+          case _ => p.children
+        }
+        p +: through.flatMap(deepNodes)
+      }
+      Seq("q06_top5_normalized", "q37_minhash_lsh", "q38_simhash",
+        "q45_curate_corpus").map { name =>
+        try {
+          val staticPlan = Catalog.all(name).fn(spark, dir)
+            .queryExecution.executedPlan
+          val (_, _, staticSmj) = executedCounts(staticPlan)
+          val qe = Catalog.all(name).fn(aqeSpark, dir).queryExecution
+          qe.toRdd.foreach(_ => ()) // AQE finalizes during execution
+          val finals = deepNodes(qe.executedPlan).collect {
+            case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+          }
+          val nodes = finals.flatMap(deepNodes)
+          val finBhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+          val finSmj = nodes.count(_.isInstanceOf[SortMergeJoinExec])
+          s"| $name | $staticSmj | $finSmj | $finBhj |"
+        } catch {
+          case e: Throwable =>
+            s"| $name | audit failed: ${e.getMessage.take(40)} | — | — |"
+        }
+      }
+    }
+
     s"""# PLANS — physical-plan audit of the query catalog
        !
        !Generated by `graft.tools.PlanAudit` on `$dir`. Audit runs with AQE
        !off to expose static codegen spans; in production AQE (on
        !everywhere else) further converts sort-merge joins to broadcast at
        !runtime and splits skewed partitions — localCheckpoint-backed
-       !inputs (q06/q37/q38/q45) hide stats statically, so their SMJs are
-       !AQE broadcasts in practice. "pushed" = at least one non-empty
-       !`PushedFilters` reached a parquet scan.
+       !inputs (q06/q37/q38/q45) hide stats statically, and the AQE-final
+       !table below pins what actually executes for them. "pushed" = at
+       !least one non-empty `PushedFilters` reached a parquet scan.
+       !
+       !Fixture-sized rows, not hot-path shapes: q112's 13 exchanges run
+       !over a 6-document enumerated-collision micro-fixture (the
+       !pigeonhole answer key for the hashed-DSIR merge arithmetic) and
+       !q96 parses a 4-row HTML literal — their counts audit the
+       !FIXTURE's plan, not a corpus-scale operator, and neither shape
+       !appears in any pipeline hot path (q112's production twin is
+       !q108's broadcast-model scan).
        !
        !| query | exchanges | bcast joins | smj | codegen spans | top-k | pushed |
        !|---|---|---|---|---|---|---|
        !${rows.mkString("\n")}
+       !
+       !## AQE-final join strategies (executed, localCheckpoint-backed members)
+       !
+       !Static-vs-final for the members whose checkpointed inputs hide
+       !stats from the static planner: `smj (static)` is the AQE-off
+       !count from the table above's methodology; the final columns walk
+       !the adaptive plan AFTER execution. A static SMJ that reads 0
+       !final SMJs became a broadcast (or vanished with its stage) at
+       !runtime — the claim, now measured per round.
+       !
+       !| query | smj (static) | smj (AQE-final) | bcast joins (AQE-final) |
+       !|---|---|---|---|
+       !${aqeRows.mkString("\n")}
        !""".stripMargin('!')
   }
 
