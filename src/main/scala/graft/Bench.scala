@@ -529,6 +529,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet uses TIMESTAMP(NANOS); see graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: per-query function registration emits a WARN per

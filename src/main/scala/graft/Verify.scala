@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet uses TIMESTAMP(NANOS); see graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -534,7 +534,52 @@ object ScalarQueries {
           |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
           |  UNION ALL SELECT d, o_orderkey, o_totalprice FROM upd)
           |ORDER BY d, o_orderkey""".stripMargin),
-      "copy-on-write keyed MERGE: touched-day rewrite == independent anti-join ∪ updates reconstruction")
+      "copy-on-write keyed MERGE: touched-day rewrite == independent anti-join ∪ updates reconstruction"),
+
+    // ----- the SQL DML surface: MERGE / UPDATE / DELETE (r19) -----
+    // q114's machinery driven entirely through spark.sql: the injected
+    // analyzer rule (plans/DailyStoreDml, via GraftExtensions) rewrites
+    // the three statements into the connector's copy-on-write commits.
+    // Three sequential statements against the seeded January store:
+    // the q114 corrections MERGE, an UPDATE bumping one day's prices,
+    // and a DELETE of a key-slice in the first week. The oracle
+    // reconstructs all three steps independently from raw orders, so
+    // drift in ANY front — the merge rewrite, the IF(cond) update
+    // rewrite, the delete's emptied-day handling — hash-fails.
+    "q116_sql_dml" -> Q(
+      (s, dir) => {
+        val path = sqlDmlStore(s, dir)
+        s.read.parquet(path)
+          .select(col("d"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("d", "o_orderkey")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |    AND o_orderdate < TIMESTAMP '1995-02-01'),
+          |upd AS (
+          |  SELECT CAST(o_orderdate AS DATE) +
+          |      CASE WHEN o_orderkey % 14 = 0 THEN 1 ELSE 0 END AS d,
+          |    o_orderkey, o_totalprice + 100000 AS o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |    AND o_orderdate < TIMESTAMP '1995-02-06'
+          |    AND o_orderkey % 7 = 0),
+          |merged AS (
+          |  SELECT b.d, b.o_orderkey, b.o_totalprice FROM base b
+          |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          |  UNION ALL SELECT d, o_orderkey, o_totalprice FROM upd),
+          |updated AS (
+          |  SELECT d, o_orderkey,
+          |    CASE WHEN d = DATE '1995-01-15' THEN o_totalprice + 1
+          |         ELSE o_totalprice END AS o_totalprice
+          |  FROM merged)
+          |SELECT d, o_orderkey, o_totalprice FROM updated
+          |WHERE NOT (o_orderkey % 5 = 0 AND d < DATE '1995-01-08')
+          |ORDER BY d, o_orderkey""".stripMargin),
+      "SQL MERGE + UPDATE + DELETE on the dailystore == independent three-step reconstruction")
   )
 
   private val ttStoreCache = scala.collection.concurrent.TrieMap
@@ -605,6 +650,56 @@ object ScalarQueries {
       path
     })
 
+  private val sqlDmlStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val sqlDmlSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Seed the q116 store once per (session, dataset): January orders,
+    * then the three SQL DML statements (MERGE the q114 corrections,
+    * UPDATE one day's prices, DELETE a first-week key slice) — every
+    * mutation through spark.sql, resolved by the injected
+    * [[graft.plans.DailyStoreDml]] rule via the registered catalog. */
+  private def sqlDmlStore(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    sqlDmlStoreCache.getOrElseUpdate((s, dir), {
+      val n = sqlDmlSeq.getAndIncrement()
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sqldml_${ttNonce}_$n").getPath
+      val tbl = s"t$n"
+      new java.io.File(root, tbl).mkdirs()
+      val path = s"$root/$tbl"
+      graft.sources.DailyStoreCatalog.register(s, s"graft_dml$n", root)
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+        .write.format("dailystore").option("path", path)
+        .mode("append").save()
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-06").cast("timestamp") &&
+          col("o_orderkey") % 7 === 0)
+        .select(
+          when(col("o_orderkey") % 14 === 0,
+            date_add(to_date(col("o_orderdate")), 1))
+            .otherwise(to_date(col("o_orderdate"))).as("d"),
+          col("o_orderkey"),
+          (col("o_totalprice") + 100000).as("o_totalprice"))
+        .createOrReplaceTempView(s"q116_updates_$n")
+      val t = s"graft_dml$n.$tbl"
+      s.sql(
+        s"""MERGE INTO $t USING q116_updates_$n u
+           |ON $t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"UPDATE $t SET o_totalprice = o_totalprice + 1 " +
+        "WHERE d = DATE'1995-01-15'")
+      s.sql(s"DELETE FROM $t " +
+        "WHERE o_orderkey % 5 = 0 AND d < DATE'1995-01-08'")
+      path
+    })
+
   /** Drop the q98 seeded time-travel store for `dir` — the heap entry
     * AND the on-disk tmp store (it exists only to serve the query; the
     * seed rebuilds transparently on next use). [[DedupQueries
@@ -613,7 +708,7 @@ object ScalarQueries {
     */
   def releaseDataset(s: org.apache.spark.sql.SparkSession,
                      dir: String): Unit =
-    Seq(ttStoreCache, mergeStoreCache).foreach { cache =>
+    Seq(ttStoreCache, mergeStoreCache, sqlDmlStoreCache).foreach { cache =>
       cache.keys.filter(k => (k._1 eq s) && k._2 == dir).foreach { k =>
         cache.remove(k).foreach { path =>
           val p = new org.apache.hadoop.fs.Path(path)

@@ -208,5 +208,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine)
+    // SQL MERGE/UPDATE/DELETE on dailystore tables (r19): the analyzer's
+    // Resolution batch runs this to fixpoint, rewriting the DML node
+    // into a copy-on-write command BEFORE the built-in row-level
+    // rewrite batch would reject the connector
+    ext.injectResolutionRule(_ => graft.plans.DailyStoreDml)
   }
 }

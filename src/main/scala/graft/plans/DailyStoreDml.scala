@@ -1,0 +1,266 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, If, In, Literal, Not}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.DateType
+
+import graft.sources.{DailyStoreMerge, DailyStoreTable}
+
+/** SQL DML on the dailystore — `MERGE INTO` / `UPDATE` / `DELETE`
+  * rewritten at ANALYSIS time into the connector's copy-on-write
+  * commits, the extension-tier path the survey sanctions (custom
+  * `Rule` via `SparkSessionExtensions`) instead of the full
+  * `SupportsRowLevelOperations` machinery: Spark's own group-based
+  * rewrite (`RewriteMergeIntoTable` → `ReplaceData`) replans the WHOLE
+  * table unless the connector also implements runtime group filtering
+  * over a hand-rolled DSv2 batch scan — exactly the parquet machinery
+  * the r14 read-by-delegation judgment avoids duplicating. This rule
+  * reuses [[DailyStoreMerge.mergeByKey]]'s property-tested semantics
+  * and the `overwriteDays` ValuesMode commit instead, so every SQL DML
+  * statement inherits the manifest + writer lease, crash replay, and
+  * time-travel versioning, and rewrites ONLY the touched day
+  * partitions.
+  *
+  * Injected by `graft.functions.GraftExtensions`
+  * (`spark.sql.extensions`); the analyzer's Resolution batch runs it to
+  * fixpoint BEFORE the built-in row-level rewrite batch would reject
+  * the table ("does not support row-level operations"). Shapes:
+  *
+  *  - `DELETE FROM dstore.t WHERE <cond>` — any deterministic
+  *    condition. Affected days = days holding matched rows (one
+  *    column-pruned pass); each is rewritten without the matched rows;
+  *    a day losing every row is REMOVED (the explicit condemned set).
+  *  - `UPDATE dstore.t SET c = e, ... [WHERE <cond>]` — affected days
+  *    rewrite with per-column `IF(cond, e, c)`. Assigning the
+  *    partition column is allowed: the moved rows land in their new
+  *    day's directory (the commit renames staged files into any day),
+  *    while the old day's rewrite drops them.
+  *  - `MERGE INTO dstore.t USING src ON t.k = src.k WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the keyed-replace
+  *    shape, routed through [[DailyStoreMerge.mergeByKey]] (which also
+  *    enforces the SQL cardinality rule: duplicate source keys are
+  *    rejected). The UPDATE and INSERT assignments must agree per
+  *    column (SET * does), and the key assignment must be the ON
+  *    equality's source side — both are what `SET * / INSERT *`
+  *    produce; anything else (extra WHEN clauses, clause conditions,
+  *    NOT MATCHED BY SOURCE, diverging assignments) fails loudly with
+  *    the supported shape in the message rather than silently
+  *    degrading.
+  *
+  * Nothing here touches non-dailystore tables: the rule matches only
+  * relations whose `Table` is a [[DailyStoreTable]].
+  */
+object DailyStoreDml extends Rule[LogicalPlan] {
+
+  private def dailystoreOf(plan: LogicalPlan): Option[(DailyStoreTable, LogicalPlan)] =
+    EliminateSubqueryAliases(plan) match {
+      case r @ DataSourceV2Relation(t: DailyStoreTable, _, _, _, _, _) =>
+        Some((t, r))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(tbl, cond) if d.resolved =>
+      dailystoreOf(tbl) match {
+        case Some((t, rel)) =>
+          DailyStoreDeleteCommand(t.storePath, t.partitionCol, rel, cond)
+        case None => d
+      }
+    case u @ UpdateTable(tbl, assignments, cond) if u.resolved =>
+      dailystoreOf(tbl) match {
+        case Some((t, rel)) =>
+          val assigns = assignments.map {
+            case Assignment(k: AttributeReference, v) => (k, v)
+            case Assignment(other, _) => fail(
+              s"UPDATE on a dailystore supports plain column assignments; " +
+                s"got ${other.sql}")
+          }
+          DailyStoreUpdateCommand(t.storePath, t.partitionCol, rel,
+            assigns, cond.getOrElse(Literal.TrueLiteral))
+        case None => u
+      }
+    case m: MergeIntoTable if m.resolved =>
+      dailystoreOf(m.targetTable) match {
+        case Some((t, rel)) => rewriteMerge(m, t, rel)
+        case None => m
+      }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_3100",
+      Map("message" -> s"dailystore SQL DML: $msg"),
+      None)
+
+  private val MergeShape =
+    "the supported MERGE shape is: MERGE INTO <dailystore> USING <src> " +
+      "ON <target>.<key> = <src>.<col> WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * (keyed replace; see " +
+      "graft.sources.DailyStoreMerge for the general Scala API)"
+
+  private def rewriteMerge(m: MergeIntoTable, t: DailyStoreTable,
+                           rel: LogicalPlan): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail(s"WHEN NOT MATCHED BY SOURCE is not supported — $MergeShape")
+    if (m.withSchemaEvolution)
+      fail(s"WITH SCHEMA EVOLUTION is not supported — $MergeShape")
+    val uAssigns = m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) => as
+      case other => fail(
+        s"matched actions ${other.mkString(", ")} — $MergeShape")
+    }
+    val iAssigns = m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => as
+      case other => fail(
+        s"not-matched actions ${other.mkString(", ")} — $MergeShape")
+    }
+    val targetOut = rel.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    val (keyAttr, srcKey) = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetOut.contains(a) && sourceOut.contains(b) => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if targetOut.contains(a) && sourceOut.contains(b) => (a, b)
+      case other => fail(
+        s"merge condition ${other.sql} — $MergeShape")
+    }
+    def byTarget(as: Seq[Assignment]): Map[String, Expression] =
+      as.map {
+        case Assignment(k: AttributeReference, v) => k.name -> v
+        case Assignment(other, _) => fail(
+          s"assignment to ${other.sql} — $MergeShape")
+      }.toMap
+    val uMap = byTarget(uAssigns)
+    val iMap = byTarget(iAssigns)
+    rel.output.foreach { attr =>
+      (uMap.get(attr.name), iMap.get(attr.name)) match {
+        case (Some(u), Some(i)) if u.semanticEquals(i) => ()
+        case _ => fail(
+          s"UPDATE and INSERT must assign every target column " +
+            s"identically ('${attr.name}' differs or is missing) — " +
+            MergeShape)
+      }
+    }
+    iMap(keyAttr.name) match {
+      case a: AttributeReference if a.semanticEquals(srcKey) => ()
+      case other => fail(
+        s"the key column '${keyAttr.name}' must be assigned the ON " +
+          s"equality's source side, got ${other.sql} — $MergeShape")
+    }
+    val updates = Project(
+      rel.output.map(attr =>
+        Alias(iMap(attr.name), attr.name)()),
+      m.sourceTable)
+    DailyStoreMergeCommand(t.storePath, t.partitionCol,
+      keyAttr.name, updates)
+  }
+
+  /** Typed day literals so the affected-day predicate partition-prunes
+    * (a string literal against a date column would cast the COLUMN). */
+  private[plans] def dayLiterals(pcolAttr: Attribute,
+                                 days: Seq[String]): Seq[Expression] =
+    pcolAttr.dataType match {
+      case DateType => days.map(d => Literal(java.sql.Date.valueOf(d)))
+      case _ => days.map(Literal(_))
+    }
+
+  private[plans] def pcolAttrOf(rel: LogicalPlan, pcol: String): Attribute =
+    rel.output.find(_.name.equalsIgnoreCase(pcol)).getOrElse(
+      fail(s"relation lacks the partition column '$pcol'"))
+
+  /** Days (as directory strings) holding rows matching `cond` — one
+    * column-pruned, filter-pushed pass; bounded by the day domain. */
+  private[plans] def affectedDays(spark: SparkSession, rel: LogicalPlan,
+                                  pcolAttr: Attribute,
+                                  cond: Expression): Seq[String] =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+        spark, Project(Seq(pcolAttr), Filter(cond, rel)))
+      .distinct().collect().map(r => String.valueOf(r.get(0))).toSeq.sorted
+
+  private[plans] def writeReplacement(
+      df: org.apache.spark.sql.DataFrame, path: String, pcol: String,
+      days: Seq[String]): Unit =
+    df.write.format("dailystore")
+      .option("path", path).option("partitionCol", pcol)
+      .option("overwriteDays", days.mkString(","))
+      .mode("overwrite").save()
+}
+
+/** `DELETE FROM <dailystore> WHERE cond` (class doc of
+  * [[DailyStoreDml]]): rewrite each affected day without its matched
+  * rows; a fully-deleted day's directory is removed.
+  */
+case class DailyStoreDeleteCommand(path: String, pcol: String,
+                                   rel: LogicalPlan, cond: Expression)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(rel)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
+    val days = DailyStoreDml.affectedDays(spark, rel, pcolAttr, cond)
+    if (days.isEmpty) return Seq.empty
+    val replacement = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+      spark,
+      Filter(And(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)),
+        Not(cond)), rel))
+    DailyStoreDml.writeReplacement(replacement, path, pcol, days)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <dailystore> SET ... [WHERE cond]` (class doc of
+  * [[DailyStoreDml]]): affected days rewrite with per-column
+  * `IF(cond, value, col)`; partition-column assignments move rows into
+  * their new day's directory.
+  */
+case class DailyStoreUpdateCommand(path: String, pcol: String,
+    rel: LogicalPlan, assigns: Seq[(AttributeReference, Expression)],
+    cond: Expression)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(rel)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
+    val days = DailyStoreDml.affectedDays(spark, rel, pcolAttr, cond)
+    if (days.isEmpty) return Seq.empty
+    val byId = assigns.map { case (k, v) => k.exprId -> v }.toMap
+    val cols = rel.output.map { attr =>
+      byId.get(attr.exprId) match {
+        case Some(v) => Alias(If(cond, v, attr), attr.name)()
+        case None => attr
+      }
+    }
+    val replacement = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+      spark,
+      Project(cols,
+        Filter(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)), rel)))
+    DailyStoreDml.writeReplacement(replacement, path, pcol, days)
+    Seq.empty
+  }
+}
+
+/** The keyed-replace `MERGE INTO` (class doc of [[DailyStoreDml]]),
+  * routed through [[DailyStoreMerge.mergeByKey]] — discovery scan,
+  * touched-day copy-on-write, manifest + lease, duplicate-source-key
+  * rejection (SQL's cardinality rule).
+  */
+case class DailyStoreMergeCommand(path: String, pcol: String,
+                                  key: String, updates: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(updates)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val updatesDf = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+      spark, updates)
+    DailyStoreMerge.mergeByKey(spark, path, updatesDf, key, pcol)
+    Seq.empty
+  }
+}

@@ -131,6 +131,12 @@ class DailyStoreTable(path: String, pcol: String, schema0: StructType,
   extends Table with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRead {
 
+  /** Store location / partition column, exposed for the SQL DML rules
+    * ([[graft.plans.DailyStoreDml]]) that rewrite MERGE/UPDATE/DELETE
+    * on this table into the connector's copy-on-write commits. */
+  private[graft] def storePath: String = path
+  private[graft] def partitionCol: String = pcol
+
   override def name(): String = s"dailystore($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =

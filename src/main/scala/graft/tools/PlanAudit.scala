@@ -177,6 +177,7 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
