@@ -160,6 +160,42 @@ object DailyStoreDml extends Rule[LogicalPlan] {
       keyAttr.name, updates)
   }
 
+  /** The DELETE metadata-only fast path's day set: `Some(days)` when
+    * `cond` is a deterministic, subquery-free predicate over the
+    * partition column ALONE — then it selects whole days, decidable by
+    * evaluating the predicate against each listed `pcol=` directory
+    * value without reading a single data row. `None` = not a whole-day
+    * condition, take the scan path.
+    */
+  private[plans] def wholeDayMatches(spark: SparkSession, path: String,
+      pcol: String, pcolAttr: Attribute,
+      cond: Expression): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeSet, BoundReference, PlanExpression}
+    if (!cond.deterministic) return None
+    if (!cond.references.subsetOf(AttributeSet(pcolAttr))) return None
+    if (cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(live)) return Some(Nil)
+    val dayStrings = fs.listStatus(live)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+      .map(_.getPath.getName.stripPrefix(s"$pcol="))
+    val bound = cond.transform {
+      case a: Attribute if a.semanticEquals(pcolAttr) =>
+        BoundReference(0, pcolAttr.dataType, nullable = false)
+    }
+    val matched = dayStrings.filter { ds =>
+      val v: Any = pcolAttr.dataType match {
+        case DateType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaDate(java.sql.Date.valueOf(ds))
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(ds)
+      }
+      bound.eval(InternalRow(v)) == true
+    }
+    Some(matched.toSeq.sorted)
+  }
+
   /** Typed day literals so the affected-day predicate partition-prunes
     * (a string literal against a date column would cast the COLUMN). */
   private[plans] def dayLiterals(pcolAttr: Attribute,
@@ -203,12 +239,28 @@ case class DailyStoreDeleteCommand(path: String, pcol: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
-    val days = DailyStoreDml.affectedDays(spark, rel, pcolAttr, cond)
+    // METADATA-ONLY fast path: a condition over the partition column
+    // alone selects WHOLE days, so the condemned set is computable from
+    // the directory listing (evaluate the predicate against each day's
+    // value) and no data row needs to be read or rewritten — at 100 TB,
+    // dropping an old day is directory surgery, not a scan. The commit
+    // still flows through the connector (empty replacement frame +
+    // explicit condemned set), so the manifest, lease, and retention
+    // archive cover it exactly like a data delete.
+    val metadataDays = DailyStoreDml.wholeDayMatches(
+      spark, path, pcol, pcolAttr, cond)
+    val days = metadataDays.getOrElse(
+      DailyStoreDml.affectedDays(spark, rel, pcolAttr, cond))
     if (days.isEmpty) return Seq.empty
-    val replacement = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
-      spark,
-      Filter(And(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)),
-        Not(cond)), rel))
+    val replacement =
+      if (metadataDays.isDefined)
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+          spark, LocalRelation(rel.output))
+      else
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+          spark,
+          Filter(And(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)),
+            Not(cond)), rel))
     DailyStoreDml.writeReplacement(replacement, path, pcol, days)
     Seq.empty
   }

@@ -121,6 +121,40 @@ class DailyStoreDmlSpec extends SparkSpec {
     assert(readBack(path).size == 3)
   }
 
+  test("whole-day DELETE is metadata-only: it succeeds even when the " +
+    "condemned day's data file is unreadable (no scan), and still " +
+    "commits through the manifest") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    // corrupt the 03-03 data file: any plan READING the day would fail
+    val dayDir = new java.io.File(path, "d=2020-03-03")
+    dayDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "corrupt".getBytes("UTF-8"))
+    }
+    spark.sql(s"DELETE FROM $tbl WHERE d = DATE'2020-03-03'")
+    assert(!dayDir.exists(), "condemned day removed without a read")
+    assert(readBack(path).size == 4)
+    // range predicates over the partition column take the same path
+    spark.sql(s"DELETE FROM $tbl WHERE d < DATE'2020-03-02'")
+    assert(!new java.io.File(path, "d=2020-03-01").exists())
+    assert(readBack(path) == Seq(
+      (d("2020-03-02"), 3, "c"), (d("2020-03-02"), 4, "dd")))
+  }
+
+  test("SQL INSERT INTO appends; INSERT OVERWRITE truncates (DSv2 " +
+    "catalog contract); positional VALUES follow the catalog schema " +
+    "order (data columns first, partition column last)") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    spark.sql(
+      s"INSERT INTO $tbl VALUES (7, 'g', CAST('2020-03-05' AS DATE))")
+    assert(readBack(path).contains((d("2020-03-05"), 7, "g")))
+    assert(readBack(path).size == 6)
+    spark.sql(
+      s"INSERT OVERWRITE $tbl VALUES (8, 'h', CAST('2020-03-06' AS DATE))")
+    assert(readBack(path) == Seq((d("2020-03-06"), 8, "h")))
+  }
+
   test("unsupported MERGE shapes fail loudly with the supported shape " +
     "in the message") {
     val (tbl, path, _) = freshStore()
