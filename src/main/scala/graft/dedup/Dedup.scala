@@ -920,13 +920,38 @@ object Dedup {
       // (they are registered with the persistent-RDD registry, not the
       // cache), so the r13 `unpersist()` release was a no-op and every
       // CC invocation leaked iter× label snapshots into the block store
+      // convergence count folded INTO the materialization job (r19):
+      // the checkpoint is eager, so observe() delivers the changed-row
+      // count from the same job that writes the blocks — the separate
+      // filter().count() re-read paid one extra job PER ROUND, pure
+      // scheduling floor on the iterative path (the stage-equivalent
+      // audit's cc_q95 member). obs.get resolves immediately after the
+      // eager checkpoint (probed: localCheckpoint runs through
+      // withAction and fires the observation listener); the bounded
+      // wait + count() fallback keeps a future Spark behavior change
+      // from hanging the loop instead of slowing it.
+      val obs = new org.apache.spark.sql.Observation()
       val updatedCp = graft.util.Checkpoints.tracked(hopped
         .join(labels.select(col("id").as("label"), col("label").as("__ll")),
           Seq("label"), "left_outer")
         .select(col("id"), col("__old"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed")))
       val updated = updatedCp.df
-      changedCount = updated.filter(col("label") =!= col("__old")).count()
+      changedCount = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        try Await.result(
+            Future(obs.get)(scala.concurrent.ExecutionContext.global),
+            Duration(60, "s")).get("changed") match {
+          case Some(n: Number) => n.longValue
+          case _ => 0L // null sum = zero rows materialized
+        }
+        catch { case _: java.util.concurrent.TimeoutException =>
+          updated.filter(col("label") =!= col("__old")).count()
+        }
+      }
       // the new checkpoint is materialized (localCheckpoint is eager),
       // so the previous round's blocks are dead — drop their RDDs
       prevCheckpoint.foreach(_.release())
