@@ -98,10 +98,25 @@ object DailyStoreDml extends Rule[LogicalPlan] {
       None)
 
   private val MergeShape =
-    "the supported MERGE shape is: MERGE INTO <dailystore> USING <src> " +
-      "ON <target>.<key> = <src>.<col> WHEN MATCHED THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT * (keyed replace; see " +
-      "graft.sources.DailyStoreMerge for the general Scala API)"
+    "the supported MERGE shapes are: (keyed replace) MERGE INTO " +
+      "<dailystore> USING <src> ON <target>.<key> = <src>.<col> " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *; " +
+      "(keyed delete) the same ON with only WHEN MATCHED THEN DELETE " +
+      "(see graft.sources.DailyStoreMerge for the general Scala API)"
+
+  /** The ON equality's (target attr, source side) — shared by both
+    * supported merge shapes. */
+  private def mergeKeyOf(m: MergeIntoTable,
+                         rel: LogicalPlan): (AttributeReference, AttributeReference) =
+    m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if rel.outputSet.contains(a) &&
+            m.sourceTable.outputSet.contains(b) => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if rel.outputSet.contains(a) &&
+            m.sourceTable.outputSet.contains(b) => (a, b)
+      case other => fail(s"merge condition ${other.sql} — $MergeShape")
+    }
 
   private def rewriteMerge(m: MergeIntoTable, t: DailyStoreTable,
                            rel: LogicalPlan): LogicalPlan = {
@@ -109,6 +124,18 @@ object DailyStoreDml extends Rule[LogicalPlan] {
       fail(s"WHEN NOT MATCHED BY SOURCE is not supported — $MergeShape")
     if (m.withSchemaEvolution)
       fail(s"WITH SCHEMA EVOLUTION is not supported — $MergeShape")
+    // the KEYED-DELETE shape (the second supported form): WHEN MATCHED
+    // THEN DELETE with no other clauses — delete-by-key-list (the
+    // GDPR/tombstone pattern). Discovery finds the days holding the
+    // keys; each rewrites without them; source rows matching nothing
+    // are ignored, exactly MERGE's semantics.
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(None)), Seq()) =>
+        val (kAttr, sKey) = mergeKeyOf(m, rel)
+        return DailyStoreKeyedDeleteCommand(t.storePath, t.partitionCol,
+          rel, kAttr, Project(Seq(Alias(sKey, kAttr.name)()), m.sourceTable))
+      case _ => ()
+    }
     val uAssigns = m.matchedActions match {
       case Seq(UpdateAction(None, as, _)) => as
       case other => fail(
@@ -119,16 +146,7 @@ object DailyStoreDml extends Rule[LogicalPlan] {
       case other => fail(
         s"not-matched actions ${other.mkString(", ")} — $MergeShape")
     }
-    val targetOut = rel.outputSet
-    val sourceOut = m.sourceTable.outputSet
-    val (keyAttr, srcKey) = m.mergeCondition match {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if targetOut.contains(a) && sourceOut.contains(b) => (a, b)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
-          if targetOut.contains(a) && sourceOut.contains(b) => (a, b)
-      case other => fail(
-        s"merge condition ${other.sql} — $MergeShape")
-    }
+    val (keyAttr, srcKey) = mergeKeyOf(m, rel)
     def byTarget(as: Seq[Assignment]): Map[String, Expression] =
       as.map {
         case Assignment(k: AttributeReference, v) => k.name -> v
@@ -293,6 +311,40 @@ case class DailyStoreUpdateCommand(path: String, pcol: String,
       spark,
       Project(cols,
         Filter(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)), rel)))
+    DailyStoreDml.writeReplacement(replacement, path, pcol, days)
+    Seq.empty
+  }
+}
+
+/** `MERGE ... WHEN MATCHED THEN DELETE` — delete-by-key-list (class
+  * doc of [[DailyStoreDml]]): discovery semi-join finds the days
+  * holding the source keys; each rewrites anti-joined against them
+  * (broadcast — the key list is the small side); a day losing every
+  * row is removed. Source keys matching nothing are ignored, per
+  * MERGE semantics.
+  */
+case class DailyStoreKeyedDeleteCommand(path: String, pcol: String,
+    rel: LogicalPlan, keyAttr: AttributeReference, keys: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(rel, keys)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val bridge = org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
+    val target = bridge.ofRows(spark, rel)
+    val keyDf = bridge.ofRows(spark, keys).distinct()
+    val days = target
+      .select(col(pcol), col(keyAttr.name))
+      .join(broadcast(keyDf), Seq(keyAttr.name), "left_semi")
+      .select(col(pcol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (days.isEmpty) return Seq.empty
+    val replacement = bridge.ofRows(spark,
+        Filter(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)), rel))
+      .join(broadcast(keyDf), Seq(keyAttr.name), "left_anti")
+      .select(rel.output.map(a => col(a.name)): _*)
     DailyStoreDml.writeReplacement(replacement, path, pcol, days)
     Seq.empty
   }

@@ -155,6 +155,25 @@ class DailyStoreDmlSpec extends SparkSpec {
     assert(readBack(path) == Seq((d("2020-03-06"), 8, "h")))
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE (keyed delete): matched keys " +
+    "leave their days, unmatched source keys are ignored, emptied " +
+    "day removed, untouched day intact") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    val before = dayFiles(path, "2020-03-01")
+    // k=3 deletes from 03-02 (bystander k=4 stays); k=5 empties 03-03;
+    // k=999 matches nothing
+    Seq(3, 5, 999).toDF("k").createOrReplaceTempView("dml_del")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_del ON $tbl.k = dml_del.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 4, "dd")))
+    assert(dayFiles(path, "2020-03-01") == before)
+    assert(!new java.io.File(path, "d=2020-03-03").exists())
+  }
+
   test("unsupported MERGE shapes fail loudly with the supported shape " +
     "in the message") {
     val (tbl, path, _) = freshStore()
