@@ -68,6 +68,7 @@ object DailyStoreDml extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(tbl, cond) if d.resolved =>
       dailystoreOf(tbl) match {
         case Some((t, rel)) =>
+          requireDeterministic(cond, "DELETE")
           DailyStoreDeleteCommand(t.storePath, t.partitionCol, rel, cond)
         case None => d
       }
@@ -80,6 +81,7 @@ object DailyStoreDml extends Rule[LogicalPlan] {
               s"UPDATE on a dailystore supports plain column assignments; " +
                 s"got ${other.sql}")
           }
+          cond.foreach(requireDeterministic(_, "UPDATE"))
           DailyStoreUpdateCommand(t.storePath, t.partitionCol, rel,
             assigns, cond.getOrElse(Literal.TrueLiteral))
         case None => u
@@ -90,6 +92,16 @@ object DailyStoreDml extends Rule[LogicalPlan] {
         case None => m
       }
   }
+
+  /** DELETE/UPDATE evaluate the condition TWICE (affected-day discovery,
+    * then the rewrite) — a nondeterministic predicate could condemn one
+    * row set and rewrite another, silently losing or keeping rows. Fail
+    * at analysis, like Spark's own row-level rewrites do. */
+  private def requireDeterministic(cond: Expression, stmt: String): Unit =
+    if (!cond.deterministic)
+      fail(s"$stmt condition ${cond.sql} is nondeterministic — the " +
+        "condition is evaluated once to find affected days and again " +
+        "in the rewrite, so it must be deterministic")
 
   private def fail(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(

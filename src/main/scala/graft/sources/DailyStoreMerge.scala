@@ -64,14 +64,30 @@ object DailyStoreMerge {
     * doc). Creates the store when absent. Returns the touched day
     * values (empty = the updates were empty, nothing committed).
     */
-  def mergeByKey(spark: SparkSession, path: String, updates: DataFrame,
+  def mergeByKey(spark: SparkSession, path: String, updates0: DataFrame,
                  key: String, pcol: String = "d",
                  assumeKeyDayStable: Boolean = false): Seq[String] = {
-    val cols = updates.columns
+    val cols = updates0.columns
     require(cols.contains(key),
       s"dailystore merge: updates lack the key column '$key'")
     require(cols.contains(pcol),
       s"dailystore merge: updates lack the partition column '$pcol'")
+    // MATERIALIZE the updates once: the merge evaluates them three
+    // times (contract aggregate, discovery join, rewrite union), and a
+    // nondeterministic source (a sampled batch, a rand()-carrying
+    // projection) would otherwise validate one row set and merge
+    // another — the same reason Delta's MERGE materializes its source.
+    // Updates are the SMALL side by contract, so the checkpoint is
+    // cheap; the blocks are released before returning.
+    val updatesCp = graft.util.Checkpoints.tracked(updates0)
+    try mergeMaterialized(spark, path, updatesCp.df, key, pcol,
+      assumeKeyDayStable, cols)
+    finally updatesCp.release()
+  }
+
+  private def mergeMaterialized(spark: SparkSession, path: String,
+      updates: DataFrame, key: String, pcol: String,
+      assumeKeyDayStable: Boolean, cols: Array[String]): Seq[String] = {
     // one small-side aggregate validates the whole updates contract:
     // n == count(key)  → no null keys;  n == count(pcol) → no null days;
     // n == n_distinct(key) → one row per key
