@@ -347,8 +347,13 @@ case class DailyStoreKeyedDeleteCommand(path: String, pcol: String,
     val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
     val target = bridge.ofRows(spark, rel)
     val keyDf = bridge.ofRows(spark, keys).distinct()
+    // key == partition column (ON t.d = s.d) degenerates to a day-list
+    // delete; the general select would duplicate the column
+    val discoveryCols =
+      if (keyAttr.name == pcol) Seq(col(pcol)) else
+        Seq(col(pcol), col(keyAttr.name))
     val days = target
-      .select(col(pcol), col(keyAttr.name))
+      .select(discoveryCols: _*)
       .join(broadcast(keyDf), Seq(keyAttr.name), "left_semi")
       .select(col(pcol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted

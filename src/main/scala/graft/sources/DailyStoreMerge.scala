@@ -107,7 +107,13 @@ object DailyStoreMerge {
     val hconf = spark.sessionState.newHadoopConf()
     val live = new Path(path)
     val fs = live.getFileSystem(hconf)
-    if (!fs.exists(live)) {
+    // "fresh" includes an EXISTING dir with no day partitions (a store
+    // whose days were all deleted keeps its sidecars/markers): there is
+    // nothing to discover or anti-join against, and reading it for the
+    // schema guard would fail on inference
+    val hasDays = fs.exists(live) && fs.listStatus(live).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+    if (!hasDays) {
       updates.write.format("dailystore").option("path", path)
         .option("partitionCol", pcol).mode("append").save()
       return updates.select(col(pcol).cast("string")).distinct()

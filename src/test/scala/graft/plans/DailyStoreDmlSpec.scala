@@ -174,6 +174,40 @@ class DailyStoreDmlSpec extends SparkSpec {
     assert(!new java.io.File(path, "d=2020-03-03").exists())
   }
 
+  test("keyed delete ON the partition column degenerates to a day-list " +
+    "delete; merge into a store whose days were ALL deleted re-seeds it") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    Seq(d("2020-03-01"), d("2020-03-03")).toDF("d")
+      .createOrReplaceTempView("dml_days")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_days ON $tbl.d = dml_days.d
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(readBack(path).map(_._2) == Seq(3, 4))
+    // empty the store entirely, then merge into the day-less store
+    spark.sql(s"DELETE FROM $tbl WHERE true")
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("d=")),
+      "every day directory removed (metadata-only full delete)")
+    graft.sources.DailyStoreMerge.mergeByKey(spark, path,
+      Seq((d("2020-03-09"), 11, "z")).toDF("d", "k", "v"), key = "k")
+    assert(readBack(path) == Seq((d("2020-03-09"), 11, "z")))
+  }
+
+  test("nondeterministic DELETE/UPDATE conditions are rejected at " +
+    "analysis") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DELETE FROM $tbl WHERE rand() < 0.5")
+    }
+    assert(e1.getMessage.contains("nondeterministic"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"UPDATE $tbl SET v = 'x' WHERE rand() < 0.5")
+    }
+    assert(e2.getMessage.contains("nondeterministic"), e2.getMessage)
+  }
+
   test("unsupported MERGE shapes fail loudly with the supported shape " +
     "in the message") {
     val (tbl, path, _) = freshStore()
