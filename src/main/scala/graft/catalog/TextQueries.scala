@@ -1002,10 +1002,17 @@ object TextQueries {
             |WHERE CAST(cnt AS DOUBLE) > 0.02 * CAST(total AS DOUBLE)
             |ORDER BY term""".stripMargin)
           .collect().map(_.getString(0))
+        // A bare backslash inside a Spark string literal starts an
+        // escape sequence ('a\b' lexes to "a" + backspace) under BOTH
+        // ANSI and legacy modes (probed on 4.1: doubling and \' both
+        // handle quotes, nothing but \\ handles a backslash) — so a
+        // stop token containing a backslash would render as the wrong
+        // token or swallow the closing quote. Backslash-escape both.
+        def lit(t: String): String =
+          "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
         val stopArr =
           if (stop.isEmpty) "CAST(array() AS ARRAY<STRING>)"
-          else stop.map(t => "'" + t.replace("'", "''") + "'")
-            .mkString("array(", ", ", ")")
+          else stop.map(lit).mkString("array(", ", ", ")")
         // 3. ENFORCE: the fused scan, q113's output convention
         s.sql(
           s"""SELECT doc_id,

@@ -940,10 +940,13 @@ object Dedup {
           .otherwise(0L)).as("changed")))
       val updated = updatedCp.df
       changedCount = {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.duration.Duration
+        // blocking{}: if the fallback regime ever fires, the parked
+        // obs.get thread is compensated for by the global pool instead
+        // of starving it one thread per round
         try Await.result(
-            Future(obs.get)(scala.concurrent.ExecutionContext.global),
+            Future(blocking(obs.get))(scala.concurrent.ExecutionContext.global),
             Duration(60, "s")).get("changed") match {
           case Some(n: Number) => n.longValue
           case _ => 0L // null sum = zero rows materialized

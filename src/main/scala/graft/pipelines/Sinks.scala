@@ -147,7 +147,14 @@ object Sinks {
     * the dailystore's manifest + writer lease — crash-replayable,
     * time-travel-versioned, no reader-visible rename gap, and at 100 TB
     * a handful of corrected rows rewrites a handful of days instead of
-    * the store.
+    * the store. NOTE the routed path enforces the merge CONTRACT where
+    * the swap path was permissive: null keys, duplicate update keys,
+    * null or path-unsafe partition values now fail loudly instead of
+    * being merged as-is — a KEYED upsert carrying a null or duplicated
+    * key is corrupt input (the reference's update_one cannot express it
+    * either), and a streaming caller replaying such a batch should
+    * filter it upstream rather than have the swap path silently keep
+    * both copies.
     *
     * Otherwise (a flat parquet dir — no day partitioning to prune on),
     * the merge is the documented whole-table shape: existing-anti-join

@@ -239,6 +239,17 @@ object DailyStoreDml extends Rule[LogicalPlan] {
     rel.output.find(_.name.equalsIgnoreCase(pcol)).getOrElse(
       fail(s"relation lacks the partition column '$pcol'"))
 
+  /** Heal any torn prior commit BEFORE a DML command reads the store:
+    * discovery and the replacement scan against a store with a pending
+    * manifest would compute from torn state, and the WRITE's own
+    * recovery preamble replays that manifest only AFTER the replacement
+    * rows were computed — the command would report success while the
+    * replay resurrects rows it never saw. Same ordering as
+    * [[graft.sources.DailyStoreMerge.mergeByKey]]'s preamble. */
+  private[plans] def heal(spark: SparkSession, path: String): Unit =
+    graft.sources.DailyStoreRecovery.recoverPendingCommits(
+      path, spark.sessionState.newHadoopConf())
+
   /** Days (as directory strings) holding rows matching `cond` — one
     * column-pruned, filter-pushed pass; bounded by the day domain. */
   private[plans] def affectedDays(spark: SparkSession, rel: LogicalPlan,
@@ -268,6 +279,7 @@ case class DailyStoreDeleteCommand(path: String, pcol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(rel)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    DailyStoreDml.heal(spark, path)
     val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
     // METADATA-ONLY fast path: a condition over the partition column
     // alone selects WHOLE days, so the condemned set is computable from
@@ -287,10 +299,15 @@ case class DailyStoreDeleteCommand(path: String, pcol: String,
         org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
           spark, LocalRelation(rel.output))
       else
+        // survivors are rows where cond is NOT TRUE — null-safe, like
+        // Spark's own RewriteDeleteFromTable: a plain Not(cond) would
+        // silently DELETE every row where the condition evaluates to
+        // NULL (e.g. `WHERE v = 'x'` against a null v)
         org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
           spark,
           Filter(And(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)),
-            Not(cond)), rel))
+            Not(org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+              cond, Literal.TrueLiteral))), rel))
     DailyStoreDml.writeReplacement(replacement, path, pcol, days)
     Seq.empty
   }
@@ -309,6 +326,7 @@ case class DailyStoreUpdateCommand(path: String, pcol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(rel)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    DailyStoreDml.heal(spark, path)
     val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
     val days = DailyStoreDml.affectedDays(spark, rel, pcolAttr, cond)
     if (days.isEmpty) return Seq.empty
@@ -343,6 +361,7 @@ case class DailyStoreKeyedDeleteCommand(path: String, pcol: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    DailyStoreDml.heal(spark, path)
     val bridge = org.apache.spark.sql.graftbridge.GraftSqlBridge
     val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
     val target = bridge.ofRows(spark, rel)

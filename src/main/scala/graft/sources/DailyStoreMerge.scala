@@ -107,6 +107,15 @@ object DailyStoreMerge {
     val hconf = spark.sessionState.newHadoopConf()
     val live = new Path(path)
     val fs = live.getFileSystem(hconf)
+    // heal any torn prior commit BEFORE anything reads the LISTING or
+    // the data: a pending manifest means both that a day could read
+    // partially applied AND that a store torn at the all-days-deleted
+    // crash point would look day-less — taking the fresh-append path
+    // there would skip the anti-join while the append's own commit
+    // preamble replays the manifest, resurrecting old copies of the
+    // merged keys (r19 review)
+    if (fs.exists(live))
+      DailyStoreRecovery.recoverPendingCommits(path, hconf)
     // "fresh" includes an EXISTING dir with no day partitions (a store
     // whose days were all deleted keeps its sidecars/markers): there is
     // nothing to discover or anti-join against, and reading it for the
@@ -119,9 +128,6 @@ object DailyStoreMerge {
       return updates.select(col(pcol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
     }
-    // heal any torn prior commit BEFORE discovery reads the store — a
-    // pending manifest means a day could be read partially applied
-    DailyStoreRecovery.recoverPendingCommits(path, hconf)
     // column-set guard (class doc): the rewrite writes the updates'
     // columns, so the sets must match exactly
     val storeCols = spark.read.parquet(path).schema.fieldNames.toSet

@@ -61,11 +61,16 @@ object PlanAudit {
       walk(root)
     }
 
+    // static SMJ counts captured here are reused by the AQE table below
+    // (re-planning them there would double the fixture-build work every
+    // regeneration)
+    val staticSmjByName = scala.collection.mutable.Map.empty[String, Int]
     val rows = Catalog.all.toSeq.sortBy(_._1).map { case (name, q) =>
       try {
         val executed = q.fn(spark, dir).queryExecution.executedPlan
         val plan = executed.toString
         val (nEx, nBhj, nSmj) = executedCounts(executed)
+        staticSmjByName(name) = nSmj
         val pushed = count(plan, "PushedFilters: [") -
           count(plan, "PushedFilters: []")
         // whole-stage-codegen spans print as "*(<id>)" in the plan tree
@@ -112,9 +117,7 @@ object PlanAudit {
       Seq("q06_top5_normalized", "q37_minhash_lsh", "q38_simhash",
         "q45_curate_corpus").map { name =>
         try {
-          val staticPlan = Catalog.all(name).fn(spark, dir)
-            .queryExecution.executedPlan
-          val (_, _, staticSmj) = executedCounts(staticPlan)
+          val staticSmj = staticSmjByName.getOrElse(name, -1)
           val qe = Catalog.all(name).fn(aqeSpark, dir).queryExecution
           qe.toRdd.foreach(_ => ()) // AQE finalizes during execution
           val finals = deepNodes(qe.executedPlan).collect {

@@ -194,6 +194,23 @@ class DailyStoreDmlSpec extends SparkSpec {
     assert(readBack(path) == Seq((d("2020-03-09"), 11, "z")))
   }
 
+  test("DELETE keeps rows whose condition evaluates to NULL (SQL " +
+    "deletes only WHERE-true rows)") {
+    val (tbl, path, _) = freshStore()
+    Seq((d("2020-03-01"), 1, Some("x")), (d("2020-03-01"), 2, None),
+      (d("2020-03-02"), 3, Some("y")))
+      .toDF("d", "k", "v").repartition(2)
+      .write.format("dailystore").option("path", path)
+      .option("partitionCol", "d").mode("append").save()
+    // k=1 matches; k=2's v is NULL so `v = 'x'` is NULL, not TRUE —
+    // the row must SURVIVE the affected-day rewrite
+    spark.sql(s"DELETE FROM $tbl WHERE v = 'x'")
+    val got = spark.read.parquet(path).select("d", "k", "v")
+      .orderBy("k").as[(Date, Int, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (d("2020-03-01"), 2, None), (d("2020-03-02"), 3, Some("y"))))
+  }
+
   test("nondeterministic DELETE/UPDATE conditions are rejected at " +
     "analysis") {
     val (tbl, path, _) = freshStore()
