@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -156,6 +158,24 @@ object Sinks {
     * filter it upstream rather than have the swap path silently keep
     * both copies.
     *
+    * The routing is gated on PROVENANCE, not layout sniffing alone
+    * (r20): a dir routes through the merge only when the dailystore's
+    * own `_last_commit.json` sidecar is present — i.e. the connector
+    * wrote it — OR the caller passes `adoptDayPartitioned = true` to
+    * explicitly ADOPT a plain day-partitioned parquet dir into
+    * dailystore management (the first routed upsert plants the
+    * manifest/sidecar files; plain `spark.read.parquet` readers are
+    * unaffected — they are underscore-prefixed — and subsequent time
+    * travel starts at the adoption commit; SinksSpec pins both).
+    * Without either, a day-partitioned dir some other writer produced
+    * takes the documented whole-table swap exactly as it did pre-r19 —
+    * its layout alone no longer opts it into planted metadata and the
+    * stricter contract. An adoption candidate whose day directory
+    * names carry URI-escaped characters (`a%20b`) falls back to the
+    * swap path with a logged warning: the merge would re-escape them
+    * on rewrite, and a value the escaping round-trip can corrupt is
+    * exactly the input the permissive swap path already handles.
+    *
     * Otherwise (a flat parquet dir — no day partitioning to prune on),
     * the merge is the documented whole-table shape: existing-anti-join
     * ∪ updates written to a temp dir then swapped in, because plain
@@ -170,18 +190,31 @@ object Sinks {
     * this whole method is `MERGE INTO`.
     */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
-                  key: String): Unit = {
+                  key: String, adoptDayPartitioned: Boolean = false): Unit = {
     if (!exists(spark, path)) {
       updates.write.mode("overwrite").parquet(path)
       return
     }
+    val dailystoreProvenance = exists(spark,
+      path + "/" + graft.sources.DailyStoreTimeTravel.LastCommitFile)
     graft.sources.DailyStoreMerge.sniffPartitionCol(spark, path) match {
-      case Some(pcol) if updates.columns.contains(pcol) && pcol != key =>
-        graft.sources.DailyStoreMerge.mergeByKey(
-          spark, path, updates, key, pcol)
-        return
-      case _ => () // flat layout (or updates lack the partition column):
-        // the whole-table swap below is the only sound shape
+      case Some(pcol) if updates.columns.contains(pcol) && pcol != key &&
+          (dailystoreProvenance || adoptDayPartitioned) =>
+        if (!dailystoreProvenance &&
+            graft.sources.DailyStoreMerge.hasEscapedDayValues(
+              spark, path, pcol)) {
+          log.warn(s"upsertByKey: not adopting $path — its '$pcol=' " +
+            "directory names carry URI-escaped characters the merge " +
+            "rewrite would round-trip through escaping; taking the " +
+            "whole-table swap path instead")
+        } else {
+          graft.sources.DailyStoreMerge.mergeByKey(
+            spark, path, updates, key, pcol)
+          return
+        }
+      case _ => () // flat layout, updates lack the partition column, or
+        // no provenance/opt-in: the whole-table swap below is the
+        // documented shape
     }
     val existing = spark.read.parquet(path)
     val merged = existing

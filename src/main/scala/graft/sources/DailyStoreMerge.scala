@@ -45,8 +45,15 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit
   * written: their files stay byte-identical (DailyStoreMergeSpec pins
   * names + bytes). At 100 TB that is the difference between rewriting
   * a handful of day partitions and rewriting the store: cost is
-  * O(touched days' data) + one two-column discovery scan, with the
-  * updates broadcast on both joins.
+  * O(touched days' data) + one two-column discovery scan. The update
+  * keys are BROADCAST on both joins only while they are measurably
+  * small: the contract aggregate already counts the updates, and above
+  * `spark.graft.merge.maxBroadcastKeys` (default 1,000,000 — ~32 MB of
+  * broadcast at a 32-byte key) both joins fall through to a
+  * `shuffle_hash`-hinted join instead, so a 10⁸-key tombstone/GDPR
+  * batch shuffles rather than OOMing the driver (same measured-
+  * cardinality pattern as `HeavyHitters.exactTopKByGroup`; result-
+  * equality across both regimes pinned in DailyStoreMergeSpec).
   *
   * Driver state is bounded by construction: the only collects are the
   * touched-day values (≤ the store's day domain — 3,650 for a 10-year
@@ -57,16 +64,61 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit
   * values, and exactly the store's column set (a store column absent
   * from the updates would be silently dropped from every rewritten
   * day — rejected loudly instead).
+  *
+  * Cardinality on the TARGET side: the store does not enforce key
+  * uniqueness (appends can create same-key copies), and keyed replace
+  * COLLAPSES them — every same-key copy is anti-joined away and exactly
+  * one update row takes their place. That is the reference's
+  * `update_one` replace semantics, but it diverges from SQL MERGE
+  * (which updates EACH matched copy), so the SQL front passes
+  * `requireUniqueMatchedKeys = true` to detect duplicate matched target
+  * keys on the touched days (one partition-pruned key-column pass) and
+  * fail loudly instead of silently collapsing.
   */
 object DailyStoreMerge {
+
+  /** Above this many update keys, the merge's discovery/rewrite joins
+    * stop broadcasting and take a `shuffle_hash`-hinted join instead
+    * (class doc). Overridable via `spark.graft.merge.maxBroadcastKeys`.
+    */
+  private[graft] val MaxBroadcastKeysConf = "spark.graft.merge.maxBroadcastKeys"
+  private[graft] val MaxBroadcastKeysDefault = 1000000L
+
+  private[graft] def maxBroadcastKeys(spark: SparkSession): Long =
+    spark.conf.getOption(MaxBroadcastKeysConf)
+      .map(_.toLong).getOrElse(MaxBroadcastKeysDefault)
+
+  /** The measured-cardinality join-strategy guard: broadcast the key
+    * frame while it is small, `shuffle_hash`-hint it above the
+    * threshold (never sort-merge — the key side has no useful ordering
+    * and the store side should not sort either).
+    */
+  private[graft] def sizedKeySide(spark: SparkSession, keys: DataFrame,
+                                  nKeys: Long): DataFrame =
+    if (nKeys <= maxBroadcastKeys(spark)) broadcast(keys)
+    else keys.hint("shuffle_hash")
 
   /** Merge `updates` into the dailystore at `path` by `key` (class
     * doc). Creates the store when absent. Returns the touched day
     * values (empty = the updates were empty, nothing committed).
+    *
+    * `requireUniqueMatchedKeys = true` (the SQL MERGE front) rejects a
+    * merge whose matched target keys have same-key copies in the store
+    * instead of collapsing them (class doc, cardinality paragraph).
+    *
+    * `addColumns = true` opts into SCHEMA EVOLUTION: the updates may
+    * carry columns the store lacks (they must still carry every store
+    * column — dropping is never allowed). Rewritten days get the new
+    * columns; untouched days keep their old files byte-identical and
+    * serve NULL for the new columns when read with the updates' schema
+    * or a schema-merging read. Off by default so a misspelled column
+    * stays a loud error rather than a silent evolution.
     */
   def mergeByKey(spark: SparkSession, path: String, updates0: DataFrame,
                  key: String, pcol: String = "d",
-                 assumeKeyDayStable: Boolean = false): Seq[String] = {
+                 assumeKeyDayStable: Boolean = false,
+                 requireUniqueMatchedKeys: Boolean = false,
+                 addColumns: Boolean = false): Seq[String] = {
     val cols = updates0.columns
     require(cols.contains(key),
       s"dailystore merge: updates lack the key column '$key'")
@@ -81,13 +133,14 @@ object DailyStoreMerge {
     // cheap; the blocks are released before returning.
     val updatesCp = graft.util.Checkpoints.tracked(updates0)
     try mergeMaterialized(spark, path, updatesCp.df, key, pcol,
-      assumeKeyDayStable, cols)
+      assumeKeyDayStable, cols, requireUniqueMatchedKeys, addColumns)
     finally updatesCp.release()
   }
 
   private def mergeMaterialized(spark: SparkSession, path: String,
       updates: DataFrame, key: String, pcol: String,
-      assumeKeyDayStable: Boolean, cols: Array[String]): Seq[String] = {
+      assumeKeyDayStable: Boolean, cols: Array[String],
+      requireUniqueMatchedKeys: Boolean, addColumns: Boolean): Seq[String] = {
     // one small-side aggregate validates the whole updates contract:
     // n == count(key)  → no null keys;  n == count(pcol) → no null days;
     // n == n_distinct(key) → one row per key
@@ -129,23 +182,43 @@ object DailyStoreMerge {
         .collect().map(_.getString(0)).toSeq.sorted
     }
     // column-set guard (class doc): the rewrite writes the updates'
-    // columns, so the sets must match exactly
-    val storeCols = spark.read.parquet(path).schema.fieldNames.toSet
-    require(storeCols == cols.toSet,
-      s"dailystore merge: store at $path has columns " +
-        s"${storeCols.toSeq.sorted.mkString(",")} but updates carry " +
-        s"${cols.sorted.mkString(",")} — a merge must preserve every " +
-        "store column, so the sets must match")
+    // columns, so the sets must match exactly — unless `addColumns`
+    // opted into evolution, where the updates may ADD columns but never
+    // drop one. The inference MUST merge footers: a store whose days
+    // straddle a prior evolution has mixed per-file schemas, and
+    // single-footer inference picking an old file would both spuriously
+    // reject a post-evolution merge AND silently bless one that drops
+    // the evolved column from every day it rewrites. mergeSchema is one
+    // parallel footer-metadata job, bounded by file count, not data
+    // size (a schema-in-sidecar record would amortize it — noted as the
+    // Delta-log-parity increment, not needed at the current surface).
+    val storeCols = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema.fieldNames.toSet
+    if (addColumns)
+      require(storeCols.subsetOf(cols.toSet),
+        s"dailystore merge (addColumns): store at $path has columns " +
+          s"${storeCols.toSeq.sorted.mkString(",")} but updates carry " +
+          s"${cols.sorted.mkString(",")} — evolution may ADD columns, " +
+          "never drop one, so the updates must carry every store column")
+    else
+      require(storeCols == cols.toSet,
+        s"dailystore merge: store at $path has columns " +
+          s"${storeCols.toSeq.sorted.mkString(",")} but updates carry " +
+          s"${cols.sorted.mkString(",")} — a merge must preserve every " +
+          "store column, so the sets must match (pass addColumns = true " +
+          "to evolve the schema by adding columns)")
     // read with the UPDATES' schema: pins the partition column's type
     // against directory-name inference (the digit-like-string hazard
     // DailyStoreRecovery.compact documents) and aligns column types for
     // the union below
     val store = spark.read.schema(updates.schema).parquet(path)
-    val updKeys = updates.select(col(key)).distinct()
+    // the contract aggregate proved one row per key, so n IS the key
+    // cardinality — the measured size that picks broadcast vs shuffle
+    val updKeys = sizedKeySide(spark, updates.select(col(key)).distinct(), n)
     val daysWithKeys: Seq[String] =
       if (assumeKeyDayStable) Nil
       else store.select(col(pcol), col(key))
-        .join(broadcast(updKeys), Seq(key), "left_semi")
+        .join(updKeys, Seq(key), "left_semi")
         .select(col(pcol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
     val insertDays: Seq[String] =
@@ -160,9 +233,27 @@ object DailyStoreMerge {
         touched.map(java.sql.Date.valueOf)
       case _ => touched
     }
+    // SQL-front cardinality guard (class doc): one partition-pruned
+    // key-column pass over the touched days BEFORE the commit — a
+    // matched key with same-key copies in the store would be silently
+    // collapsed by the keyed replace, which SQL MERGE must reject
+    if (requireUniqueMatchedKeys) {
+      val dup = store.filter(col(pcol).isin(touchedVals: _*))
+        .select(col(key))
+        .join(updKeys, Seq(key), "left_semi")
+        .groupBy(col(key)).agg(count(lit(1)).as("copies"))
+        .filter(col("copies") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"dailystore merge: target key '${dup.head.get(0)}' has " +
+          s"${dup.head.getLong(1)} same-key copies in the store — keyed " +
+          "replace would collapse them to one row, diverging from SQL " +
+          "MERGE's update-each-copy semantics; deduplicate the store " +
+          "(or use the Scala mergeByKey, whose replace-collapse " +
+          "cardinality is the documented contract)")
+    }
     val merged = store
       .filter(col(pcol).isin(touchedVals: _*))
-      .join(broadcast(updKeys), Seq(key), "left_anti")
+      .join(updKeys, Seq(key), "left_anti")
       .unionByName(updates.select(cols.map(col).toSeq: _*))
     merged.write.format("dailystore")
       .option("path", path).option("partitionCol", pcol)
@@ -188,5 +279,22 @@ object DailyStoreMerge {
         !n.startsWith("."))
       .map(_.split("=", 2)(0)).distinct
     if (prefixes.length == 1) Some(prefixes.head) else None
+  }
+
+  /** True when any `pcol=` directory name at `path` carries a `%`
+    * (URI-escaped partition value — Spark escapes e.g. a space to
+    * `%20`). [[graft.pipelines.Sinks.upsertByKey]] refuses to ADOPT
+    * such a dir into dailystore management: the merge rewrite would
+    * round-trip values through escaping, and the permissive swap path
+    * already handles them.
+    */
+  private[graft] def hasEscapedDayValues(spark: SparkSession,
+                                         path: String,
+                                         pcol: String): Boolean = {
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(live) && fs.listStatus(live).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$pcol=") &&
+        s.getPath.getName.contains("%"))
   }
 }

@@ -71,7 +71,7 @@ object DailyStoreTimeTravel {
 
   private[sources] val VersionsDir = "_versions"
   private[sources] val RetentionFile = "_retention.json"
-  private[sources] val LastCommitFile = "_last_commit.json"
+  private[graft] val LastCommitFile = "_last_commit.json"
 
   /** The newest committed seq the store has recorded, from the
     * `_last_commit.json` sidecar every commit stamps (retention ON or

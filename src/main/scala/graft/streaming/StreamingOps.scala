@@ -65,9 +65,11 @@ object StreamingOps {
     * updating them once resolved, cv.py:112-132). Use as
     * `stream.writeStream.foreachBatch(upsertEachBatch(path, key) _)`.
     */
-  def upsertEachBatch(path: String, key: String)(
+  def upsertEachBatch(path: String, key: String,
+                      adoptDayPartitioned: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit =
-    Sinks.upsertByKey(batch.sparkSession, batch.dropDuplicates(key), path, key)
+    Sinks.upsertByKey(batch.sparkSession, batch.dropDuplicates(key), path,
+      key, adoptDayPartitioned)
 
   /** The reference's daily re-ingest loop, fully ENGINE-NATIVE end to
     * end (r15): each micro-batch carries complete day slices (the

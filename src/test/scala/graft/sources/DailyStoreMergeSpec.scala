@@ -188,4 +188,126 @@ class DailyStoreMergeSpec extends SparkSpec {
       .as[(Int, String)].collect().toSeq ==
       Seq((1, "a"), (2, "B2"), (3, "c")))
   }
+
+  test("size-guarded key joins: forcing the shuffle_hash fallthrough " +
+    "(maxBroadcastKeys = 1) yields the identical result the broadcast " +
+    "regime does") {
+    val updates = rows(("2020-03-02", 3, "C2"), ("2020-03-02", 5, "E2"),
+      ("2020-03-04", 9, "I"))
+    def runWith(conf: Option[String]): Seq[(Date, Int, String)] = {
+      val dir = freshDir(s"size${conf.getOrElse("bc")}")
+      seed(dir)
+      conf match {
+        case Some(v) => spark.conf.set(DailyStoreMerge.MaxBroadcastKeysConf, v)
+        case None => spark.conf.unset(DailyStoreMerge.MaxBroadcastKeysConf)
+      }
+      try DailyStoreMerge.mergeByKey(spark, dir, updates, "k", "d")
+      finally spark.conf.unset(DailyStoreMerge.MaxBroadcastKeysConf)
+      readBack(dir)
+    }
+    val broadcastResult = runWith(None) // 3 keys <= default 1M: broadcast
+    val shuffledResult = runWith(Some("1")) // 3 keys > 1: shuffle_hash
+    assert(broadcastResult == shuffledResult)
+    assert(broadcastResult.contains((d("2020-03-02"), 3, "C2")))
+  }
+
+  test("requireUniqueMatchedKeys rejects a merge whose matched target " +
+    "key has same-key copies; the default collapses them (documented " +
+    "keyed-replace cardinality)") {
+    val dir = freshDir("dupt")
+    // two copies of k=3 in the store (appends can create them)
+    rows(("2020-03-01", 1, "a"), ("2020-03-02", 3, "c1"))
+      .write.format("dailystore").option("path", dir)
+      .option("partitionCol", "d").mode("append").save()
+    rows(("2020-03-03", 3, "c2"))
+      .write.format("dailystore").option("path", dir)
+      .option("partitionCol", "d").mode("append").save()
+    val upd = rows(("2020-03-02", 3, "C9"))
+    val ex = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir, upd, "k", "d",
+        requireUniqueMatchedKeys = true)
+    }
+    assert(ex.getMessage.contains("same-key copies"))
+    // the guard failed BEFORE the commit: both copies still present
+    assert(readBack(dir).count(_._2 == 3) == 2)
+    // default (Scala-front) semantics: both copies collapse to the one
+    // update row — the reference's update_one replace shape
+    DailyStoreMerge.mergeByKey(spark, dir, upd, "k", "d")
+    assert(readBack(dir) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-02"), 3, "C9")))
+    // an UNMATCHED duplicate elsewhere in the store never trips the
+    // guard: only keys the updates actually touch are checked
+    val dir2 = freshDir("duptother")
+    rows(("2020-03-01", 7, "x1"), ("2020-03-02", 7, "x2"),
+      ("2020-03-02", 8, "y"))
+      .write.format("dailystore").option("path", dir2)
+      .option("partitionCol", "d").mode("append").save()
+    DailyStoreMerge.mergeByKey(spark, dir2, rows(("2020-03-02", 8, "Y2")),
+      "k", "d", requireUniqueMatchedKeys = true)
+    assert(readBack(dir2).contains((d("2020-03-02"), 8, "Y2")))
+  }
+
+  test("addColumns = true evolves the schema: rewritten days carry the " +
+    "new column, untouched days stay byte-identical and serve NULL; " +
+    "without the opt-in the widened updates are rejected") {
+    val dir = freshDir("evolve")
+    seed(dir)
+    val before0301 = dayFiles(dir, "2020-03-01")
+    val widened = Seq((d("2020-03-02"), 3, "C2", "noted"))
+      .toDF("d", "k", "v", "note")
+    // loud without the opt-in
+    val ex = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir, widened, "k", "d")
+    }
+    assert(ex.getMessage.contains("addColumns"))
+    DailyStoreMerge.mergeByKey(spark, dir, widened, "k", "d",
+      addColumns = true)
+    // untouched day: same files, same bytes — evolution never rewrites it
+    assert(dayFiles(dir, "2020-03-01") == before0301)
+    val evolved = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("d", "k", "v", "note").orderBy("d", "k")
+      .as[(Date, Int, String, Option[String])].collect().toSeq
+    assert(evolved == Seq(
+      (d("2020-03-01"), 1, "a", None), (d("2020-03-01"), 2, "b", None),
+      (d("2020-03-02"), 3, "C2", Some("noted")),
+      (d("2020-03-02"), 4, "d", None),
+      (d("2020-03-03"), 5, "e", None)))
+    // a SUBSEQUENT merge carrying the evolved set passes the column-set
+    // guard even though single-footer inference could see either schema
+    DailyStoreMerge.mergeByKey(spark, dir,
+      Seq((d("2020-03-03"), 5, "E3", "more")).toDF("d", "k", "v", "note"),
+      "k", "d")
+    assert(spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("k") === 5).select("note").as[Option[String]]
+      .collect().toSeq == Seq(Some("more")))
+    // dropping a store column stays loud even under addColumns
+    val ex2 = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        Seq((d("2020-03-02"), 3, "x")).toDF("d", "k", "v"), "k", "d",
+        addColumns = true)
+    }
+    assert(ex2.getMessage.contains("never drop"))
+  }
+
+  test("addColumns composes with retention/time travel: the version " +
+    "BEFORE the evolution reads back with the old schema's contents") {
+    val dir = freshDir("evtt")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 3)
+    rows(("2020-03-01", 1, "a"), ("2020-03-02", 3, "c"))
+      .write.format("dailystore").option("path", dir)
+      .option("partitionCol", "d").mode("append").save()
+    val widened = Seq((d("2020-03-02"), 3, "C2", "n1"))
+      .toDF("d", "k", "v", "note")
+    DailyStoreMerge.mergeByKey(spark, dir, widened, "k", "d",
+      addColumns = true)
+    // current state: evolved
+    assert(spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("k") === 3).select("note").as[Option[String]]
+      .collect().toSeq == Seq(Some("n1")))
+    // one version back (pre-evolution): old contents, old columns
+    val v1 = DailyStoreTimeTravel.readVersion(spark, dir, 1)
+    assert(v1.select("d", "k", "v").orderBy("k")
+      .as[(Date, Int, String)].collect().toSeq ==
+      Seq((d("2020-03-01"), 1, "a"), (d("2020-03-02"), 3, "c")))
+  }
 }
