@@ -110,11 +110,15 @@ object DailyStoreDml extends Rule[LogicalPlan] {
       None)
 
   private val MergeShape =
-    "the supported MERGE shapes are: (keyed replace) MERGE INTO " +
-      "<dailystore> USING <src> ON <target>.<key> = <src>.<col> " +
-      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *; " +
-      "(keyed delete) the same ON with only WHEN MATCHED THEN DELETE " +
-      "(see graft.sources.DailyStoreMerge for the general Scala API)"
+    "the supported MERGE shape is: MERGE INTO <dailystore> USING <src> " +
+      "ON <target>.<key> = <src>.<col>, with at most ONE WHEN MATCHED " +
+      "clause ([AND <cond>] THEN UPDATE SET <col> = <expr>, ... | SET * " +
+      "| DELETE) and at most ONE WHEN NOT MATCHED clause ([AND <cond>] " +
+      "THEN INSERT assigning every target column, e.g. INSERT *), at " +
+      "least one clause total; WHEN NOT MATCHED BY SOURCE, WITH SCHEMA " +
+      "EVOLUTION, subqueries and nondeterministic expressions in " +
+      "clauses are not supported " +
+      "(see graft.sources.DailyStoreMerge for the Scala API)"
 
   /** The ON equality's (target attr, source side) — shared by both
     * supported merge shapes. */
@@ -136,58 +140,108 @@ object DailyStoreDml extends Rule[LogicalPlan] {
       fail(s"WHEN NOT MATCHED BY SOURCE is not supported — $MergeShape")
     if (m.withSchemaEvolution)
       fail(s"WITH SCHEMA EVOLUTION is not supported — $MergeShape")
-    // the KEYED-DELETE shape (the second supported form): WHEN MATCHED
-    // THEN DELETE with no other clauses — delete-by-key-list (the
-    // GDPR/tombstone pattern). Discovery finds the days holding the
-    // keys; each rewrites without them; source rows matching nothing
-    // are ignored, exactly MERGE's semantics.
+    val (keyAttr, srcKey) = mergeKeyOf(m, rel)
+    // the KEYED-DELETE fast path: WHEN MATCHED THEN DELETE alone —
+    // delete-by-key-list (the GDPR/tombstone pattern). Discovery finds
+    // the days holding the keys; each rewrites without them; source
+    // rows matching nothing are ignored, exactly MERGE's semantics.
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(DeleteAction(None)), Seq()) =>
-        val (kAttr, sKey) = mergeKeyOf(m, rel)
         return DailyStoreKeyedDeleteCommand(t.storePath, t.partitionCol,
-          rel, kAttr, Project(Seq(Alias(sKey, kAttr.name)()), m.sourceTable))
+          rel, keyAttr,
+          Project(Seq(Alias(srcKey, keyAttr.name)()), m.sourceTable))
       case _ => ()
     }
-    val uAssigns = m.matchedActions match {
-      case Seq(UpdateAction(None, as, _)) => as
-      case other => fail(
-        s"matched actions ${other.mkString(", ")} — $MergeShape")
-    }
-    val iAssigns = m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) => as
-      case other => fail(
-        s"not-matched actions ${other.mkString(", ")} — $MergeShape")
-    }
-    val (keyAttr, srcKey) = mergeKeyOf(m, rel)
     def byTarget(as: Seq[Assignment]): Map[String, Expression] =
       as.map {
         case Assignment(k: AttributeReference, v) => k.name -> v
         case Assignment(other, _) => fail(
           s"assignment to ${other.sql} — $MergeShape")
       }.toMap
-    val uMap = byTarget(uAssigns)
-    val iMap = byTarget(iAssigns)
-    rel.output.foreach { attr =>
-      (uMap.get(attr.name), iMap.get(attr.name)) match {
-        case (Some(u), Some(i)) if u.semanticEquals(i) => ()
-        case _ => fail(
-          s"UPDATE and INSERT must assign every target column " +
-            s"identically ('${attr.name}' differs or is missing) — " +
-            MergeShape)
-      }
+    // guards shared by both remaining paths: every clause condition and
+    // assignment value must be deterministic and subquery-free — the
+    // source/conditions are evaluated more than once (discovery, then
+    // the rewrite), the double-evaluation hazard class
+    def guard(e: Expression, what: String): Unit = {
+      if (!e.deterministic)
+        fail(s"$what ${e.sql} is nondeterministic — $MergeShape")
+      if (e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        fail(s"$what ${e.sql} carries a subquery — $MergeShape")
     }
-    iMap(keyAttr.name) match {
-      case a: AttributeReference if a.semanticEquals(srcKey) => ()
+    // the KEYED-REPLACE fast path: unconditional UPDATE + INSERT whose
+    // assignments agree on EVERY column with the key assigned the ON
+    // equality's source side — exactly what SET * / INSERT * produce.
+    // Routed through mergeByKey (one discovery scan, no outer join).
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateAction(None, uAs, _)), Seq(InsertAction(None, iAs))) =>
+        val uMap = byTarget(uAs)
+        val iMap = byTarget(iAs)
+        val replaceShaped =
+          rel.output.forall { attr =>
+            (uMap.get(attr.name), iMap.get(attr.name)) match {
+              case (Some(u), Some(i)) => u.semanticEquals(i)
+              case _ => false
+            }
+          } && (iMap(keyAttr.name) match {
+            case a: AttributeReference => a.semanticEquals(srcKey)
+            case _ => false
+          })
+        if (replaceShaped) {
+          iMap.values.foreach(guard(_, "assignment"))
+          val updates = Project(
+            rel.output.map(attr => Alias(iMap(attr.name), attr.name)()),
+            m.sourceTable)
+          return DailyStoreMergeCommand(t.storePath, t.partitionCol,
+            keyAttr.name, updates)
+        }
+      case _ => ()
+    }
+    // the GENERAL read-modify path (r20): at most one conditional
+    // matched clause (partial-column UPDATE or DELETE), at most one
+    // conditional NOT MATCHED INSERT covering every target column —
+    // insert-if-absent, conditional corrections, keyed tombstones with
+    // a guard, in any combination. Semantics are SQL MERGE's: each
+    // matched target COPY updates/deletes (no keyed-replace collapse),
+    // unmatched source rows insert into their day.
+    val (update, delete) = m.matchedActions match {
+      case Seq() => (None, None)
+      case Seq(UpdateAction(cond, as, _)) =>
+        cond.foreach(guard(_, "WHEN MATCHED condition"))
+        val ua = as.map {
+          case Assignment(k: AttributeReference, v)
+              if rel.outputSet.contains(k) =>
+            guard(v, "UPDATE assignment"); (k, v)
+          case Assignment(other, _) => fail(
+            s"assignment to ${other.sql} — $MergeShape")
+        }
+        (Some((cond, ua)), None)
+      case Seq(DeleteAction(cond)) =>
+        cond.foreach(guard(_, "WHEN MATCHED condition"))
+        (None, Some(cond))
       case other => fail(
-        s"the key column '${keyAttr.name}' must be assigned the ON " +
-          s"equality's source side, got ${other.sql} — $MergeShape")
+        s"at most one WHEN MATCHED clause is supported, got " +
+          s"${other.size} — $MergeShape")
     }
-    val updates = Project(
-      rel.output.map(attr =>
-        Alias(iMap(attr.name), attr.name)()),
-      m.sourceTable)
-    DailyStoreMergeCommand(t.storePath, t.partitionCol,
-      keyAttr.name, updates)
+    val insert = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(InsertAction(cond, as)) =>
+        cond.foreach(guard(_, "WHEN NOT MATCHED condition"))
+        val iMap = byTarget(as)
+        iMap.values.foreach(guard(_, "INSERT assignment"))
+        val missing = rel.output.filterNot(a => iMap.contains(a.name))
+        if (missing.nonEmpty) fail(
+          s"INSERT must assign every target column (missing " +
+            s"${missing.map(_.name).mkString(", ")}) — $MergeShape")
+        Some((cond, rel.output.map(a => iMap(a.name))))
+      case other => fail(
+        s"at most one WHEN NOT MATCHED clause is supported, got " +
+          s"${other.size} — $MergeShape")
+    }
+    if (update.isEmpty && delete.isEmpty && insert.isEmpty)
+      fail(s"MERGE needs at least one clause — $MergeShape")
+    DailyStoreGeneralMergeCommand(t.storePath, t.partitionCol, rel,
+      keyAttr, srcKey, m.sourceTable, update, delete, insert)
   }
 
   /** The DELETE metadata-only fast path's day set: `Some(days)` when
@@ -205,6 +259,15 @@ object DailyStoreDml extends Rule[LogicalPlan] {
     if (!cond.deterministic) return None
     if (!cond.references.subsetOf(AttributeSet(pcolAttr))) return None
     if (cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    // only types whose directory-name string this method can bind
+    // faithfully: a digit-like string day (d=20240101) makes partition
+    // inference type the column INTEGER, and binding a UTF8String into
+    // an integer-typed predicate would CCE or mis-compare — let the
+    // scan path (whose analysis coerces types) handle anything else
+    pcolAttr.dataType match {
+      case DateType | org.apache.spark.sql.types.StringType => ()
+      case _ => return None
+    }
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(live)) return Some(Nil)
@@ -227,12 +290,18 @@ object DailyStoreDml extends Rule[LogicalPlan] {
   }
 
   /** Typed day literals so the affected-day predicate partition-prunes
-    * (a string literal against a date column would cast the COLUMN). */
+    * (a string literal against a date column would cast the COLUMN).
+    * For any other inferred type (a digit-like string day directory
+    * infers INTEGER), fold the directory string through a literal cast
+    * — foldable, so constant folding leaves a typed literal and the
+    * predicate stays a partition filter. */
   private[plans] def dayLiterals(pcolAttr: Attribute,
                                  days: Seq[String]): Seq[Expression] =
     pcolAttr.dataType match {
       case DateType => days.map(d => Literal(java.sql.Date.valueOf(d)))
-      case _ => days.map(Literal(_))
+      case org.apache.spark.sql.types.StringType => days.map(Literal(_))
+      case dt => days.map(d =>
+        org.apache.spark.sql.catalyst.expressions.Cast(Literal(d), dt))
     }
 
   private[plans] def pcolAttrOf(rel: LogicalPlan, pcol: String): Attribute =
@@ -360,29 +429,43 @@ case class DailyStoreKeyedDeleteCommand(path: String, pcol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(rel, keys)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     DailyStoreDml.heal(spark, path)
     val bridge = org.apache.spark.sql.graftbridge.GraftSqlBridge
     val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
     val target = bridge.ofRows(spark, rel)
-    val keyDf = bridge.ofRows(spark, keys).distinct()
-    // key == partition column (ON t.d = s.d) degenerates to a day-list
-    // delete; the general select would duplicate the column
-    val discoveryCols =
-      if (keyAttr.name == pcol) Seq(col(pcol)) else
-        Seq(col(pcol), col(keyAttr.name))
-    val days = target
-      .select(discoveryCols: _*)
-      .join(broadcast(keyDf), Seq(keyAttr.name), "left_semi")
-      .select(col(pcol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (days.isEmpty) return Seq.empty
-    val replacement = bridge.ofRows(spark,
-        Filter(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)), rel))
-      .join(broadcast(keyDf), Seq(keyAttr.name), "left_anti")
-      .select(rel.output.map(a => col(a.name)): _*)
-    DailyStoreDml.writeReplacement(replacement, path, pcol, days)
-    Seq.empty
+    // MATERIALIZE the key list: discovery and the rewrite would
+    // otherwise evaluate the merge source twice, and a nondeterministic
+    // source (a sampled batch) could discover days for one key set and
+    // anti-join a different one — success reported on an incomplete
+    // delete. Same hazard and same fix as mergeByKey's source
+    // materialization; released after the commit.
+    val keyCp = graft.util.Checkpoints.tracked(
+      bridge.ofRows(spark, keys).distinct())
+    try {
+      // the checkpoint already ran the distinct — its count is a cheap
+      // local aggregate, and it sizes the joins (broadcast vs
+      // shuffle_hash) exactly like mergeByKey's contract count does
+      val keyDf = graft.sources.DailyStoreMerge.sizedKeySide(
+        spark, keyCp.df, keyCp.df.count())
+      // key == partition column (ON t.d = s.d) degenerates to a day-list
+      // delete; the general select would duplicate the column
+      val discoveryCols =
+        if (keyAttr.name == pcol) Seq(col(pcol)) else
+          Seq(col(pcol), col(keyAttr.name))
+      val days = target
+        .select(discoveryCols: _*)
+        .join(keyDf, Seq(keyAttr.name), "left_semi")
+        .select(col(pcol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (days.isEmpty) return Seq.empty
+      val replacement = bridge.ofRows(spark,
+          Filter(In(pcolAttr, DailyStoreDml.dayLiterals(pcolAttr, days)), rel))
+        .join(keyDf, Seq(keyAttr.name), "left_anti")
+        .select(rel.output.map(a => col(a.name)): _*)
+      DailyStoreDml.writeReplacement(replacement, path, pcol, days)
+      Seq.empty
+    } finally keyCp.release()
   }
 }
 
@@ -400,7 +483,202 @@ case class DailyStoreMergeCommand(path: String, pcol: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val updatesDf = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
       spark, updates)
-    DailyStoreMerge.mergeByKey(spark, path, updatesDf, key, pcol)
+    // requireUniqueMatchedKeys: SQL MERGE updates EACH matched copy,
+    // so a duplicate-key target must fail loudly rather than let the
+    // keyed replace collapse the copies (DailyStoreMerge class doc)
+    DailyStoreMerge.mergeByKey(spark, path, updatesDf, key, pcol,
+      requireUniqueMatchedKeys = true)
     Seq.empty
+  }
+}
+
+/** The GENERAL `MERGE INTO` (class doc of [[DailyStoreDml]]):
+  * conditional/partial matched UPDATE or DELETE plus conditional
+  * NOT-MATCHED INSERT, in any combination, with SQL MERGE's
+  * update-each-copy semantics. Copy-on-write of only the touched days,
+  * via one left-outer join of the touched-day rows against the
+  * (materialized, size-guarded) source:
+  *
+  *  1. the source is `localCheckpoint`ed ONCE — discovery, the insert
+  *     anti-join, and the rewrite all read the same materialized rows
+  *     (the nondeterministic-source double-evaluation hazard);
+  *     duplicate source keys are rejected (SQL's a-target-row-matches-
+  *     at-most-one-source-row cardinality rule), as are null source
+  *     keys (they can only feed null-keyed inserts);
+  *  2. DISCOVERY: the store's (pcol, key) columns semi-joined against
+  *     the source keys → the days holding matched rows. INSERT rows'
+  *     days join the touched set, since an insert day's existing rows
+  *     must survive the day's rewrite;
+  *  3. REWRITE: touched-day rows LEFT OUTER JOIN source on the key.
+  *     `matched` = the source key is non-null post-join. UPDATE
+  *     projects `IF(matched AND cond, value, col)` per assigned
+  *     column; DELETE filters `NOT (matched AND cond)` null-safely;
+  *     INSERT appends source rows whose key matched NOTHING (anti-join
+  *     against the matched keys — computed from the touched days only,
+  *     which is sound because every matched key's day IS touched),
+  *     filtered by the insert condition. One `overwriteDays` commit.
+  *
+  * An INSERT-ONLY merge (insert-if-absent — the reference's
+  * incremental append, cv.py:110) skips the rewrite entirely: the
+  * unmatched source rows are APPENDED, one ordinary dailystore commit,
+  * no day rewritten. Join sides follow the same measured-cardinality
+  * broadcast/shuffle_hash guard as [[DailyStoreMerge.mergeByKey]].
+  */
+case class DailyStoreGeneralMergeCommand(path: String, pcol: String,
+    rel: LogicalPlan, keyAttr: AttributeReference,
+    srcKey: AttributeReference, src: LogicalPlan,
+    update: Option[(Option[Expression],
+      Seq[(AttributeReference, Expression)])],
+    delete: Option[Option[Expression]],
+    insert: Option[(Option[Expression], Seq[Expression])])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(rel, src)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, IsNotNull}
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Join, JoinHint}
+    import org.apache.spark.sql.functions.col
+    val bridge = org.apache.spark.sql.graftbridge.GraftSqlBridge
+    DailyStoreDml.heal(spark, path)
+    val pcolAttr = DailyStoreDml.pcolAttrOf(rel, pcol)
+    val srcCp = graft.util.Checkpoints.tracked(bridge.ofRows(spark, src))
+    try {
+      // REMAP the materialized source to fresh exprIds: a self-merge
+      // (source reading the target table) would otherwise put the same
+      // exprId on both join sides. Every stored expression referencing
+      // the source is rewritten through the map.
+      val srcOut = srcCp.df.queryExecution.logical.output
+      val fresh = srcOut.map(a => a.exprId -> a.newInstance()).toMap
+      val srcPlan = Project(
+        srcOut.map(a => Alias(a, a.name)(exprId = fresh(a.exprId).exprId)),
+        srcCp.df.queryExecution.logical)
+      def remap(e: Expression): Expression = e.transform {
+        case a: AttributeReference if fresh.contains(a.exprId) =>
+          fresh(a.exprId)
+      }
+      val srcKeyF = remap(srcKey).asInstanceOf[AttributeReference]
+      // source contract: non-null, unique keys (class doc)
+      val srcKeysAll = bridge.ofRows(spark,
+        Project(Seq(Alias(srcKeyF, "k")()), srcPlan))
+      val chk = srcKeysAll.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.count(col("k")).as("nk"),
+        org.apache.spark.sql.functions.countDistinct(col("k")).as("nd"))
+        .head()
+      val n = chk.getLong(0)
+      if (n == 0) return Seq.empty
+      require(chk.getLong(1) == n,
+        "dailystore MERGE: the source carries null merge keys — a null " +
+          "key matches nothing and could only feed a null-keyed insert")
+      require(chk.getLong(2) == n,
+        "dailystore MERGE: the source carries duplicate merge keys — a " +
+          "target row must match at most one source row (SQL's MERGE " +
+          "cardinality rule)")
+      val srcKeysPlan = Distinct(Project(Seq(srcKeyF), srcPlan))
+      val sizedKeys = DailyStoreMerge.sizedKeySide(spark,
+        bridge.ofRows(spark, srcKeysPlan), n).queryExecution.logical
+      // DISCOVERY — days holding matched keys (skipped when no matched
+      // clause exists: an insert-only merge never rewrites a day)
+      val hasRewrite = update.isDefined || delete.isDefined
+      val matchedDays: Seq[String] =
+        if (!hasRewrite) Nil
+        else bridge.ofRows(spark,
+            Join(Project(Seq(pcolAttr, keyAttr).distinct, rel), sizedKeys,
+              org.apache.spark.sql.catalyst.plans.LeftSemi,
+              Some(EqualTo(keyAttr, srcKeyF)), JoinHint.NONE))
+          .select(col(pcolAttr.name).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      // matched KEYS, for the insert anti-join — from the touched days
+      // only (sound: a matched key's day is by definition in
+      // matchedDays). For insert-only merges there are no matchedDays,
+      // so the semi-join runs against the full store's key column —
+      // the same column-pruned scan class as discovery.
+      def touchedBase(days: Seq[String]): LogicalPlan =
+        if (days.isEmpty) LocalRelation(rel.output)
+        else Filter(In(pcolAttr,
+          DailyStoreDml.dayLiterals(pcolAttr, days)), rel)
+      val insertRowsFinal: Option[org.apache.spark.sql.DataFrame] =
+        insert.map { case (cond, values) =>
+          val matchedKeysBase =
+            if (hasRewrite) touchedBase(matchedDays)
+            else rel
+          val matchedKeys = Distinct(Project(Seq(keyAttr),
+            Join(Project(Seq(keyAttr), matchedKeysBase), sizedKeys,
+              org.apache.spark.sql.catalyst.plans.LeftSemi,
+              Some(EqualTo(keyAttr, srcKeyF)), JoinHint.NONE)))
+          val condT = cond.map(c =>
+            EqualNullSafe(remap(c), Literal.TrueLiteral))
+            .getOrElse(Literal.TrueLiteral)
+          val insRows = Project(
+            rel.output.zip(values).map { case (a, v) =>
+              Alias(remap(v), a.name)()
+            },
+            Filter(condT, srcPlan))
+          // positional: keyAttr may carry a SQL qualifier, so match by
+          // exprId, never by equals
+          val insKeyAttr = insRows.output(
+            rel.output.indexWhere(_.exprId == keyAttr.exprId))
+          val sizedMatched = DailyStoreMerge.sizedKeySide(spark,
+            bridge.ofRows(spark, matchedKeys), n).queryExecution.logical
+          bridge.ofRows(spark,
+            Join(insRows, sizedMatched,
+              org.apache.spark.sql.catalyst.plans.LeftAnti,
+              Some(EqualTo(insKeyAttr, keyAttr)), JoinHint.NONE))
+        }
+      val insertDays: Seq[String] = insertRowsFinal match {
+        case None => Nil
+        case Some(df) => df.select(col(pcol).cast("string")).distinct()
+          .collect().map(r => Option(r.getString(0)).getOrElse(
+            throw new IllegalArgumentException(
+              "dailystore MERGE: an INSERT row carries a null " +
+                s"'$pcol' value"))).toSeq
+      }
+      if (!hasRewrite) {
+        // insert-if-absent: plain append commit, no day rewritten
+        if (insertDays.nonEmpty)
+          insertRowsFinal.get.write.format("dailystore")
+            .option("path", path).option("partitionCol", pcol)
+            .mode("append").save()
+        return Seq.empty
+      }
+      val touched = (matchedDays ++ insertDays).distinct.sorted
+      if (touched.isEmpty) return Seq.empty
+      // REWRITE of the touched days (class doc step 3)
+      val joined = Join(touchedBase(touched), srcPlan, LeftOuter,
+        Some(EqualTo(keyAttr, srcKeyF)), JoinHint.NONE)
+      val matchedExpr = IsNotNull(srcKeyF)
+      val rewritten: LogicalPlan = (update, delete) match {
+        case (Some((cond, assigns)), None) =>
+          val condT = cond.map(c =>
+            EqualNullSafe(remap(c), Literal.TrueLiteral))
+            .getOrElse(Literal.TrueLiteral)
+          val applies = And(matchedExpr, condT)
+          val byId = assigns.map { case (k, v) => k.exprId -> remap(v) }.toMap
+          Project(rel.output.map { a =>
+            byId.get(a.exprId) match {
+              case Some(v) => Alias(If(applies, v, a), a.name)()
+              case None => a
+            }
+          }, joined)
+        case (None, Some(cond)) =>
+          val condT = cond.map(c =>
+            EqualNullSafe(remap(c), Literal.TrueLiteral))
+            .getOrElse(Literal.TrueLiteral)
+          Project(rel.output,
+            Filter(Not(And(matchedExpr, condT)), joined))
+        case _ => throw new IllegalStateException(
+          "unreachable: exactly one matched clause on the rewrite path")
+      }
+      val rewrittenDf = bridge.ofRows(spark, rewritten)
+      val finalDf = insertRowsFinal match {
+        case Some(ins) => rewrittenDf.unionByName(ins)
+        case None => rewrittenDf
+      }
+      DailyStoreDml.writeReplacement(finalDf, path, pcol, touched)
+      Seq.empty
+    } finally srcCp.release()
   }
 }

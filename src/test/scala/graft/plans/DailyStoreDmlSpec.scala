@@ -211,6 +211,61 @@ class DailyStoreDmlSpec extends SparkSpec {
       (d("2020-03-01"), 2, None), (d("2020-03-02"), 3, Some("y"))))
   }
 
+  test("SQL MERGE rejects a target holding same-key copies of a " +
+    "matched key (keyed replace would collapse them, diverging from " +
+    "MERGE's update-each-copy)") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    // a second copy of k=3 via an ordinary append
+    Seq((d("2020-03-03"), 3, "c-copy")).toDF("d", "k", "v")
+      .write.format("dailystore").option("path", path)
+      .option("partitionCol", "d").mode("append").save()
+    Seq((d("2020-03-02"), 3, "C9")).toDF("d", "k", "v")
+      .createOrReplaceTempView("dml_dupt")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl USING dml_dupt ON $tbl.k = dml_dupt.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("same-key copies"), e.getMessage)
+    // failed BEFORE the commit: both copies intact
+    assert(readBack(path).count(_._2 == 3) == 2)
+  }
+
+  test("keyed delete under the forced shuffle_hash regime matches the " +
+    "broadcast regime's result") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    spark.conf.set(graft.sources.DailyStoreMerge.MaxBroadcastKeysConf, "1")
+    try {
+      Seq(3, 5).toDF("k").createOrReplaceTempView("dml_del_sh")
+      spark.sql(
+        s"""MERGE INTO $tbl USING dml_del_sh ON $tbl.k = dml_del_sh.k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    } finally spark.conf.unset(
+      graft.sources.DailyStoreMerge.MaxBroadcastKeysConf)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 4, "dd")))
+  }
+
+  test("whole-day DELETE against a digit-like STRING day store takes " +
+    "the scan path (no metadata binding of a string into an inferred " +
+    "int column)") {
+    val (tbl, path, _) = freshStore()
+    Seq(("20200301", 1, "a"), ("20200302", 2, "b"))
+      .toDF("d", "k", "v")
+      .write.format("dailystore").option("path", path)
+      .option("partitionCol", "d").mode("append").save()
+    // partition inference types d INTEGER for the catalog relation; the
+    // r19 wholeDayMatches would bind UTF8String into an int predicate
+    spark.sql(s"DELETE FROM $tbl WHERE d = 20200301")
+    assert(!new java.io.File(path, "d=20200301").exists())
+    assert(spark.read.format("dailystore").option("path", path)
+      .load().count() == 1)
+  }
+
   test("nondeterministic DELETE/UPDATE conditions are rejected at " +
     "analysis") {
     val (tbl, path, _) = freshStore()
@@ -238,30 +293,147 @@ class DailyStoreDmlSpec extends SparkSpec {
       assert(e.getMessage.contains("dailystore SQL DML"), e.getMessage)
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    // extra matched clause condition
-    rejects(
-      s"""MERGE INTO $tbl USING dml_shape ON $tbl.k = dml_shape.k
-         |WHEN MATCHED AND dml_shape.v = 'x' THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
-      "matched actions")
-    // DELETE action
-    rejects(
-      s"""MERGE INTO $tbl USING dml_shape ON $tbl.k = dml_shape.k
-         |WHEN MATCHED THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
-      "matched actions")
     // non-equality condition
     rejects(
       s"""MERGE INTO $tbl USING dml_shape ON $tbl.k >= dml_shape.k
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
       "merge condition")
-    // diverging assignments (UPDATE SET one column only)
+    // two matched clauses
     rejects(
       s"""MERGE INTO $tbl USING dml_shape ON $tbl.k = dml_shape.k
-         |WHEN MATCHED THEN UPDATE SET v = 'fixed'
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
-      "identically")
+         |WHEN MATCHED AND dml_shape.v = 'x' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = dml_shape.v""".stripMargin,
+      "at most one WHEN MATCHED")
+    // nondeterministic clause condition
+    rejects(
+      s"""MERGE INTO $tbl USING dml_shape ON $tbl.k = dml_shape.k
+         |WHEN MATCHED AND rand() < 0.5 THEN UPDATE SET v = 'x'""".stripMargin,
+      "nondeterministic")
+    // INSERT not covering every target column is unreachable through
+    // INSERT * (the parser expands it), but a nondeterministic INSERT
+    // assignment is rejected like any clause expression
+    rejects(
+      s"""MERGE INTO $tbl USING dml_shape ON $tbl.k = dml_shape.k
+         |WHEN NOT MATCHED THEN INSERT (d, k, v)
+         |VALUES (dml_shape.d, dml_shape.k, uuid())""".stripMargin,
+      "nondeterministic")
+  }
+
+  test("general MERGE: insert-if-absent (WHEN NOT MATCHED THEN INSERT " +
+    "* alone) appends only new keys and rewrites NO day — the " +
+    "reference's incremental append (cv.py:110)") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    val before01 = dayFiles(path, "2020-03-01")
+    val before02 = dayFiles(path, "2020-03-02")
+    // k=3 exists (on 03-02) -> skipped even though the source carries a
+    // new value; k=9 is new -> inserted into ITS day
+    Seq((d("2020-03-05"), 3, "IGNORED"), (d("2020-03-04"), 9, "I"))
+      .toDF("d", "k", "v").createOrReplaceTempView("dml_ifa")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_ifa ON $tbl.k = dml_ifa.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 3, "c"), (d("2020-03-02"), 4, "dd"),
+      (d("2020-03-03"), 5, "e"), (d("2020-03-04"), 9, "I")))
+    // append-only: even the day HOLDING the matched key kept its files
+    assert(dayFiles(path, "2020-03-01") == before01)
+    assert(dayFiles(path, "2020-03-02") == before02)
+    // idempotent by construction: re-running inserts nothing
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_ifa ON $tbl.k = dml_ifa.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(readBack(path).size == 6)
+  }
+
+  test("general MERGE: conditional partial-column UPDATE updates EACH " +
+    "matched copy (no keyed-replace collapse), skips condition-false " +
+    "rows, leaves unassigned columns and untouched days alone") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    // a second copy of k=3 on 03-03 — SQL MERGE must update BOTH
+    Seq((d("2020-03-03"), 3, "c-copy")).toDF("d", "k", "v")
+      .write.format("dailystore").option("path", path)
+      .option("partitionCol", "d").mode("append").save()
+    val before01 = dayFiles(path, "2020-03-01")
+    // k=3 passes the condition; k=4's source row fails it; k=999
+    // matches nothing (and there is no insert clause)
+    Seq((3, "C2", true), (4, "D2", false), (999, "Z", true))
+      .toDF("k", "nv", "apply").createOrReplaceTempView("dml_cond")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_cond ON $tbl.k = dml_cond.k
+         |WHEN MATCHED AND dml_cond.apply THEN UPDATE SET v = dml_cond.nv
+         |""".stripMargin)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 3, "C2"), (d("2020-03-02"), 4, "dd"),
+      (d("2020-03-03"), 3, "C2"), (d("2020-03-03"), 5, "e")))
+    assert(dayFiles(path, "2020-03-01") == before01)
+  }
+
+  test("general MERGE: conditional UPDATE + conditional INSERT in one " +
+    "statement; NULL conditions are not-applied, not errors") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    // k=3 matched+condition-true -> updated; k=5 matched but condition
+    // NULL -> kept; k=7 unmatched+condition-true -> inserted; k=8
+    // unmatched but condition false -> dropped
+    Seq((d("2020-03-02"), 3, "C2", Some(true)),
+      (d("2020-03-03"), 5, "E2", None),
+      (d("2020-03-06"), 7, "G", Some(true)),
+      (d("2020-03-06"), 8, "H", Some(false)))
+      .toDF("d", "k", "v", "apply").createOrReplaceTempView("dml_both")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_both ON $tbl.k = dml_both.k
+         |WHEN MATCHED AND dml_both.apply THEN UPDATE SET v = dml_both.v
+         |WHEN NOT MATCHED AND dml_both.apply THEN INSERT (d, k, v)
+         |VALUES (dml_both.d, dml_both.k, dml_both.v)""".stripMargin)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 3, "C2"), (d("2020-03-02"), 4, "dd"),
+      (d("2020-03-03"), 5, "e"), (d("2020-03-06"), 7, "G")))
+  }
+
+  test("general MERGE: conditional DELETE removes only matched+true " +
+    "rows; an emptied day's directory is removed") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    Seq((3, true), (4, false), (5, true))
+      .toDF("k", "kill").createOrReplaceTempView("dml_cdel")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_cdel ON $tbl.k = dml_cdel.k
+         |WHEN MATCHED AND dml_cdel.kill THEN DELETE""".stripMargin)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 4, "dd")))
+    assert(!new java.io.File(path, "d=2020-03-03").exists())
+  }
+
+  test("general MERGE source contract: duplicate and null source keys " +
+    "are rejected before any commit") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    Seq((3, "x"), (3, "y")).toDF("k", "nv")
+      .createOrReplaceTempView("dml_gdup")
+    val e1 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl USING dml_gdup ON $tbl.k = dml_gdup.k
+           |WHEN MATCHED AND dml_gdup.nv = 'x'
+           |THEN UPDATE SET v = dml_gdup.nv""".stripMargin)
+    }
+    assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+    Seq((Some(3), "x"), (None, "y")).toDF("k", "nv")
+      .createOrReplaceTempView("dml_gnull")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl USING dml_gnull ON $tbl.k = dml_gnull.k
+           |WHEN MATCHED AND dml_gnull.nv = 'x'
+           |THEN UPDATE SET v = dml_gnull.nv""".stripMargin)
+    }
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+    assert(readBack(path).size == 5, "nothing committed")
   }
 
   test("DML under retention: a MERGE is a versioned commit — " +
