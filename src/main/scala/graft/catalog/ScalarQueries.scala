@@ -579,7 +579,97 @@ object ScalarQueries {
           |SELECT d, o_orderkey, o_totalprice FROM updated
           |WHERE NOT (o_orderkey % 5 = 0 AND d < DATE '1995-01-08')
           |ORDER BY d, o_orderkey""".stripMargin),
-      "SQL MERGE + UPDATE + DELETE on the dailystore == independent three-step reconstruction")
+      "SQL MERGE + UPDATE + DELETE on the dailystore == independent three-step reconstruction"),
+
+    // ----- the GENERAL SQL MERGE path (r20) -----
+    // Three statements none of which fit the keyed-replace fast path,
+    // so each resolves into DailyStoreGeneralMergeCommand: (A)
+    // insert-if-absent — WHEN NOT MATCHED THEN INSERT * alone, the
+    // reference's incremental append (cv.py:110) as one SQL statement
+    // (existing keys skipped even though the source re-carries them,
+    // new keys appended, NO day rewritten); (B) a conditional
+    // PARTIAL-column UPDATE — WHEN MATCHED AND u.o_orderkey % 2 = 0
+    // THEN UPDATE SET o_totalprice = u.np (×2, exact in binary FP);
+    // (C) a combined conditional DELETE + INSERT in one statement.
+    // The oracle replays all three steps independently from raw
+    // orders with LEFT JOINs, so a wrong matched-set, a dropped
+    // bystander, a skipped condition, or an insert leaking into the
+    // matched set hash-fails. Row-level output, the q114 discipline
+    // (store seeds + merges once per session/dataset; reps read only).
+    "q117_sql_merge_general" -> Q(
+      (s, dir) => {
+        val path = generalMergeStore(s, dir)
+        s.read.parquet(path)
+          .select(col("d"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("d", "o_orderkey")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |    AND o_orderdate < TIMESTAMP '1995-02-01'),
+          |ins1 AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey,
+          |    o_totalprice + 999 AS o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-02-01'
+          |    AND o_orderdate < TIMESTAMP '1995-02-11'
+          |    AND o_orderkey % 3 = 0),
+          |s1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins1),
+          |src2 AS (
+          |  SELECT o_orderkey, o_totalprice * 2 AS np FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-10'
+          |    AND o_orderdate < TIMESTAMP '1995-01-20'),
+          |s2 AS (
+          |  SELECT s1.d, s1.o_orderkey,
+          |    CASE WHEN u.o_orderkey IS NOT NULL AND u.o_orderkey % 2 = 0
+          |         THEN u.np ELSE s1.o_totalprice END AS o_totalprice
+          |  FROM s1 LEFT JOIN src2 u ON s1.o_orderkey = u.o_orderkey),
+          |src3 AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-05'
+          |    AND o_orderdate < TIMESTAMP '1995-02-16'
+          |    AND o_orderkey % 11 = 0),
+          |s3 AS (
+          |  SELECT s2.d, s2.o_orderkey, s2.o_totalprice
+          |  FROM s2 LEFT JOIN src3 u ON s2.o_orderkey = u.o_orderkey
+          |  WHERE NOT (u.o_orderkey IS NOT NULL AND u.o_orderkey % 2 = 1)
+          |  UNION ALL
+          |  SELECT u.d, u.o_orderkey, u.o_totalprice FROM src3 u
+          |  WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM s2))
+          |SELECT d, o_orderkey, o_totalprice FROM s3
+          |ORDER BY d, o_orderkey""".stripMargin),
+      "general SQL MERGE (insert-if-absent, conditional partial UPDATE, conditional DELETE+INSERT) == independent three-step reconstruction"),
+
+    // ----- opt-in schema evolution on merge (r20) -----
+    // An addColumns=true merge widens the store with a `note` column
+    // for the %7-key corrections; untouched days keep their old files
+    // (byte-identity pinned in DailyStoreMergeSpec) and serve NULL
+    // through the schema-merging read this query runs. The oracle
+    // derives both the corrected price and the NULL/label note column
+    // independently, so a widened bystander, a lost correction, or a
+    // note leaking onto unmatched rows hash-fails.
+    "q118_merge_evolution" -> Q(
+      (s, dir) => {
+        val path = evolveStore(s, dir)
+        s.read.option("mergeSchema", "true").parquet(path)
+          .select(col("d"), col("o_orderkey"), col("o_totalprice"),
+            col("note"))
+          .orderBy("d", "o_orderkey")
+      },
+      Some(
+        """SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100000
+          |       ELSE o_totalprice END AS o_totalprice,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN 'corrected'
+          |       ELSE NULL END AS note
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1995-02-01'
+          |ORDER BY d, o_orderkey""".stripMargin),
+      "schema-evolving merge: rewritten days carry the new column, untouched days serve NULL")
   )
 
   private val ttStoreCache = scala.collection.concurrent.TrieMap
@@ -700,6 +790,100 @@ object ScalarQueries {
       path
     })
 
+  private val generalMergeStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val generalMergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Seed the q117 store once per (session, dataset): January orders,
+    * then the three GENERAL-path MERGE statements (catalog entry doc).
+    * The insert-if-absent source deliberately OVERLAPS existing keys
+    * (Jan 25-31) and carries altered prices — a fast-path-style
+    * replacement of a matched row would hash-fail the oracle. */
+  private def generalMergeStore(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    generalMergeStoreCache.getOrElseUpdate((s, dir), {
+      val n = generalMergeSeq.getAndIncrement()
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gmerge_${ttNonce}_$n").getPath
+      val tbl = s"t$n"
+      new java.io.File(root, tbl).mkdirs()
+      val path = s"$root/$tbl"
+      graft.sources.DailyStoreCatalog.register(s, s"graft_gm$n", root)
+      def slice(from: String, to: String) =
+        Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(to).cast("timestamp"))
+      slice("1995-01-01", "1995-02-01")
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+        .write.format("dailystore").option("path", path)
+        .mode("append").save()
+      val t = s"graft_gm$n.$tbl"
+      // (A) insert-if-absent: overlapping keys skipped, new keys appended
+      slice("1995-01-25", "1995-02-11")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(to_date(col("o_orderdate")).as("d"), col("o_orderkey"),
+          (col("o_totalprice") + 999).as("o_totalprice"))
+        .createOrReplaceTempView(s"q117_ins_$n")
+      s.sql(
+        s"""MERGE INTO $t USING q117_ins_$n u
+           |ON $t.o_orderkey = u.o_orderkey
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // (B) conditional partial-column UPDATE (×2 — exact in binary FP)
+      slice("1995-01-10", "1995-01-20")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("np"))
+        .createOrReplaceTempView(s"q117_upd_$n")
+      s.sql(
+        s"""MERGE INTO $t USING q117_upd_$n u
+           |ON $t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED AND u.o_orderkey % 2 = 0
+           |THEN UPDATE SET o_totalprice = u.np""".stripMargin)
+      // (C) conditional DELETE + INSERT in one statement
+      slice("1995-01-05", "1995-02-16")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView(s"q117_del_$n")
+      s.sql(
+        s"""MERGE INTO $t USING q117_del_$n u
+           |ON $t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED AND u.o_orderkey % 2 = 1 THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      path
+    })
+
+  private val evolveStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val evolveSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Seed the q118 store once per (session, dataset): January orders,
+    * then ONE addColumns=true merge widening the store with a `note`
+    * column on the %7-key corrections (in place — no day moves, so the
+    * oracle derives day membership from raw orders alone). */
+  private def evolveStore(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    evolveStoreCache.getOrElseUpdate((s, dir), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_evstore_${ttNonce}_${evolveSeq.getAndIncrement()}").getPath
+      val month = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+      month
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+        .write.format("dailystore").option("path", path)
+        .mode("append").save()
+      val widened = month.filter(col("o_orderkey") % 7 === 0)
+        .select(to_date(col("o_orderdate")).as("d"), col("o_orderkey"),
+          (col("o_totalprice") + 100000).as("o_totalprice"),
+          lit("corrected").as("note"))
+      graft.sources.DailyStoreMerge.mergeByKey(
+        s, path, widened, key = "o_orderkey", pcol = "d",
+        addColumns = true)
+      path
+    })
+
   /** Drop the q98 seeded time-travel store for `dir` — the heap entry
     * AND the on-disk tmp store (it exists only to serve the query; the
     * seed rebuilds transparently on next use). [[DedupQueries
@@ -708,7 +892,8 @@ object ScalarQueries {
     */
   def releaseDataset(s: org.apache.spark.sql.SparkSession,
                      dir: String): Unit =
-    Seq(ttStoreCache, mergeStoreCache, sqlDmlStoreCache).foreach { cache =>
+    Seq(ttStoreCache, mergeStoreCache, sqlDmlStoreCache,
+      generalMergeStoreCache, evolveStoreCache).foreach { cache =>
       cache.keys.filter(k => (k._1 eq s) && k._2 == dir).foreach { k =>
         cache.remove(k).foreach { path =>
           val p = new org.apache.hadoop.fs.Path(path)
