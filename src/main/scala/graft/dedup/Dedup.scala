@@ -835,6 +835,97 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Above this many candidate PAIRS the CC fallthrough stays
+    * distributed (class doc of [[canonicalClusters]]'s local path).
+    * Overridable via `spark.graft.cc.maxLocalEdges`. 1M pairs collect
+    * as ≤2M symmetric rows — tens of MB of driver heap at realistic id
+    * widths, and the label broadcast stays comfortably under Spark's
+    * broadcast ceiling. */
+  private[graft] val MaxLocalEdgesConf = "spark.graft.cc.maxLocalEdges"
+  private[graft] val MaxLocalEdgesDefault = 1000000L
+
+  /** Driver-local union-find over a measured-small symmetric edge list:
+    * Some((id, label) frame) when the edge count is under the threshold
+    * and the id type has a faithful local ordering (integral families,
+    * UTF8-binary strings, date/timestamp), None otherwise (the caller
+    * falls through to the distributed loop). Labels carry the component
+    * MINIMUM id — the same canonical the min-label loop converges to.
+    * Both collects are bounded by the measured edge count. */
+  private def localCanonical(ids: DataFrame, edges: DataFrame,
+                             idCol: String): Option[DataFrame] = {
+    val spark = ids.sparkSession
+    val maxLocal = spark.conf.getOption(MaxLocalEdgesConf)
+      .map(_.toLong).getOrElse(MaxLocalEdgesDefault)
+    if (edges.count() > 2L * maxLocal) return None
+    val idType = ids.schema(idCol).dataType
+    // comparator matching Spark's least()/min ordering for the type —
+    // an id type without one falls back to the distributed loop, whose
+    // least() defines the semantics
+    val less: (Any, Any) => Boolean = idType match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        (a, b) => a.asInstanceOf[Number].longValue <
+          b.asInstanceOf[Number].longValue
+      case org.apache.spark.sql.types.StringType =>
+        // UTF8 binary order, NOT String.compareTo's UTF-16 code units —
+        // they diverge on supplementary characters
+        (a, b) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String]).compareTo(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String])) < 0
+      case org.apache.spark.sql.types.DateType =>
+        (a, b) => a.asInstanceOf[java.sql.Date]
+          .compareTo(b.asInstanceOf[java.sql.Date]) < 0
+      case org.apache.spark.sql.types.TimestampType =>
+        (a, b) => a.asInstanceOf[java.sql.Timestamp]
+          .compareTo(b.asInstanceOf[java.sql.Timestamp]) < 0
+      case _ => return None
+    }
+    // the symmetric list puts every endpoint in src once, so one
+    // distinct covers all members; the ids semi-join keeps the loop's
+    // semantics (edges referencing unknown ids conduct nothing)
+    val members = edges.select(col("src").as("id")).distinct()
+      .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .collect().map(_.get(0))
+    val idx = new java.util.HashMap[Any, Integer](members.length * 2)
+    var i = 0
+    while (i < members.length) { idx.put(members(i), i); i += 1 }
+    val parent = Array.tabulate(members.length)(identity)
+    def find(x0: Int): Int = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var c = x0
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = idx.get(row.get(0))
+      val b = idx.get(row.get(1))
+      if (a != null && b != null) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(rb) = ra
+      }
+    }
+    val minOf = new java.util.HashMap[Integer, Any]()
+    i = 0
+    while (i < members.length) {
+      val r: Integer = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || less(members(i), cur)) minOf.put(r, members(i))
+      i += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      members.length)
+    i = 0
+    while (i < members.length) {
+      rows.add(org.apache.spark.sql.Row(members(i), minOf.get(find(i))))
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    Some(spark.createDataFrame(rows, schema))
+  }
+
   /** Canonical cluster assignment from near-dup candidate pairs:
     * iterative minimum-label propagation with pointer jumping (the
     * shuffle-join form of connected components). Each round does two
@@ -846,6 +937,11 @@ object Dedup {
     * 10 covers any realistic near-dup graph (diameter ≲ 1000), and a
     * deeper graph still exits with a WARN and partial labels.
     * Returns (id, canonical_id).
+    *
+    * An edge list measuring under `spark.graft.cc.maxLocalEdges` pairs
+    * (default 1M) takes the driver-local union-find fallthrough instead
+    * of the loop — same labels, no per-round job floor (r20; see the
+    * inline doc at the fallthrough).
     *
     * The jump join is sound because labels are closed over the id set:
     * every label value is the id of some labeled node (initially self;
@@ -881,6 +977,36 @@ object Dedup {
         .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
         .repartition(col("dst")))
     val edges = edgesCp.df
+    // ---- measured-cardinality driver-local fallthrough (r20) ----
+    // The iterative loop's cost is per-JOB scheduling floor × rounds
+    // (~0.35 s/round at local[32]), not data: a post-banding near-dup
+    // edge list is usually TINY relative to the corpus (bounded
+    // candidates by construction), and a single-node union-find labels
+    // a few-million-edge graph in milliseconds — exactly why DuckDB's
+    // temp-table loop beat the stage 8× in the r19 audit. So, the
+    // HeavyHitters.exactTopKByGroup pattern applied to CC: measure the
+    // edge count (one job over the checkpointed frame), and below
+    // spark.graft.cc.maxLocalEdges pairs (default 1M) collect the
+    // bounded edge list, union-find on the driver (path-compressed,
+    // canonical = component MINIMUM to match the loop's min-label
+    // semantics exactly), and broadcast the labels back. Above the
+    // threshold — the 100 TB regime — the distributed loop below runs
+    // unchanged. Result equality across both regimes is spec-pinned
+    // (DedupSpec), and the catalog CC fixtures oracle the local path.
+    localCanonical(ids, edges, idCol) match {
+      case Some(labelsLocal) =>
+        edgesCp.release()
+        // a previous large-regime invocation under this scope may hold
+        // a checkpoint; the local path produces none, so close it out
+        scope.foreach(k =>
+          graft.util.Checkpoints.close(ids.sparkSession, k))
+        return ids.select(col(idCol))
+          .join(broadcast(labelsLocal.withColumnRenamed("id", idCol)),
+            Seq(idCol), "left_outer")
+          .select(col(idCol),
+            coalesce(col("label"), col(idCol)).as("canonical_id"))
+      case None => () // distributed loop below
+    }
     // Iterate ONLY over ids that touch an edge: an isolated doc keeps its
     // own label forever, so dragging the whole corpus through every round's
     // joins is pure waste — at 100 TB the near-dup subgraph is a small
@@ -914,6 +1040,19 @@ object Dedup {
       // giving d_{r+1} = 2d_r + 1 (= 2^r - 1 after r rounds). The left
       // join misses only for ids absent from the old map's key side,
       // where jumping is a no-op (coalesce).
+      // (r20 measured A/B: CHAINING extra jumps through the same
+      // pre-round snapshot does NOT cut rounds — the snapshot is
+      // already path-compressed by its own round's jump, so
+      // old(old(x)) ≈ old(x); on the q95 edge list rounds stayed 6
+      // with 1 or 3 jumps while the extra joins inflated the stage
+      // 2.10s → 2.57s. Round-count is not the lever here; graph SIZE
+      // is — see the driver-local fallthrough above the loop.)
+      val jumped = hopped
+        .join(labels.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left_outer")
+        .select(col("id"), col("__old"),
+          least(col("label"), coalesce(col("__ll"), col("label")))
+            .as("label"))
       // truncate the growing iterative lineage; TRACKED so the previous
       // round's blocks can be dropped for real — Dataset.unpersist() is
       // a CacheManager call and does nothing for localCheckpoint blocks
@@ -924,18 +1063,13 @@ object Dedup {
       // the checkpoint is eager, so observe() delivers the changed-row
       // count from the same job that writes the blocks — the separate
       // filter().count() re-read paid one extra job PER ROUND, pure
-      // scheduling floor on the iterative path (the stage-equivalent
-      // audit's cc_q95 member). obs.get resolves immediately after the
-      // eager checkpoint (probed: localCheckpoint runs through
-      // withAction and fires the observation listener); the bounded
-      // wait + count() fallback keeps a future Spark behavior change
-      // from hanging the loop instead of slowing it.
+      // scheduling floor on the iterative path. obs.get resolves
+      // immediately after the eager checkpoint (probed: localCheckpoint
+      // runs through withAction and fires the observation listener);
+      // the bounded wait + count() fallback keeps a future Spark
+      // behavior change from hanging the loop instead of slowing it.
       val obs = new org.apache.spark.sql.Observation()
-      val updatedCp = graft.util.Checkpoints.tracked(hopped
-        .join(labels.select(col("id").as("label"), col("label").as("__ll")),
-          Seq("label"), "left_outer")
-        .select(col("id"), col("__old"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+      val updatedCp = graft.util.Checkpoints.tracked(jumped
         .observe(obs, sum(when(col("label") =!= col("__old"), 1L)
           .otherwise(0L)).as("changed")))
       val updated = updatedCp.df
@@ -965,7 +1099,12 @@ object Dedup {
     if (changedCount > 0)
       log.warn(s"canonicalClusters: labels still changing after $maxIter " +
         s"rounds ($changedCount updates last round) — cluster diameter " +
-        s"exceeds ~2^$maxIter; labeling is partially propagated")
+        s"exceeds the propagation bound; labeling is partially propagated")
+    else if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      // stdout on purpose: the measurement tools run at ERROR log level
+      println(s"canonicalClusters: converged after $iter rounds")
+    else
+      log.info(s"canonicalClusters: converged after $iter rounds")
     // every per-round consumer of the edge list has executed eagerly;
     // the returned plan reads only the final label checkpoint
     edgesCp.release()

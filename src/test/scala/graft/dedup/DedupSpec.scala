@@ -229,16 +229,57 @@ class DedupSpec extends SparkSpec {
       Dedup.lshCandidates(sig, "doc_id", bands = 8))
   }
 
+  /** Run `body` with the CC driver-local fallthrough disabled, so the
+    * DISTRIBUTED loop is what executes (small fixtures would otherwise
+    * all take the local path). */
+  private def forceDistributedCc[A](body: => A): A = {
+    spark.conf.set(Dedup.MaxLocalEdgesConf, "0")
+    try body finally spark.conf.unset(Dedup.MaxLocalEdgesConf)
+  }
+
   test("canonicalClusters converges on diameter >> maxIter via pointer jumping") {
     // one chain of 200 consecutive ids: diameter 199. One-hop propagation
     // would need 199 rounds; pointer jumping covers 2^r - 1 hops after r
     // rounds, so the default maxIter=10 (>= log2(200) + 1 detection
     // round) must fully converge to the single minimum label 0.
+    // Forced onto the distributed loop — the regime under test.
     val ids = (0L until 200L).toDF("doc_id")
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val got = Dedup.canonicalClusters(ids, pairs, "doc_id")
-      .as[(Long, Long)].collect().toMap
+    val got = forceDistributedCc {
+      Dedup.canonicalClusters(ids, pairs, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    }
     assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("canonicalClusters driver-local fallthrough and distributed loop " +
+    "label identically (long and string ids, unknown-id edges ignored " +
+    "in both)") {
+    // a mixed graph: a chain, a clique-ish blob, isolated ids, and an
+    // edge through an id NOT in the id set (must conduct in neither
+    // regime)
+    val ids = (0L until 60L).toDF("doc_id")
+    val pairs = ((0L until 19L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L), (40L, 999L), (999L, 41L)))
+      .toDF("id1", "id2")
+    def run() = Dedup.canonicalClusters(ids, pairs, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val local = run() // 24 pairs << threshold: local union-find
+    val dist = forceDistributedCc(run())
+    assert(local == dist)
+    val m = local.toMap
+    assert((0L until 20L).forall(i => m(i) == 0L))
+    assert(Seq(30L, 31L, 32L).forall(i => m(i) == 30L))
+    // 40/41 are NOT connected through the unknown id 999
+    assert(m(40L) == 40L && m(41L) == 41L)
+    // string ids through both regimes
+    val sids = Seq("a", "b", "c", "d").toDF("doc_id")
+    val spairs = Seq(("b", "c"), ("c", "a")).toDF("id1", "id2")
+    def runS() = Dedup.canonicalClusters(sids, spairs, "doc_id")
+      .orderBy("doc_id").as[(String, String)].collect().toSeq
+    assert(runS() == forceDistributedCc(runS()))
+    assert(runS().toMap == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d"))
   }
 
   test("canonicalClusters leaves isolated ids self-labeled") {
