@@ -172,9 +172,15 @@ object DailyStoreMerge {
     // "fresh" includes an EXISTING dir with no day partitions (a store
     // whose days were all deleted keeps its sidecars/markers): there is
     // nothing to discover or anti-join against, and reading it for the
-    // schema guard would fail on inference
-    val hasDays = fs.exists(live) && fs.listStatus(live).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+    // schema guard would fail on inference. The root listing is taken
+    // ONCE and reused for the touched-day path mapping below.
+    val rootDayDirs: Array[String] =
+      if (!fs.exists(live)) Array.empty
+      else fs.listStatus(live).collect {
+        case s if s.isDirectory &&
+          s.getPath.getName.startsWith(s"$pcol=") => s.getPath.getName
+      }
+    val hasDays = rootDayDirs.nonEmpty
     if (!hasDays) {
       updates.write.format("dailystore").option("path", path)
         .option("partitionCol", pcol).mode("append").save()
@@ -184,16 +190,25 @@ object DailyStoreMerge {
     // column-set guard (class doc): the rewrite writes the updates'
     // columns, so the sets must match exactly — unless `addColumns`
     // opted into evolution, where the updates may ADD columns but never
-    // drop one. The inference MUST merge footers: a store whose days
-    // straddle a prior evolution has mixed per-file schemas, and
-    // single-footer inference picking an old file would both spuriously
-    // reject a post-evolution merge AND silently bless one that drops
-    // the evolved column from every day it rewrites. mergeSchema is one
-    // parallel footer-metadata job, bounded by file count, not data
-    // size (a schema-in-sidecar record would amortize it — noted as the
-    // Delta-log-parity increment, not needed at the current surface).
-    val storeCols = spark.read.option("mergeSchema", "true")
-      .parquet(path).schema.fieldNames.toSet
+    // drop one. A store whose days straddle a prior evolution has MIXED
+    // per-file schemas, and single-footer inference picking an old file
+    // would silently bless a merge that drops the evolved column from
+    // every day it rewrites. The guard therefore reads the
+    // `_schema.json` sidecar every evolving merge stamps (O(1) — the
+    // Delta-log move; an always-mergeSchema guard was tried first and
+    // measurably scaled with store FILE COUNT: +2.0 s flat overhead on
+    // a 1,024-day vs 256-day store in the r20 MergeScaling A/B);
+    // without a sidecar, plain inference is sound for connector-written
+    // stores (every pre-evolution file carries the same set), and a
+    // mismatch re-checks through one mergeSchema pass before failing so
+    // a legacy externally-evolved store is judged on its true union.
+    val sidecarCols = readSchemaSidecar(fs, live)
+    val storeCols = sidecarCols.getOrElse {
+      val fast = spark.read.parquet(path).schema.fieldNames.toSet
+      if (fast == cols.toSet) fast
+      else spark.read.option("mergeSchema", "true")
+        .parquet(path).schema.fieldNames.toSet
+    }
     if (addColumns)
       require(storeCols.subsetOf(cols.toSet),
         s"dailystore merge (addColumns): store at $path has columns " +
@@ -207,17 +222,27 @@ object DailyStoreMerge {
           s"${cols.sorted.mkString(",")} — a merge must preserve every " +
           "store column, so the sets must match (pass addColumns = true " +
           "to evolve the schema by adding columns)")
-    // read with the UPDATES' schema: pins the partition column's type
-    // against directory-name inference (the digit-like-string hazard
-    // DailyStoreRecovery.compact documents) and aligns column types for
-    // the union below
-    val store = spark.read.schema(updates.schema).parquet(path)
+    // schema sidecar stamped PRE-COMMIT whenever absent or widening:
+    // the next merge's guard then reads O(1) instead of inferring (a
+    // full-listing metadata cost that grows with the store), and a
+    // crash between an evolving commit and a post-commit stamp can
+    // never leave an evolved store whose next old-set merge silently
+    // drops the new column — the pre-commit stamp's failure mode is
+    // the safe one (a stamped-but-uncommitted evolution makes later
+    // old-set merges fail LOUDLY until re-run with the evolved set)
+    if (sidecarCols.isEmpty || (addColumns && storeCols != cols.toSet))
+      writeSchemaSidecar(fs, live, cols.toSet)
     // the contract aggregate proved one row per key, so n IS the key
     // cardinality — the measured size that picks broadcast vs shuffle
     val updKeys = sizedKeySide(spark, updates.select(col(key)).distinct(), n)
+    // DISCOVERY is the only step that reads beyond the touched days:
+    // one column-pruned full scan, read with the UPDATES' schema (pins
+    // the partition column's type against directory-name inference —
+    // the digit-like-string hazard DailyStoreRecovery.compact documents)
     val daysWithKeys: Seq[String] =
       if (assumeKeyDayStable) Nil
-      else store.select(col(pcol), col(key))
+      else spark.read.schema(updates.schema).parquet(path)
+        .select(col(pcol), col(key))
         .join(updKeys, Seq(key), "left_semi")
         .select(col(pcol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
@@ -225,20 +250,31 @@ object DailyStoreMerge {
       updates.select(col(pcol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
     val touched = (daysWithKeys ++ insertDays).distinct.sorted
-    // typed literals so the touched-day predicate is a PARTITION filter
-    // (a string-vs-date comparison would cast the column and lose the
-    // prune)
-    val touchedVals: Seq[Any] = updates.schema(pcol).dataType match {
-      case org.apache.spark.sql.types.DateType =>
-        touched.map(java.sql.Date.valueOf)
-      case _ => touched
-    }
-    // SQL-front cardinality guard (class doc): one partition-pruned
-    // key-column pass over the touched days BEFORE the commit — a
-    // matched key with same-key copies in the store would be silently
-    // collapsed by the keyed replace, which SQL MERGE must reject
+    // the REWRITE reads ONLY the touched day directories, resolved
+    // against the root listing taken above (unescaping directory names
+    // so escaped partition values map back to their cast-to-string
+    // form), with basePath recovering the partition column — NOT a
+    // full-store read filtered by day: that shape re-LISTS every
+    // partition directory per merge, a metadata cost that grows with
+    // the store even though the scan itself prunes (the r20
+    // MergeScaling A/B measured ~+2.3 s on a 1,024- vs 256-day store
+    // from exactly this). Touched days with no existing directory
+    // (pure inserts into new days) contribute no rows by construction.
+    val dirByValue: Map[String, String] = rootDayDirs.map { nm =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(nm.stripPrefix(s"$pcol=")) -> nm
+    }.toMap
+    val touchedPaths = touched.flatMap(dirByValue.get).map(nm => s"$path/$nm")
+    val storeTouched =
+      if (touchedPaths.isEmpty) updates.limit(0)
+      else spark.read.schema(updates.schema)
+        .option("basePath", path).parquet(touchedPaths: _*)
+    // SQL-front cardinality guard (class doc): one key-column pass over
+    // the touched days BEFORE the commit — a matched key with same-key
+    // copies in the store would be silently collapsed by the keyed
+    // replace, which SQL MERGE must reject
     if (requireUniqueMatchedKeys) {
-      val dup = store.filter(col(pcol).isin(touchedVals: _*))
+      val dup = storeTouched
         .select(col(key))
         .join(updKeys, Seq(key), "left_semi")
         .groupBy(col(key)).agg(count(lit(1)).as("copies"))
@@ -251,8 +287,7 @@ object DailyStoreMerge {
           "(or use the Scala mergeByKey, whose replace-collapse " +
           "cardinality is the documented contract)")
     }
-    val merged = store
-      .filter(col(pcol).isin(touchedVals: _*))
+    val merged = storeTouched
       .join(updKeys, Seq(key), "left_anti")
       .unionByName(updates.select(cols.map(col).toSeq: _*))
     merged.write.format("dailystore")
@@ -260,6 +295,49 @@ object DailyStoreMerge {
       .option("overwriteDays", touched.mkString(","))
       .mode("overwrite").save()
     touched
+  }
+
+  /** The evolved-schema sidecar (`_schema.json` at the store root):
+    * stamped by every `addColumns` merge that actually widens the
+    * store, read by the column-set guard so judging a mixed-footer
+    * store never needs a per-file footer merge. Written pre-commit,
+    * write-then-rename (the manifest's atomicity discipline). */
+  private[graft] val SchemaSidecarFile = "_schema.json"
+
+  private[sources] def readSchemaSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: Path): Option[Set[String]] = {
+    val p = new Path(live, SchemaSidecarFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    Some(node.get("columns").elements().asScala.map(_.asText()).toSet)
+  }
+
+  private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                 live: Path, cols: Set[String]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("columns")
+    cols.toSeq.sorted.foreach(arr.add)
+    val target = new Path(live, SchemaSidecarFile)
+    val tmp = new Path(live, SchemaSidecarFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    fs.delete(target, false) // rename-over differs per FS; delete first
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"dailystore: schema sidecar rename failed: $tmp -> $target")
   }
 
   /** Sniff a hive-layout partition column at `path`: the unique
