@@ -14,6 +14,7 @@ import graft.pipelines.Sinks
   *  - 1-day tumbling window (midnight group) -> [[dailyCounts]]
   *  - partial-interval exclusion             -> the watermark itself
   *  - late-data correction (upsert)          -> [[upsertEachBatch]]
+  *    (or, through the SQL DML front, [[sqlMergeEachBatch]])
   *
   * plus [[runningCountsByKey]], the `mapGroupsWithState` custom-state
   * shape (per-key cumulative counts surviving across micro-batches).
@@ -97,6 +98,36 @@ object StreamingOps {
     // construction, no emptiness probe job needed
     if (requireWholeDays) assertWholeDays(batch, catalogTable, pcol)
     batch.writeTo(catalogTable).overwritePartitions()
+  }
+
+  /** The streaming front of the SQL DML surface (r20): run a `MERGE
+    * INTO <dailystore> USING <srcView> ...` statement once per
+    * micro-batch, with the batch registered as the temp view `srcView`
+    * in the micro-batch's session. Use as
+    * `stream.writeStream.foreachBatch(sqlMergeEachBatch(mergeSql,
+    * "batch_src") _)` with a [[graft.sources.DailyStoreCatalog]]
+    * registered on the session (catalog registrations are session-conf
+    * entries, so foreachBatch's cloned micro-batch sessions inherit
+    * them).
+    *
+    * The statement goes through the injected
+    * [[graft.plans.DailyStoreDml]] analyzer rule exactly as in batch:
+    * each micro-batch's merge is one copy-on-write commit over ONLY the
+    * touched day partitions, under the manifest + writer lease. Replay
+    * semantics follow from keyed-replace: re-delivering a micro-batch
+    * re-merges the same keys to the same values — a content-level
+    * no-op that appends one more (identical-content) version, the same
+    * guarantee [[upsertEachBatch]] gives. The SQL cardinality rule
+    * stays LOUD: a micro-batch carrying duplicate merge keys fails the
+    * batch (dedup upstream with `dropDuplicates(key)` if last-wins is
+    * intended — picking a winner silently is how a correction stream
+    * loses corrections).
+    */
+  def sqlMergeEachBatch(mergeSql: String, srcView: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.createOrReplaceTempView(srcView)
+    // DML statements resolve to commands, which spark.sql runs eagerly
+    batch.sparkSession.sql(mergeSql)
   }
 
   /** Opt-in partial-day guard (r16): `dailyReplaceEachBatch` trusts

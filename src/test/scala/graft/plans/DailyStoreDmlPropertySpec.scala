@@ -87,13 +87,30 @@ object DailyStoreDmlPropertySpec extends Properties("DailyStoreDml") {
             model = model ++ rows
           case MergeReplace(rows) =>
             toDf(rows).createOrReplaceTempView(s"dmlprop_src_${n}_$i")
-            spark.sql(
+            val ks = rows.map(_._2).toSet
+            // the SQL front's cardinality guard (r20): a matched target
+            // key with same-key copies in the store fails the statement
+            // LOUDLY (keyed replace would collapse the copies, diverging
+            // from SQL MERGE's update-each-copy rule) — and a failed
+            // statement must leave the store untouched, which the final
+            // model comparison then verifies
+            val dupMatched = model.groupBy(_._2)
+              .exists { case (k, copies) => ks(k) && copies.size > 1 }
+            def run() = spark.sql(
               s"""MERGE INTO $tbl USING dmlprop_src_${n}_$i s
                  |ON $tbl.k = s.k
                  |WHEN MATCHED THEN UPDATE SET *
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-            val ks = rows.map(_._2).toSet
-            model = model.filterNot(r => ks(r._2)) ++ rows
+            if (dupMatched) {
+              val msg = try { run(); "" }
+                catch { case e: Throwable => String.valueOf(e.getMessage) }
+              require(msg.contains("same-key copies"),
+                s"expected the loud duplicate-copy failure, got: '$msg'")
+              // model unchanged: the guarded statement must not commit
+            } else {
+              run()
+              model = model.filterNot(r => ks(r._2)) ++ rows
+            }
           case UpdateVal(k, dv) =>
             spark.sql(s"UPDATE $tbl SET v = v + $dv WHERE k = $k")
             model = model.map(r =>

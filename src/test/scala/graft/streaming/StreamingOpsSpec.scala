@@ -233,6 +233,84 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("sqlMergeEachBatch: foreachBatch + SQL MERGE INTO a dailystore " +
+      "catalog table merges per micro-batch, replays content-idempotent, " +
+      "and versions each batch (r20)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Date
+    def d(s: String): Date = Date.valueOf(s)
+    val root = Files.createTempDirectory("graft-sqlmerge").toString
+    graft.sources.DailyStoreCatalog.register(spark, "dstore_sqlm", root)
+    try {
+      spark.sql("CREATE TABLE dstore_sqlm.cases (d date, k int, " +
+        "label string) USING dailystore PARTITIONED BY (d)")
+      // retention on, so each micro-batch's commit is a readable version
+      graft.sources.DailyStoreTimeTravel.enable(spark, s"$root/cases",
+        keep = 10)
+      // seed two days so the merge has matched AND untouched partitions
+      Seq((d("2020-03-01"), 1, "open"), (d("2020-03-01"), 2, "open"),
+        (d("2020-03-02"), 3, "open"))
+        .toDF("d", "k", "label").writeTo("dstore_sqlm.cases").append()
+      val mergeSql =
+        """MERGE INTO dstore_sqlm.cases USING sqlm_batch
+          |ON dstore_sqlm.cases.k = sqlm_batch.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      val input = MemoryStream[(Date, Int, String)]
+      val query = input.toDF().toDF("d", "k", "label")
+        .writeStream
+        .foreachBatch(StreamingOps.sqlMergeEachBatch(mergeSql, "sqlm_batch") _)
+        .outputMode("update").start()
+      // batch 1: correct case 1 in place, add case 4 on a new day
+      input.addData((d("2020-03-01"), 1, "resolved"), (d("2020-03-03"), 4, "new"))
+      query.processAllAvailable()
+      // batch 2: late correction MOVES case 3 to another day
+      val b2 = Seq((d("2020-03-04"), 3, "moved"))
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      query.stop()
+      val expect = Seq(
+        (d("2020-03-01"), 1, "resolved"), (d("2020-03-01"), 2, "open"),
+        (d("2020-03-04"), 3, "moved"), (d("2020-03-03"), 4, "new"))
+      def content(): Seq[(Date, Int, String)] =
+        spark.read.parquet(s"$root/cases").select("d", "k", "label")
+          .orderBy("k").as[(Date, Int, String)].collect().toSeq
+      assert(content() == expect)
+      // REPLAY: re-delivering the last micro-batch re-merges the same
+      // keys to the same values — content-level no-op, one more version
+      StreamingOps.sqlMergeEachBatch(mergeSql, "sqlm_batch")(
+        b2.toDF("d", "k", "label"), 99L)
+      assert(content() == expect, "replayed micro-batch must be a " +
+        "content-level no-op")
+      // each micro-batch was ONE versioned commit: seed=v1, b1=v2, b2=v3,
+      // replay=v4 — and time travel still reads the pre-replay content
+      val v3 = spark.sql("SELECT d, k, label FROM dstore_sqlm.cases " +
+        "VERSION AS OF 3").orderBy("k")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(v3 == expect, "VERSION AS OF 3 must read the pre-replay store")
+      val v2 = spark.sql("SELECT d, k, label FROM dstore_sqlm.cases " +
+        "VERSION AS OF 2").orderBy("k")
+        .as[(Date, Int, String)].collect().toSeq
+      assert(v2 == Seq(
+        (d("2020-03-01"), 1, "resolved"), (d("2020-03-01"), 2, "open"),
+        (d("2020-03-02"), 3, "open"), (d("2020-03-03"), 4, "new")),
+        "VERSION AS OF 2 must read the post-batch-1 store")
+      // the SQL cardinality rule stays loud through the streaming front:
+      // a micro-batch with duplicate merge keys fails the batch
+      val e = intercept[Exception] {
+        StreamingOps.sqlMergeEachBatch(mergeSql, "sqlm_batch")(
+          Seq((d("2020-03-05"), 7, "a"), (d("2020-03-05"), 7, "b"))
+            .toDF("d", "k", "label"), 100L)
+      }
+      assert(e.getMessage.contains("duplicate"), e.getMessage)
+      assert(content() == expect, "a failed micro-batch must not commit")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dstore_sqlm")
+      spark.conf.unset("spark.sql.catalog.dstore_sqlm.root")
+      spark.conf.unset("spark.sql.catalog.dstore_sqlm.partitionCol")
+    }
+  }
+
   test("noveltyGateEachBatch: stream dedups against the persisted corpus store") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-novelty")
