@@ -268,25 +268,58 @@ object Bench {
     if (i > 0) name.substring(0, i) else name
   }
 
-  /** `reps` timed passes over `names`; per-query medians + error map. */
+  /** `reps` timed passes over `names`; per-query medians + error map +
+    * per-query foreign-core and GC stamps. The r20 per-QUERY stamps
+    * exist so attribution of a moved member is mechanical: two rounds
+    * in a row the committed sf1 table swung ±20-40% on members whose
+    * same-day solos were flat, and pinning the blame needed a hand-run
+    * solo. Each pass is wrapped in `withForeignCores` (two /proc/stat
+    * reads, ~microseconds against sub-second members) and a GC-time
+    * delta; the values reported per query are the ones PAIRED with the
+    * median-time pass, so they describe the pass the time came from. A
+    * mover with a hot foreign stamp indicts the HOST; one whose delta
+    * sits mostly inside GC indicts the SESSION's heap/block-store
+    * state (the same-JVM pressure foreign cores cannot see — the
+    * dominant error bar per the r14 attribution); quiet on both
+    * indicts the plan.
+    */
   private def timeQueries(spark: SparkSession, sfDir: String,
                           names: Seq[String], reps: Int)
-      : (Seq[(String, Double)], Seq[(String, String)]) = {
-    val times = mutable.Map.empty[String, mutable.Buffer[Double]]
+      : (Seq[(String, Double)], Seq[(String, String)],
+         Seq[(String, Double)], Seq[(String, Double)]) = {
+    // (seconds, foreign cores, gc seconds) per pass
+    val passes = mutable.Map
+      .empty[String, mutable.Buffer[(Double, Double, Double)]]
     val errors = mutable.LinkedHashMap.empty[String, String]
     for (_ <- 1 to reps; name <- names) {
-      val t0 = System.nanoTime()
       try {
-        consume(SparkEntry.queries(name)(spark, sfDir))
-        times.getOrElseUpdate(name, mutable.Buffer.empty) +=
-          (System.nanoTime() - t0) / 1e9
+        val gc0 = graft.tools.Timing.gcSeconds()
+        val t0 = System.nanoTime()
+        val (_, foreign) = withForeignCores(
+          consume(SparkEntry.queries(name)(spark, sfDir)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcSec = graft.tools.Timing.gcSeconds() - gc0
+        passes.getOrElseUpdate(name, mutable.Buffer.empty) +=
+          ((sec, foreign, gcSec))
       } catch { case e: Throwable =>
         errors.getOrElseUpdate(name, e.toString.take(300))
         System.err.println(s"[bench] FAILED $name: ${e.toString.take(500)}")
       }
     }
-    (names.map(n => n -> median(times.getOrElse(n, Nil).toSeq)),
-      errors.toSeq)
+    def medianPass(xs: Seq[(Double, Double, Double)])
+        : (Double, Double, Double) =
+      if (xs.isEmpty) (-1.0, -1.0, -1.0)
+      else {
+        val s = xs.sortBy(_._1)
+        // time: the SAME median formula the bench has always used (mean
+        // of the middle pair on even sizes) so records stay diffable;
+        // foreign/gc: the upper-middle pass's stamps
+        (median(s.map(_._1)), s(s.size / 2)._2, s(s.size / 2)._3)
+      }
+    val byName = names.map(n => n -> medianPass(passes.getOrElse(n, Nil).toSeq))
+    (byName.map { case (n, (s, _, _)) => n -> s }, errors.toSeq,
+      byName.map { case (n, (_, f, _)) => n -> f },
+      byName.map { case (n, (_, _, g)) => n -> g })
   }
 
   /** DuckDB yardstick over `oracleNames`'s SQL (best-effort: duckdb lives
@@ -551,7 +584,7 @@ object Bench {
     }
     val warmup = (System.nanoTime() - w0) / 1e9
 
-    val ((medians, errors), foreignSf01) =
+    val ((medians, errors, foreignByQuery, gcByQuery), foreignSf01) =
       withForeignCores(timeQueries(spark, sfDir, names, reps))
     val ok = medians.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
@@ -636,21 +669,22 @@ object Bench {
     graft.catalog.Catalog.releaseDatasetState(spark, sfDir)
     val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
                       Option[(Double, Seq[(String, Double)])],
-                      Seq[(String, Double)], Double)] =
+                      Seq[(String, Double)], Double,
+                      Seq[(String, Double)], Seq[(String, Double)])] =
       if (sf1Reps == 0 || !new java.io.File(sf1Dir).isDirectory) None
       else {
         headline.foreach { n => // warm-up at this scale too
           try consume(SparkEntry.queries(n)(spark, sf1Dir))
           catch { case _: Throwable => () }
         }
-        val ((m1, e1), f1) =
+        val ((m1, e1, fq1, gq1), f1) =
           withForeignCores(timeQueries(spark, sf1Dir, headline, sf1Reps))
         // gate medians are sub-second — stamp their block too, so a
         // drifted gate number can be dismissed (or not) on evidence
         val (g1, fg) =
           withForeignCores(incGateScale(spark, sfDir, sf1Dir, sf1Reps))
         Some((m1, e1, duck(sf1Dir, headline, sf1Reps),
-          g1 :+ ("foreign_cores_gates" -> fg), f1))
+          g1 :+ ("foreign_cores_gates" -> fg), f1, fq1, gq1))
       }
     def sf1OracleSec(m1: Seq[(String, Double)]): Double =
       // like-for-like with duckdb_oneshot_total_sec: spark time over
@@ -676,7 +710,7 @@ object Bench {
           && scaleGrowing(k) => v }.sum)
     val sf1Full: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1, g1, f1)) =>
+      case Some((m1, e1, d1, g1, f1, fq1, gq1)) =>
         jobj(Seq(
           "dir" -> jstr(sf1Dir),
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
@@ -689,13 +723,21 @@ object Bench {
           "duckdb_scalegrow_sec" ->
             sf1SgDuck(d1).map(jnum).getOrElse("null"),
           "foreign_cores" -> jnum(f1),
+          // r20: the stamp of the pass each member's median came from —
+          // a moved member with a hot stamp is session noise, quiet is
+          // plan change (VERDICT r19 #7: attribution without a same-day
+          // solo rerun)
+          "foreign_cores_by_query" ->
+            jobj(fq1.map { case (k, v) => k -> jnum(v) }),
+          "gc_sec_by_query" ->
+            jobj(gq1.map { case (k, v) => k -> jnum(v) }),
           "duckdb_queries" -> d1.map(d =>
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")) ++
           g1.map { case (k, v) => k -> jnum(v) })
     }
     val sf1Compact: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1, g1, f1)) =>
+      case Some((m1, e1, d1, g1, f1, _, _)) =>
         jobj(Seq(
           "queries" -> jobj(m1.map { case (k, v) => shortKey(k) -> jnum3(v) }),
           "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
@@ -732,6 +774,12 @@ object Bench {
       // block's stamp lives inside the sf1 object). Accept rule: README.
       "host_load_start" -> jnum(loadStart),
       "foreign_cores_sf01" -> jnum(foreignSf01),
+      // r20 per-query stamps (see timeQueries doc): attribution of a
+      // moved member without a same-day solo rerun
+      "foreign_cores_by_query" ->
+        jobj(foreignByQuery.map { case (k, v) => k -> jnum(v) }),
+      "gc_sec_by_query" ->
+        jobj(gcByQuery.map { case (k, v) => k -> jnum(v) }),
       "spark_total_sec" -> jnum(total),
       "spark_oracle_total_sec" -> jnum(oracleTotal),
       "spark_oracle_oneshot_sec" -> jnum(oneshotTotal),

@@ -59,6 +59,25 @@ object Timing {
     (busy, own)
   }
 
+  /** Total stop-the-world collection time across all GC beans, in
+    * seconds (monotonic within a JVM). The r20 per-query bench stamp
+    * pairs a pass's GC delta with its wall time: the foreign-cores
+    * stamp only sees OTHER processes, but the r18/r19 in-bench sf1
+    * movers were largely same-JVM session pressure (block-store
+    * residency, heap churn) — a mover whose pass spent most of its
+    * delta inside GC indicts the session's heap state, not the plan.
+    */
+  def gcSeconds(): Double = {
+    var total = 0L
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    while (beans.hasNext) {
+      val t = beans.next().getCollectionTime
+      if (t > 0) total += t
+    }
+    total / 1000.0
+  }
+
   /** Run `body`, returning (result, average FOREIGN cores over the
     * block — cores something other than this JVM was burning). -1 when
     * /proc/stat or process CPU is unavailable. Solo evidence tools

@@ -22,16 +22,36 @@ threshold (default 0.15 = 15%), plus NEW/GONE entries, most-moved
 first. The `attribution` column is looked up from
 tools/bench_attribution.json (bare query name -> note); movers without
 a note print `UNATTRIBUTED` — the signal to investigate or annotate.
+
+r20: when the NEW artifact carries per-query stamps (graft.Bench pairs
+each median with the host-contention and GC time of the pass it came
+from), movers auto-attribute instead of printing UNATTRIBUTED:
+
+- foreign stamp > 2.0 cores (the README accept rule's threshold) →
+  `host contention (foreign=N.N cores)`: something OUTSIDE this JVM was
+  burning cores during that exact pass.
+- both artifacts carry `gc_sec_by_query` and the GC-time growth covers
+  most of the time growth → `gc pressure (gc A->B s)`: same-JVM
+  heap/block-store state, the r14-measured dominant error bar that
+  foreign cores cannot see.
+- only the new artifact has a GC stamp and the pass spent >30% of its
+  wall time in GC → the stamp is appended to whatever note exists, so
+  the reader sees the pressure even without a baseline.
+
 Exit code is 0 always: the tool reports, the reader judges.
 """
 import sys, os, json
+
+FOREIGN_HOT = 2.0  # README accept rule: quiet window = foreign < 2.0
+GC_COVERS = 0.5    # gc growth explaining >=50% of the delta attributes it
+GC_NOTABLE = 0.3   # >=30% of the pass inside GC is worth surfacing
 
 
 def load(path):
     d = json.load(open(path))
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
-    out = {}
+    out, foreign, gc = {}, {}, {}
     # driver round captures shorten query names to their qNN prefix;
     # raw Bench output keeps full names — normalize to the prefix so
     # the two align
@@ -39,21 +59,30 @@ def load(path):
         return name.split("_")[0]
     for name, sec in (d.get("queries") or {}).items():
         out[f"sf01:{short(name)}"] = sec
+    for name, fc in (d.get("foreign_cores_by_query") or {}).items():
+        foreign[f"sf01:{short(name)}"] = fc
+    for name, g in (d.get("gc_sec_by_query") or {}).items():
+        gc[f"sf01:{short(name)}"] = g
     sf1 = d.get("sf1") or {}
     for name, sec in (sf1.get("queries") or {}).items():
         out[f"sf1:{short(name)}"] = sec
+    for name, fc in (sf1.get("foreign_cores_by_query") or {}).items():
+        foreign[f"sf1:{short(name)}"] = fc
+    for name, g in (sf1.get("gc_sec_by_query") or {}).items():
+        gc[f"sf1:{short(name)}"] = g
     for key, val in sf1.items():
         # gate-family rows only: totals and duckdb_* denominators are
         # not per-query Spark medians and don't belong in the diff
         if "gate1k" in key and key.endswith("_sec") \
                 and isinstance(val, (int, float)):
             out[f"gate:{key}"] = val
-    return {k: v for k, v in out.items()
-            if isinstance(v, (int, float)) and v >= 0}
+    return ({k: v for k, v in out.items()
+             if isinstance(v, (int, float)) and v >= 0}, foreign, gc)
 
 
 def main(old_path, new_path, threshold=0.15, hide_new=False):
-    old, new = load(old_path), load(new_path)
+    (old, _, old_gc) = load(old_path)
+    (new, new_foreign, new_gc) = load(new_path)
     notes = {}
     attr = os.path.join(os.path.dirname(__file__), "bench_attribution.json")
     if os.path.exists(attr):
@@ -61,7 +90,20 @@ def main(old_path, new_path, threshold=0.15, hide_new=False):
 
     def note_for(key):
         bare = key.split(":", 1)[1]
-        return notes.get(bare) or notes.get(bare.split("_")[0]) or ""
+        note = notes.get(bare) or notes.get(bare.split("_")[0]) or ""
+        if not note and new_foreign.get(key, -1) > FOREIGN_HOT:
+            note = f"host contention (foreign={new_foreign[key]:.1f} cores)"
+        if not note and key in old_gc and key in new_gc \
+                and key in old and key in new:
+            dgc, dt = new_gc[key] - old_gc[key], new[key] - old[key]
+            if dt > 0 and dgc / dt >= GC_COVERS:
+                note = (f"gc pressure (gc {old_gc[key]:.2f}->"
+                        f"{new_gc[key]:.2f}s of {dt:+.2f}s)")
+        if key in new_gc and key in new and new[key] > 0 \
+                and new_gc[key] / new[key] >= GC_NOTABLE:
+            stamp = f"gc={new_gc[key]:.2f}s of {new[key]:.2f}s pass"
+            note = f"{note}; {stamp}" if note else stamp
+        return note
 
     rows = []
     for key in sorted(set(old) | set(new)):
