@@ -669,7 +669,47 @@ object ScalarQueries {
           |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           |  AND o_orderdate < TIMESTAMP '1995-02-01'
           |ORDER BY d, o_orderkey""".stripMargin),
-      "schema-evolving merge: rewritten days carry the new column, untouched days serve NULL")
+      "schema-evolving merge: rewritten days carry the new column, untouched days serve NULL"),
+
+    // ----- change-data read between versions (r20) -----
+    // The incremental-consumption half of time travel: a downstream
+    // consumer of the reference's store polls the WHOLE collection after
+    // every re-ingest (cv-api.py's readers); at scale it must read only
+    // "what changed since the version I last saw".
+    // DailyStoreChanges.readChanges(1, 2) diffs the q98 store's two
+    // versions — the January append and the garbage day-replace that
+    // doubled days 1-10 — over ONLY the changed days (manifest-exact;
+    // the untouched 21 days are never scanned, spec-proven by making
+    // them unreadable), with keyed classification: every affected row
+    // is an update_preimage/update_postimage pair. The oracle derives
+    // both images INDEPENDENTLY from raw orders, so a diff bug — a
+    // bystander day leaking in, a lost preimage, wrong classification —
+    // hash-fails. Row-level, no aggregates.
+    "q119_dailystore_changes" -> Q(
+      (s, dir) => {
+        val path = ttStore(s, dir)
+        graft.sources.DailyStoreChanges.readChanges(
+            s, path, fromSeq = 1, toSeq = 2, key = Some("o_orderkey"))
+          .select(col("d"), col("o_orderkey"), col("o_totalprice"),
+            col(graft.sources.DailyStoreChanges.ChangeTypeCol))
+          .orderBy(col("d"), col("o_orderkey"),
+            col(graft.sources.DailyStoreChanges.ChangeTypeCol))
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |    AND o_orderdate < TIMESTAMP '1995-01-11'),
+          |c AS (
+          |  SELECT d, o_orderkey, o_totalprice * 2 AS o_totalprice,
+          |    'update_postimage' AS _change_type FROM w
+          |  UNION ALL
+          |  SELECT d, o_orderkey, o_totalprice,
+          |    'update_preimage' AS _change_type FROM w)
+          |SELECT d, o_orderkey, o_totalprice, _change_type FROM c
+          |ORDER BY d, o_orderkey, _change_type""".stripMargin),
+      "CDC read between versions == both images derived independently from raw data")
   )
 
   private val ttStoreCache = scala.collection.concurrent.TrieMap

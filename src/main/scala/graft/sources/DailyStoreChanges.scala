@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, StringType}
+
+import scala.jdk.CollectionConverters._
+
+/** Change-data reads between two retained dailystore versions — the
+  * incremental-consumption half of the time-travel surface (reference
+  * scope: the downstream consumers of cv-api.py poll the WHOLE
+  * collection after every re-ingest; at 100 TB a consumer must be able
+  * to ask "what changed since the version I last saw" and read ONLY
+  * that).
+  *
+  * Two tiers, both O(touched days), never the store:
+  *
+  *  - [[changedDays]]: the day values any commit in `(fromSeq, toSeq]`
+  *    wrote or condemned — pure MANIFEST metadata, zero rows read. At
+  *    day granularity this is exact, not approximate: every dailystore
+  *    commit replaces whole day partitions, so a day absent from every
+  *    manifest in the range is byte-identical between the two versions.
+  *  - [[readChanges]]: the row-level NET delta between the two states,
+  *    computed over only the changed days — both version
+  *    reconstructions are partition-pruned to the changed-day set
+  *    (typed literals, so pruning survives; the untouched 10-year tail
+  *    of the store is never scanned) and diffed with multiset
+  *    `exceptAll` semantics. With a `key`, rows whose key appears on
+  *    both sides of the diff classify as `update_preimage` /
+  *    `update_postimage` (a key that MOVED days classifies the same
+  *    way — preimage in the old day, postimage in the new); otherwise
+  *    `insert` / `delete`.
+  *
+  * NET semantics, deliberately: the delta is state(to) minus state(from)
+  * — a row inserted and deleted WITHIN the range does not appear, and a
+  * day rewritten to identical content contributes nothing. That is the
+  * contract an incremental-sync consumer wants (apply the delta to a
+  * copy of state(from) and hold state(to)); per-commit change streams
+  * (Delta CDF's `_commit_version` granularity) would need one diff per
+  * commit and are out of scope.
+  *
+  * Validation reuses the SQL time-travel front's machinery verbatim
+  * (pending-commit check ordered before the head-gap assert, gap-free
+  * walk, future/pre-history errors loud), so "which versions can I diff"
+  * has exactly one answer across the Scala and SQL surfaces.
+  *
+  * Cost note: `readChanges` evaluates each reconstruction twice (once
+  * per `exceptAll` side). Both are deterministic file-set reads — no
+  * double-evaluation hazard — and the four scans touch only the changed
+  * days; callers diffing a huge range repeatedly should cache the
+  * result, not this plumbing.
+  */
+object DailyStoreChanges {
+
+  /** The `_change_type` output column: `insert` / `delete`, refined to
+    * `update_preimage` / `update_postimage` when a `key` is given. */
+  val ChangeTypeCol = "_change_type"
+
+  private def touchedOf(v: DailyStoreTimeTravel.StoreVersion,
+                        pcol: String): Seq[String] = {
+    val added = v.manifest.get("files").elements().asScala
+      .map(_.get(0).asText()).toSeq
+    val condemned = v.manifest.get("condemned").elements().asScala
+      .map(_.asText().stripPrefix(s"$pcol=")).toSeq
+    added ++ condemned
+  }
+
+  /** Day values touched by any commit in `(fromSeq, toSeq]` (absolute
+    * commit seqs, the [[DailyStoreTimeTravel.history]] numbers — state
+    * AFTER commit N, the SQL `VERSION AS OF` convention). Manifest
+    * metadata only: zero data rows read. Both endpoints must be
+    * reconstructable — the same loud errors as `VERSION AS OF` for
+    * future seqs, pruned history, head gaps, and mid-flight commits.
+    */
+  def changedDays(spark: SparkSession, path: String,
+                  fromSeq: Long, toSeq: Long,
+                  pcol: String = "d"): Seq[String] = {
+    require(fromSeq >= 0, s"fromSeq must be >= 0, got $fromSeq")
+    require(toSeq >= fromSeq,
+      s"toSeq ($toSeq) must be >= fromSeq ($fromSeq)")
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    DailyStoreTimeTravel.assertNoPendingCommits(fs, live, path)
+    val vs = DailyStoreTimeTravel.versions(fs, live)
+    val last = DailyStoreTimeTravel.lastCommitSeq(fs, live)
+    // validating the OLDER endpoint validates the newer one's walk too
+    // (it is a prefix), but the future-seq check needs the newer
+    DailyStoreVersionRead.versionsBackFor(vs, toSeq, path, last)
+    DailyStoreVersionRead.versionsBackFor(vs, fromSeq, path, last)
+    vs.filter(v => v.seq > fromSeq && v.seq <= toSeq)
+      .flatMap(touchedOf(_, pcol)).distinct.sorted
+  }
+
+  /** Typed day predicate, the partition-pruning discipline everywhere
+    * in the store: literals fold to the COLUMN's type so the planner
+    * keeps them partition filters (a string literal against a date
+    * column would wrap the column in a cast and kill pruning). */
+  private def dayFilter(pcolCol: Column, dt: DataType,
+                        days: Seq[String]): Column = dt match {
+    case DateType => pcolCol.isin(days.map(java.sql.Date.valueOf): _*)
+    case StringType => pcolCol.isin(days: _*)
+    case other => days.map(d => pcolCol === lit(d).cast(other))
+      .reduce(_ || _)
+  }
+
+  /** Row-level NET delta between version `fromSeq` and `toSeq` (class
+    * doc): the store's columns plus [[ChangeTypeCol]]. Without `key`,
+    * multiset semantics — `insert` rows are in `to` and not `from`
+    * (with multiplicity), `delete` rows the reverse. With `key`, rows
+    * whose key value appears on BOTH sides reclassify as
+    * `update_preimage` (the `from` row) / `update_postimage` (the `to`
+    * row); same-key copies each carry their own row. `fromSeq == toSeq`
+    * returns an empty frame with the full output schema.
+    */
+  def readChanges(spark: SparkSession, path: String,
+                  fromSeq: Long, toSeq: Long,
+                  pcol: String = "d",
+                  key: Option[String] = None): DataFrame = {
+    val days = changedDays(spark, path, fromSeq, toSeq, pcol)
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = DailyStoreTimeTravel.versions(fs, live)
+    val last = DailyStoreTimeTravel.lastCommitSeq(fs, live)
+    val backTo = DailyStoreVersionRead.versionsBackFor(vs, toSeq, path, last)
+    val backFrom = DailyStoreVersionRead.versionsBackFor(vs, fromSeq, path, last)
+    val toDf = DailyStoreTimeTravel.readVersion(spark, path, backTo, pcol)
+    require(!toDf.columns.contains(ChangeTypeCol),
+      s"dailystore changes: the store already has a '$ChangeTypeCol' " +
+        "column — rename it before reading changes")
+    key.foreach(k => require(toDf.columns.contains(k),
+      s"dailystore changes: key column '$k' is not in the store's " +
+        s"columns ${toDf.columns.sorted.mkString(",")}"))
+    if (days.isEmpty)
+      return toDf.limit(0).withColumn(ChangeTypeCol, lit(""))
+    val fromDf = DailyStoreTimeTravel.readVersion(spark, path, backFrom, pcol)
+    val dt = toDf.schema(pcol).dataType
+    val a = fromDf.filter(dayFilter(col(pcol), dt, days))
+    val b = toDf.filter(dayFilter(col(pcol), dt, days))
+    val added = b.exceptAll(a)
+    val removed = a.exceptAll(b)
+    key match {
+      case None =>
+        added.withColumn(ChangeTypeCol, lit("insert"))
+          .unionByName(removed.withColumn(ChangeTypeCol, lit("delete")))
+      case Some(k) =>
+        // keys on both sides of the diff are updates; the key frames are
+        // delta-sized (bounded by the changed days) — unhinted joins,
+        // AQE picks the physical strategy from the measured delta
+        val common = added.select(col(k)).intersect(removed.select(col(k)))
+          .withColumn("_graft_upd", lit(true))
+        def tag(df: DataFrame, hit: String, miss: String): DataFrame =
+          df.join(common, Seq(k), "left_outer")
+            .withColumn(ChangeTypeCol,
+              when(col("_graft_upd"), hit).otherwise(miss))
+            .drop("_graft_upd")
+        tag(added, "update_postimage", "insert")
+          .unionByName(tag(removed, "update_preimage", "delete"))
+          // the using-join moved the key column first — restore the
+          // store's column order
+          .select((toDf.columns.map(col) :+ col(ChangeTypeCol)).toSeq: _*)
+    }
+  }
+}
