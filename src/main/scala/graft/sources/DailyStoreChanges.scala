@@ -45,11 +45,16 @@ import scala.jdk.CollectionConverters._
   * walk, future/pre-history errors loud), so "which versions can I diff"
   * has exactly one answer across the Scala and SQL surfaces.
   *
-  * Cost note: `readChanges` evaluates each reconstruction twice (once
-  * per `exceptAll` side). Both are deterministic file-set reads — no
-  * double-evaluation hazard — and the four scans touch only the changed
-  * days; callers diffing a huge range repeatedly should cache the
-  * result, not this plumbing.
+  * Cost note: the diff is ONE aggregation over the two pruned
+  * reconstructions (side-tagged union → per-row net multiplicity — the
+  * same group-count `exceptAll` plans internally, but shared across the
+  * insert AND delete sides instead of one shuffle each), and the net
+  * delta is eagerly `localCheckpoint`ed before classification: the
+  * delta is bounded by the changed days by construction, so the
+  * checkpoint is small, and the classification joins replay it instead
+  * of re-reading the store (a naive exceptAll+join composition measured
+  * ~12 reconstruction evaluations on the q119 fixture; this shape does
+  * exactly 2).
   */
 object DailyStoreChanges {
 
@@ -137,28 +142,48 @@ object DailyStoreChanges {
     val dt = toDf.schema(pcol).dataType
     val a = fromDf.filter(dayFilter(col(pcol), dt, days))
     val b = toDf.filter(dayFilter(col(pcol), dt, days))
-    val added = b.exceptAll(a)
-    val removed = a.exceptAll(b)
+    val storeCols = toDf.columns.toSeq
+    // multiset diff as ONE group-count over the side-tagged union: a
+    // row's net multiplicity (+ in `to`, − in `from`); zero cancels
+    // (unchanged rows), the rest IS the delta. GROUP BY and exceptAll
+    // share null-safe row equality, so the semantics match exceptAll's.
+    val net = b.withColumn("_graft_side", lit(1L))
+      .unionByName(a.withColumn("_graft_side", lit(-1L)))
+      .groupBy(storeCols.map(col): _*)
+      .agg(sum(col("_graft_side")).as("_graft_net"))
+      .filter(col("_graft_net") =!= 0L)
+      // delta-sized by construction — checkpoint so the classification
+      // joins below replay it instead of re-reading the store
+      .localCheckpoint()
+    // restore per-row multiplicity (same-content copies appended twice
+    // then one removed net to +1 etc.)
+    val delta = net
+      .withColumn("_graft_i",
+        explode(sequence(lit(1L), abs(col("_graft_net"))))).drop("_graft_i")
     key match {
       case None =>
-        added.withColumn(ChangeTypeCol, lit("insert"))
-          .unionByName(removed.withColumn(ChangeTypeCol, lit("delete")))
+        delta.withColumn(ChangeTypeCol,
+            when(col("_graft_net") > 0, "insert").otherwise("delete"))
+          .drop("_graft_net")
       case Some(k) =>
-        // keys on both sides of the diff are updates; the key frames are
-        // delta-sized (bounded by the changed days) — unhinted joins,
-        // AQE picks the physical strategy from the measured delta
-        val common = added.select(col(k)).intersect(removed.select(col(k)))
-          .withColumn("_graft_upd", lit(true))
-        def tag(df: DataFrame, hit: String, miss: String): DataFrame =
-          df.join(common, Seq(k), "left_outer")
-            .withColumn(ChangeTypeCol,
-              when(col("_graft_upd"), hit).otherwise(miss))
-            .drop("_graft_upd")
-        tag(added, "update_postimage", "insert")
-          .unionByName(tag(removed, "update_preimage", "delete"))
+        // a key with rows on BOTH sides of the diff is an update; the
+        // key frame is delta-sized — unhinted join, AQE picks the
+        // physical strategy from the measured size
+        val upd = net.groupBy(col(k))
+          .agg(max(col("_graft_net") > 0).as("_ha"),
+            max(col("_graft_net") < 0).as("_hd"))
+          .filter(col("_ha") && col("_hd"))
+          .select(col(k), lit(true).as("_graft_upd"))
+        delta.join(upd, Seq(k), "left_outer")
+          .withColumn(ChangeTypeCol,
+            when(col("_graft_net") > 0,
+              when(col("_graft_upd"), "update_postimage").otherwise("insert"))
+            .otherwise(
+              when(col("_graft_upd"), "update_preimage").otherwise("delete")))
+          .drop("_graft_net", "_graft_upd")
           // the using-join moved the key column first — restore the
           // store's column order
-          .select((toDf.columns.map(col) :+ col(ChangeTypeCol)).toSeq: _*)
+          .select((storeCols.map(col) :+ col(ChangeTypeCol)): _*)
     }
   }
 }
