@@ -1,9 +1,14 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, StringType}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{DataType, DateType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
 
@@ -186,4 +191,74 @@ object DailyStoreChanges {
           .select((storeCols.map(col) :+ col(ChangeTypeCol)): _*)
     }
   }
+}
+
+/** The reader-option front of [[DailyStoreChanges]] — the Delta
+  * change-data-feed deployment shape, served by the `dailystore`
+  * format's own `TableProvider`:
+  *
+  * {{{
+  *   spark.read.format("dailystore")
+  *     .option("path", storePath)
+  *     .option("changesFrom", 1)      // absolute commit seq (exclusive)
+  *     .option("changesTo", 3)        // inclusive; omitted = newest
+  *     .option("changesKey", "k")     // optional update classification
+  *     .load()
+  * }}}
+  *
+  * The scan delegates to [[DailyStoreChanges.readChanges]] through the
+  * same `V1Scan` bridge the `VERSION AS OF` front uses, so the two
+  * surfaces cannot drift; column pruning applies AFTER the diff (the
+  * net-multiplicity aggregation needs every column — pruning into it
+  * would change which rows count as changed). An omitted `changesTo`
+  * resolves to the newest retained commit AT SCAN TIME, with the same
+  * loud no-retention error as every time-travel read.
+  */
+class DailyStoreChangesTable(path: String, pcol: String,
+                             outSchema: StructType, fromSeq: Long,
+                             toSeq: Option[Long], key: Option[String])
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"dailystore($path)#changes($fromSeq,${toSeq.getOrElse("latest")})"
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = outSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"DailyStoreChangesScan(path=$path, from=$fromSeq, " +
+            s"to=${toSeq.getOrElse("latest")}, key=$key)"
+        override def toV1TableScan[
+            T <: sources.BaseRelation with sources.TableScan](
+            context: SQLContext): T =
+          new sources.BaseRelation with sources.TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              val spark = context.sparkSession
+              val to = toSeq.getOrElse {
+                val live = new Path(path)
+                val fs = live.getFileSystem(
+                  spark.sessionState.newHadoopConf())
+                val vs = DailyStoreTimeTravel.versions(fs, live)
+                require(vs.nonEmpty,
+                  s"dailystore changes: $path retains no versions — " +
+                    "enable retention (DailyStoreTimeTravel.enable) " +
+                    "before change reads")
+                vs.head.seq
+              }
+              DailyStoreChanges.readChanges(spark, path, fromSeq, to,
+                  pcol, key)
+                .select(required.fieldNames.toSeq.map(col): _*).rdd
+            }
+          }.asInstanceOf[T]
+      }
+    }
 }

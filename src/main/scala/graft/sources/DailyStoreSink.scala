@@ -92,7 +92,14 @@ class DailyStoreDataSource extends TableProvider with DataSourceRegister {
     // through the commit-state cache (r16), as catalog resolution does
     val spark = org.apache.spark.sql.SparkSession.active
     val path = options.get("path")
-    DelegateCache.schemaFor(spark, path)(spark.read.parquet(path).schema)
+    val base =
+      DelegateCache.schemaFor(spark, path)(spark.read.parquet(path).schema)
+    // the change-data front (r20): a changesFrom read serves the store's
+    // columns plus the classification column
+    if (options.containsKey("changesFrom"))
+      base.add(DailyStoreChanges.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -100,7 +107,16 @@ class DailyStoreDataSource extends TableProvider with DataSourceRegister {
     val path = properties.get("path")
     require(path != null, "dailystore requires option(\"path\", ...)")
     val pcol = Option(properties.get("partitionCol")).getOrElse("d")
-    new DailyStoreTable(path, pcol, schema)
+    // change-data-feed reads (r20, [[DailyStoreChangesTable]] doc):
+    // option("changesFrom", <seq>) [.option("changesTo", <seq>)]
+    // [.option("changesKey", <col>)]
+    Option(properties.get("changesFrom")) match {
+      case Some(from) =>
+        new DailyStoreChangesTable(path, pcol, schema, from.toLong,
+          Option(properties.get("changesTo")).map(_.toLong),
+          Option(properties.get("changesKey")))
+      case None => new DailyStoreTable(path, pcol, schema)
+    }
   }
 }
 

@@ -111,6 +111,41 @@ class DailyStoreChangesSpec extends SparkSpec {
     assert(changes(dir, 2, 3) == Nil)
   }
 
+  test("reader-option front: format(\"dailystore\").option(\"changesFrom\"...) " +
+      "equals the Scala API, changesTo defaults to the newest commit, " +
+      "column pruning applies after the diff") {
+    val dir = freshDir("reader")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    write(days(("2020-03-01", 1, "a"), ("2020-03-02", 2, "b")), dir)
+    write(days(("2020-03-01", 1, "a2")), dir, "overwrite", dynamic = true)
+    write(days(("2020-03-03", 3, "c")), dir)
+    def viaReader(extra: (String, String)*): org.apache.spark.sql.DataFrame = {
+      var r = spark.read.format("dailystore")
+        .option("path", dir).option("changesFrom", "1")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    // explicit range + key == the Scala API row-for-row
+    val api = DailyStoreChanges
+      .readChanges(spark, dir, 1, 3, key = Some("k"))
+      .select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+      .as[(Date, Int, String, String)].collect().toSeq.sorted
+    val rdr = viaReader("changesTo" -> "3", "changesKey" -> "k")
+      .select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+      .as[(Date, Int, String, String)].collect().toSeq.sorted
+    assert(rdr == api && api.nonEmpty)
+    // omitted changesTo resolves to the newest commit (3)
+    val latest = viaReader("changesKey" -> "k")
+      .select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+      .as[(Date, Int, String, String)].collect().toSeq.sorted
+    assert(latest == api)
+    // column pruning: a narrow select serves just those columns
+    val narrow = viaReader("changesTo" -> "2")
+      .select("k", DailyStoreChanges.ChangeTypeCol)
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(narrow == Seq((1, "delete"), (1, "insert")))
+  }
+
   test("validation is the time-travel fronts': future seq, pre-history " +
       "after vacuum, reversed range, unknown key, _change_type " +
       "collision — all loud") {
