@@ -193,6 +193,108 @@ object DailyStoreChanges {
   }
 }
 
+/** Cursor-based incremental consumption of a dailystore's changes —
+  * the operational loop around [[DailyStoreChanges.readChanges]],
+  * matching the reference's deployment model (cron-driven consumers
+  * re-polling the store after every re-ingest, cv-api.py's readers):
+  *
+  * {{{
+  *   DailyStoreConsumer.consumeChanges(spark, path, "indexer") { delta =>
+  *     // idempotent work over the delta (write to a deterministic
+  *     // location — the store's own replay discipline)
+  *   }
+  * }}}
+  *
+  * Each named consumer owns a CURSOR — the last commit seq it has
+  * seen — persisted as an underscore-prefixed sidecar at the store
+  * root (`_consumer-<name>.json`, write-then-rename like every store
+  * sidecar; hidden from plain parquet readers like the rest). A call
+  * reads the cursor, hands `handler` the delta `(cursor, head]`, and
+  * advances the cursor ONLY after the handler returns: a crash inside
+  * the handler re-delivers the same delta on the next call —
+  * at-least-once on the handler, exactly-once on the cursor, so an
+  * idempotent handler yields end-to-end exactly-once. Distinct names
+  * are independent consumers.
+  *
+  * Bootstrap: a consumer with no cursor cannot build from deltas (the
+  * history back to version 0 may be pruned), so its first call hands
+  * `handler` the CURRENT state, every row tagged `insert` — the full
+  * snapshot a new downstream copy starts from — and sets the cursor to
+  * the head seq.
+  */
+object DailyStoreConsumer {
+
+  private def cursorFile(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"consumer name must be [A-Za-z0-9_-]+, got '$name'")
+    s"_consumer-$name.json"
+  }
+
+  /** The consumer's last-seen commit seq, None before bootstrap. */
+  def cursor(spark: SparkSession, path: String, name: String): Option[Long] = {
+    val p = new Path(path, cursorFile(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes).get("seq").asLong())
+    }
+  }
+
+  private def writeCursor(fs: org.apache.hadoop.fs.FileSystem,
+                          live: Path, name: String, seq: Long): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("seq", seq)
+    val target = new Path(live, cursorFile(name))
+    val tmp = new Path(live, cursorFile(name) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"dailystore: consumer cursor rename failed: $tmp -> $target")
+  }
+
+  /** One consumption step (object doc): hand `handler` the changes
+    * since this consumer's cursor and advance it. Returns the consumed
+    * `(fromSeq, toSeq)` range — `from == 0` with no prior cursor marks
+    * the bootstrap snapshot — or None when the store holds nothing new
+    * (the handler is not called). */
+  def consumeChanges(spark: SparkSession, path: String, name: String,
+                     pcol: String = "d", key: Option[String] = None)(
+      handler: DataFrame => Unit): Option[(Long, Long)] = {
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    DailyStoreTimeTravel.assertNoPendingCommits(fs, live, path)
+    val vs = DailyStoreTimeTravel.versions(fs, live)
+    require(vs.nonEmpty,
+      s"dailystore consumer: $path retains no versions — enable " +
+        "retention (DailyStoreTimeTravel.enable) before change " +
+        "consumption")
+    DailyStoreVersionRead.assertNoHeadGap(
+      DailyStoreTimeTravel.lastCommitSeq(fs, live), vs, path)
+    val head = vs.head.seq
+    cursor(spark, path, name) match {
+      case None =>
+        // bootstrap snapshot: the current state, all-insert
+        handler(spark.read.parquet(path)
+          .withColumn(DailyStoreChanges.ChangeTypeCol, lit("insert")))
+        writeCursor(fs, live, name, head)
+        Some((0L, head))
+      case Some(seen) if seen >= head => None
+      case Some(seen) =>
+        handler(DailyStoreChanges.readChanges(
+          spark, path, seen, head, pcol, key))
+        writeCursor(fs, live, name, head)
+        Some((seen, head))
+    }
+  }
+}
+
 /** The reader-option front of [[DailyStoreChanges]] — the Delta
   * change-data-feed deployment shape, served by the `dailystore`
   * format's own `TableProvider`:

@@ -146,6 +146,57 @@ class DailyStoreChangesSpec extends SparkSpec {
     assert(narrow == Seq((1, "delete"), (1, "insert")))
   }
 
+  test("consumeChanges: bootstrap snapshot, incremental deltas, crash " +
+      "re-delivery (cursor advances only after the handler), " +
+      "independent named consumers") {
+    val dir = freshDir("consume")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    write(days(("2020-03-01", 1, "a"), ("2020-03-02", 2, "b")), dir)
+    var got: Seq[(Date, Int, String, String)] = Nil
+    def collectDelta(df: org.apache.spark.sql.DataFrame): Unit =
+      got = df.select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+        .as[(Date, Int, String, String)].collect().toSeq
+        .sortBy(r => (r._1.toString, r._2, r._4))
+
+    // bootstrap: full current state, all-insert, range (0, head]
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "sink")(collectDelta)
+      .contains((0L, 1L)))
+    assert(got == Seq(
+      (d("2020-03-01"), 1, "a", "insert"), (d("2020-03-02"), 2, "b", "insert")))
+    // nothing new: handler not called
+    got = Nil
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "sink")(collectDelta)
+      .isEmpty)
+    assert(got == Nil)
+    // two commits land; one step consumes the combined delta
+    write(days(("2020-03-01", 1, "a2")), dir, "overwrite", dynamic = true)
+    write(days(("2020-03-03", 3, "c")), dir)
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "sink",
+      key = Some("k"))(collectDelta).contains((1L, 3L)))
+    assert(got == Seq(
+      (d("2020-03-01"), 1, "a2", "update_postimage"),
+      (d("2020-03-01"), 1, "a", "update_preimage"),
+      (d("2020-03-03"), 3, "c", "insert")))
+    // crash inside the handler: cursor must NOT advance — the same
+    // delta re-delivers on the next call
+    write(days(("2020-03-04", 4, "e")), dir)
+    intercept[RuntimeException] {
+      DailyStoreConsumer.consumeChanges(spark, dir, "sink") { _ =>
+        throw new RuntimeException("downstream died")
+      }
+    }
+    assert(DailyStoreConsumer.cursor(spark, dir, "sink").contains(3L))
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "sink")(collectDelta)
+      .contains((3L, 4L)))
+    assert(got == Seq((d("2020-03-04"), 4, "e", "insert")))
+    // a second named consumer is independent: bootstraps from scratch
+    got = Nil
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "other")(collectDelta)
+      .contains((0L, 4L)))
+    assert(got.map(_._2).sorted == Seq(1, 2, 3, 4))
+    assert(got.forall(_._4 == "insert"))
+  }
+
   test("validation is the time-travel fronts': future seq, pre-history " +
       "after vacuum, reversed range, unknown key, _change_type " +
       "collision — all loud") {
