@@ -221,6 +221,13 @@ object DailyStoreChanges {
   * `handler` the CURRENT state, every row tagged `insert` — the full
   * snapshot a new downstream copy starts from — and sets the cursor to
   * the head seq.
+  *
+  * Racing a concurrent commit: the delta frame materializes lazily
+  * inside the handler, so a commit landing mid-step can make the
+  * delivered rows reflect a state NEWER than the `head` the cursor
+  * advances to — the next step then re-delivers the overlap. That is
+  * the at-least-once side of the contract (never a gap); the
+  * idempotent-handler requirement already covers it.
   */
 object DailyStoreConsumer {
 
