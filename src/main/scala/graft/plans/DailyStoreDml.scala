@@ -600,7 +600,7 @@ case class DailyStoreGeneralMergeCommand(path: String, pcol: String,
         if (days.isEmpty) LocalRelation(rel.output)
         else Filter(In(pcolAttr,
           DailyStoreDml.dayLiterals(pcolAttr, days)), rel)
-      val insertRowsFinal: Option[org.apache.spark.sql.DataFrame] =
+      val insertRowsCp: Option[graft.util.Checkpoints.Tracked] =
         insert.map { case (cond, values) =>
           val matchedKeysBase =
             if (hasRewrite) touchedBase(matchedDays)
@@ -612,73 +612,85 @@ case class DailyStoreGeneralMergeCommand(path: String, pcol: String,
           val condT = cond.map(c =>
             EqualNullSafe(remap(c), Literal.TrueLiteral))
             .getOrElse(Literal.TrueLiteral)
+          val sizedMatched = DailyStoreMerge.sizedKeySide(spark,
+            bridge.ofRows(spark, matchedKeys), n).queryExecution.logical
+          // NOT MATCHED is decided by the ON equality on the SOURCE row
+          // (SQL's rule), so the anti-join runs on the source's merge
+          // key BEFORE the INSERT values project — joining on the
+          // projected key value instead would re-classify whenever the
+          // INSERT assigns the key anything other than the ON column
+          // (e.g. INSERT (k, ...) VALUES (s.id + 1000, ...)): a matched
+          // source row would silently insert, and an unmatched row
+          // whose assigned key collides with a matched key would
+          // silently drop (r20 review)
+          val notMatchedSrc = Join(srcPlan, sizedMatched,
+            org.apache.spark.sql.catalyst.plans.LeftAnti,
+            Some(EqualTo(srcKeyF, keyAttr)), JoinHint.NONE)
           val insRows = Project(
             rel.output.zip(values).map { case (a, v) =>
               Alias(remap(v), a.name)()
             },
-            Filter(condT, srcPlan))
-          // positional: keyAttr may carry a SQL qualifier, so match by
-          // exprId, never by equals
-          val insKeyAttr = insRows.output(
-            rel.output.indexWhere(_.exprId == keyAttr.exprId))
-          val sizedMatched = DailyStoreMerge.sizedKeySide(spark,
-            bridge.ofRows(spark, matchedKeys), n).queryExecution.logical
-          bridge.ofRows(spark,
-            Join(insRows, sizedMatched,
-              org.apache.spark.sql.catalyst.plans.LeftAnti,
-              Some(EqualTo(insKeyAttr, keyAttr)), JoinHint.NONE))
+            Filter(condT, notMatchedSrc))
+          // materialize ONCE: the frame feeds both the insert-day
+          // collect and the write job below — without this the
+          // full-store matched-key semi-join and the anti-join would
+          // run two complete passes (r20 review)
+          graft.util.Checkpoints.tracked(bridge.ofRows(spark, insRows))
         }
-      val insertDays: Seq[String] = insertRowsFinal match {
-        case None => Nil
-        case Some(df) => df.select(col(pcol).cast("string")).distinct()
-          .collect().map(r => Option(r.getString(0)).getOrElse(
-            throw new IllegalArgumentException(
-              "dailystore MERGE: an INSERT row carries a null " +
-                s"'$pcol' value"))).toSeq
-      }
-      if (!hasRewrite) {
-        // insert-if-absent: plain append commit, no day rewritten
-        if (insertDays.nonEmpty)
-          insertRowsFinal.get.write.format("dailystore")
-            .option("path", path).option("partitionCol", pcol)
-            .mode("append").save()
-        return Seq.empty
-      }
-      val touched = (matchedDays ++ insertDays).distinct.sorted
-      if (touched.isEmpty) return Seq.empty
-      // REWRITE of the touched days (class doc step 3)
-      val joined = Join(touchedBase(touched), srcPlan, LeftOuter,
-        Some(EqualTo(keyAttr, srcKeyF)), JoinHint.NONE)
-      val matchedExpr = IsNotNull(srcKeyF)
-      val rewritten: LogicalPlan = (update, delete) match {
-        case (Some((cond, assigns)), None) =>
-          val condT = cond.map(c =>
-            EqualNullSafe(remap(c), Literal.TrueLiteral))
-            .getOrElse(Literal.TrueLiteral)
-          val applies = And(matchedExpr, condT)
-          val byId = assigns.map { case (k, v) => k.exprId -> remap(v) }.toMap
-          Project(rel.output.map { a =>
-            byId.get(a.exprId) match {
-              case Some(v) => Alias(If(applies, v, a), a.name)()
-              case None => a
-            }
-          }, joined)
-        case (None, Some(cond)) =>
-          val condT = cond.map(c =>
-            EqualNullSafe(remap(c), Literal.TrueLiteral))
-            .getOrElse(Literal.TrueLiteral)
-          Project(rel.output,
-            Filter(Not(And(matchedExpr, condT)), joined))
-        case _ => throw new IllegalStateException(
-          "unreachable: exactly one matched clause on the rewrite path")
-      }
-      val rewrittenDf = bridge.ofRows(spark, rewritten)
-      val finalDf = insertRowsFinal match {
-        case Some(ins) => rewrittenDf.unionByName(ins)
-        case None => rewrittenDf
-      }
-      DailyStoreDml.writeReplacement(finalDf, path, pcol, touched)
-      Seq.empty
+      try {
+        val insertRowsFinal = insertRowsCp.map(_.df)
+        val insertDays: Seq[String] = insertRowsFinal match {
+          case None => Nil
+          case Some(df) => df.select(col(pcol).cast("string")).distinct()
+            .collect().map(r => Option(r.getString(0)).getOrElse(
+              throw new IllegalArgumentException(
+                "dailystore MERGE: an INSERT row carries a null " +
+                  s"'$pcol' value"))).toSeq
+        }
+        if (!hasRewrite) {
+          // insert-if-absent: plain append commit, no day rewritten
+          if (insertDays.nonEmpty)
+            insertRowsFinal.get.write.format("dailystore")
+              .option("path", path).option("partitionCol", pcol)
+              .mode("append").save()
+          return Seq.empty
+        }
+        val touched = (matchedDays ++ insertDays).distinct.sorted
+        if (touched.isEmpty) return Seq.empty
+        // REWRITE of the touched days (class doc step 3)
+        val joined = Join(touchedBase(touched), srcPlan, LeftOuter,
+          Some(EqualTo(keyAttr, srcKeyF)), JoinHint.NONE)
+        val matchedExpr = IsNotNull(srcKeyF)
+        val rewritten: LogicalPlan = (update, delete) match {
+          case (Some((cond, assigns)), None) =>
+            val condT = cond.map(c =>
+              EqualNullSafe(remap(c), Literal.TrueLiteral))
+              .getOrElse(Literal.TrueLiteral)
+            val applies = And(matchedExpr, condT)
+            val byId = assigns.map { case (k, v) => k.exprId -> remap(v) }.toMap
+            Project(rel.output.map { a =>
+              byId.get(a.exprId) match {
+                case Some(v) => Alias(If(applies, v, a), a.name)()
+                case None => a
+              }
+            }, joined)
+          case (None, Some(cond)) =>
+            val condT = cond.map(c =>
+              EqualNullSafe(remap(c), Literal.TrueLiteral))
+              .getOrElse(Literal.TrueLiteral)
+            Project(rel.output,
+              Filter(Not(And(matchedExpr, condT)), joined))
+          case _ => throw new IllegalStateException(
+            "unreachable: exactly one matched clause on the rewrite path")
+        }
+        val rewrittenDf = bridge.ofRows(spark, rewritten)
+        val finalDf = insertRowsFinal match {
+          case Some(ins) => rewrittenDf.unionByName(ins)
+          case None => rewrittenDf
+        }
+        DailyStoreDml.writeReplacement(finalDf, path, pcol, touched)
+        Seq.empty
+      } finally insertRowsCp.foreach(_.release())
     } finally srcCp.release()
   }
 }

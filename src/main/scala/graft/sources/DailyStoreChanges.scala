@@ -85,7 +85,17 @@ object DailyStoreChanges {
     */
   def changedDays(spark: SparkSession, path: String,
                   fromSeq: Long, toSeq: Long,
-                  pcol: String = "d"): Seq[String] = {
+                  pcol: String = "d"): Seq[String] =
+    walkRange(spark, path, fromSeq, toSeq, pcol)._1
+
+  /** ONE metadata walk shared by [[changedDays]] and [[readChanges]]
+    * (listing `_versions` and reading sidecars is the expensive
+    * operation on object stores — and two listings could observe
+    * different states across a concurrent commit): validate the range,
+    * return (changed days, versionsBack for `fromSeq`, for `toSeq`). */
+  private def walkRange(spark: SparkSession, path: String,
+                        fromSeq: Long, toSeq: Long,
+                        pcol: String): (Seq[String], Int, Int) = {
     require(fromSeq >= 0, s"fromSeq must be >= 0, got $fromSeq")
     require(toSeq >= fromSeq,
       s"toSeq ($toSeq) must be >= fromSeq ($fromSeq)")
@@ -96,10 +106,11 @@ object DailyStoreChanges {
     val last = DailyStoreTimeTravel.lastCommitSeq(fs, live)
     // validating the OLDER endpoint validates the newer one's walk too
     // (it is a prefix), but the future-seq check needs the newer
-    DailyStoreVersionRead.versionsBackFor(vs, toSeq, path, last)
-    DailyStoreVersionRead.versionsBackFor(vs, fromSeq, path, last)
-    vs.filter(v => v.seq > fromSeq && v.seq <= toSeq)
+    val backTo = DailyStoreVersionRead.versionsBackFor(vs, toSeq, path, last)
+    val backFrom = DailyStoreVersionRead.versionsBackFor(vs, fromSeq, path, last)
+    val days = vs.filter(v => v.seq > fromSeq && v.seq <= toSeq)
       .flatMap(touchedOf(_, pcol)).distinct.sorted
+    (days, backFrom, backTo)
   }
 
   /** Typed day predicate, the partition-pruning discipline everywhere
@@ -127,13 +138,8 @@ object DailyStoreChanges {
                   fromSeq: Long, toSeq: Long,
                   pcol: String = "d",
                   key: Option[String] = None): DataFrame = {
-    val days = changedDays(spark, path, fromSeq, toSeq, pcol)
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val vs = DailyStoreTimeTravel.versions(fs, live)
-    val last = DailyStoreTimeTravel.lastCommitSeq(fs, live)
-    val backTo = DailyStoreVersionRead.versionsBackFor(vs, toSeq, path, last)
-    val backFrom = DailyStoreVersionRead.versionsBackFor(vs, fromSeq, path, last)
+    val (days, backFrom, backTo) =
+      walkRange(spark, path, fromSeq, toSeq, pcol)
     val toDf = DailyStoreTimeTravel.readVersion(spark, path, backTo, pcol)
     require(!toDf.columns.contains(ChangeTypeCol),
       s"dailystore changes: the store already has a '$ChangeTypeCol' " +
@@ -240,31 +246,14 @@ object DailyStoreConsumer {
 
   /** The consumer's last-seen commit seq, None before bootstrap. */
   def cursor(spark: SparkSession, path: String, name: String): Option[Long] = {
-    val p = new Path(path, cursorFile(name))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(bytes).get("seq").asLong())
-    }
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    SidecarJson.read(fs, live, cursorFile(name)).map(_.get("seq").asLong())
   }
 
   private def writeCursor(fs: org.apache.hadoop.fs.FileSystem,
-                          live: Path, name: String, seq: Long): Unit = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.createObjectNode()
-    root.put("seq", seq)
-    val target = new Path(live, cursorFile(name))
-    val tmp = new Path(live, cursorFile(name) + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(om.writeValueAsBytes(root)) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"dailystore: consumer cursor rename failed: $tmp -> $target")
-  }
+                          live: Path, name: String, seq: Long): Unit =
+    SidecarJson.write(fs, live, cursorFile(name))(_.put("seq", seq))
 
   /** One consumption step (object doc): hand `handler` the changes
     * since this consumer's cursor and advance it. Returns the consumed
@@ -287,8 +276,23 @@ object DailyStoreConsumer {
     val head = vs.head.seq
     cursor(spark, path, name) match {
       case None =>
-        // bootstrap snapshot: the current state, all-insert
-        handler(spark.read.parquet(path)
+        // bootstrap snapshot: the current state, all-insert. An
+        // EMPTIED-but-committed store (every day deleted, sidecars and
+        // versions remain) has no live parquet to infer from — shape an
+        // empty frame from the newest version dir, the readVersion
+        // recovery (r20 review: a new consumer must be able to
+        // bootstrap at exactly the truncate-to-empty moment)
+        val snapshot =
+          try spark.read.parquet(path)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.read.parquet(vs.head.dir.toString).filter(lit(false))
+          }
+        require(!snapshot.columns.contains(DailyStoreChanges.ChangeTypeCol),
+          s"dailystore consumer: the store already has a " +
+            s"'${DailyStoreChanges.ChangeTypeCol}' column — rename it " +
+            "before change consumption (same rule as readChanges)")
+        handler(snapshot
           .withColumn(DailyStoreChanges.ChangeTypeCol, lit("insert")))
         writeCursor(fs, live, name, head)
         Some((0L, head))

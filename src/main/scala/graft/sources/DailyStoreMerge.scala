@@ -184,6 +184,14 @@ object DailyStoreMerge {
     if (!hasDays) {
       updates.write.format("dailystore").option("path", path)
         .option("partitionCol", pcol).mode("append").save()
+      // a RE-SEEDED store (all days deleted, sidecars survive) defines a
+      // new column universe: a stale `_schema.json` from the previous
+      // life would override inference on every later merge — blessing a
+      // merge that silently drops this seed's columns, or wedging the
+      // true set behind a misleading mismatch error (r20 review).
+      // Restamp to exactly this seed's columns when a sidecar exists.
+      if (readSchemaSidecar(fs, live).exists(_ != cols.toSet))
+        writeSchemaSidecar(fs, live, cols.toSet)
       return updates.select(col(pcol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
     }
@@ -307,38 +315,17 @@ object DailyStoreMerge {
   private[sources] def readSchemaSidecar(
       fs: org.apache.hadoop.fs.FileSystem,
       live: Path): Option[Set[String]] = {
-    val p = new Path(live, SchemaSidecarFile)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toByteArray
-      } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(bytes)
     import scala.jdk.CollectionConverters._
-    Some(node.get("columns").elements().asScala.map(_.asText()).toSet)
+    SidecarJson.read(fs, live, SchemaSidecarFile).map(node =>
+      node.get("columns").elements().asScala.map(_.asText()).toSet)
   }
 
   private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                                 live: Path, cols: Set[String]): Unit = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.createObjectNode()
-    val arr = root.putArray("columns")
-    cols.toSeq.sorted.foreach(arr.add)
-    val target = new Path(live, SchemaSidecarFile)
-    val tmp = new Path(live, SchemaSidecarFile + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(om.writeValueAsBytes(root)) finally out.close()
-    fs.delete(target, false) // rename-over differs per FS; delete first
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"dailystore: schema sidecar rename failed: $tmp -> $target")
-  }
+                                 live: Path, cols: Set[String]): Unit =
+    SidecarJson.write(fs, live, SchemaSidecarFile) { root =>
+      val arr = root.putArray("columns")
+      cols.toSeq.sorted.foreach(arr.add)
+    }
 
   /** Sniff a hive-layout partition column at `path`: the unique
     * `<name>=` directory prefix, when exactly one non-hidden prefix

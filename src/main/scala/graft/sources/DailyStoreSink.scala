@@ -109,12 +109,16 @@ class DailyStoreDataSource extends TableProvider with DataSourceRegister {
     val pcol = Option(properties.get("partitionCol")).getOrElse("d")
     // change-data-feed reads (r20, [[DailyStoreChangesTable]] doc):
     // option("changesFrom", <seq>) [.option("changesTo", <seq>)]
-    // [.option("changesKey", <col>)]
-    Option(properties.get("changesFrom")) match {
+    // [.option("changesKey", <col>)] — looked up case-insensitively,
+    // matching inferSchema's CaseInsensitiveStringMap (a
+    // differently-cased option must not get the changes SCHEMA but a
+    // plain TABLE, r20 review)
+    val opts = new CaseInsensitiveStringMap(properties)
+    Option(opts.get("changesFrom")) match {
       case Some(from) =>
         new DailyStoreChangesTable(path, pcol, schema, from.toLong,
-          Option(properties.get("changesTo")).map(_.toLong),
-          Option(properties.get("changesKey")))
+          Option(opts.get("changesTo")).map(_.toLong),
+          Option(opts.get("changesKey")))
       case None => new DailyStoreTable(path, pcol, schema)
     }
   }

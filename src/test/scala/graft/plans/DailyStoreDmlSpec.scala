@@ -320,6 +320,30 @@ class DailyStoreDmlSpec extends SparkSpec {
       "nondeterministic")
   }
 
+  test("general MERGE: NOT MATCHED is decided by the ON key of the " +
+    "SOURCE row, not by the INSERT-assigned key value (r20 review)") {
+    val (tbl, path, _) = freshStore()
+    seed(path) // keys 1..5
+    // the INSERT assigns k = s.k + 1000:
+    //  - s.k = 3 MATCHES target k=3 -> must NOT insert, even though its
+    //    assigned key 1003 is absent from the store
+    //  - s.k = 9 is unmatched -> must insert as k = 1009 — and to prove
+    //    the classification does not run on the ASSIGNED key, a third
+    //    source row s.k = 7 (unmatched) assigns to 1007; all inserts land
+    Seq((d("2020-03-05"), 3, "NO"), (d("2020-03-05"), 9, "Y9"),
+      (d("2020-03-05"), 7, "Y7"))
+      .toDF("d", "k", "v").createOrReplaceTempView("dml_onkey")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_onkey ON $tbl.k = dml_onkey.k
+         |WHEN NOT MATCHED THEN INSERT (d, k, v)
+         |VALUES (dml_onkey.d, dml_onkey.k + 1000, dml_onkey.v)""".stripMargin)
+    assert(readBack(path) == Seq(
+      (d("2020-03-01"), 1, "a"), (d("2020-03-01"), 2, "b"),
+      (d("2020-03-02"), 3, "c"), (d("2020-03-02"), 4, "dd"),
+      (d("2020-03-03"), 5, "e"),
+      (d("2020-03-05"), 1007, "Y7"), (d("2020-03-05"), 1009, "Y9")))
+  }
+
   test("general MERGE: insert-if-absent (WHEN NOT MATCHED THEN INSERT " +
     "* alone) appends only new keys and rewrites NO day — the " +
     "reference's incremental append (cv.py:110)") {

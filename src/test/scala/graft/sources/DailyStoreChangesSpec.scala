@@ -197,6 +197,37 @@ class DailyStoreChangesSpec extends SparkSpec {
     assert(got.forall(_._4 == "insert"))
   }
 
+  test("consumeChanges bootstraps on an EMPTIED-but-committed store: " +
+      "empty all-insert snapshot, cursor set, later commits consume " +
+      "normally (r20 review)") {
+    val dir = freshDir("emptied")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    write(days(("2020-03-01", 1, "a")), dir)
+    // truncate-to-empty: static overwrite with zero rows removes the day
+    spark.sql(s"DELETE FROM ${registerTbl(dir)} WHERE true")
+    var n = -1L
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "boot") { df =>
+      n = df.count()
+    }.contains((0L, 2L)))
+    assert(n == 0L, "the emptied store's bootstrap snapshot is empty")
+    // a later commit consumes as an ordinary delta
+    write(days(("2020-03-05", 7, "x")), dir)
+    var got: Seq[(Date, Int, String, String)] = Nil
+    assert(DailyStoreConsumer.consumeChanges(spark, dir, "boot") { df =>
+      got = df.select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+        .as[(Date, Int, String, String)].collect().toSeq
+    }.contains((2L, 3L)))
+    assert(got == Seq((d("2020-03-05"), 7, "x", "insert")))
+  }
+
+  private val regSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def registerTbl(dir: String): String = {
+    val f = new java.io.File(dir)
+    val n = regSeq.incrementAndGet()
+    DailyStoreCatalog.register(spark, s"dsch_cat$n", f.getParent)
+    s"dsch_cat$n.`${f.getName}`"
+  }
+
   test("validation is the time-travel fronts': future seq, pre-history " +
       "after vacuum, reversed range, unknown key, _change_type " +
       "collision — all loud") {

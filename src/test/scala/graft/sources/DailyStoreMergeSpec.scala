@@ -310,4 +310,42 @@ class DailyStoreMergeSpec extends SparkSpec {
       .as[(Date, Int, String)].collect().toSeq ==
       Seq((d("2020-03-01"), 1, "a"), (d("2020-03-02"), 3, "c")))
   }
+
+  test("a RE-SEEDED store (all days deleted, sidecars survive) restamps " +
+    "a stale _schema.json: the new column universe governs later " +
+    "merges (r20 review)") {
+    val dir = freshDir("reseed")
+    seed(dir)
+    // evolve: stamps _schema.json with {d,k,v,note}
+    DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-02", 3, "c2")).withColumn("note",
+        org.apache.spark.sql.functions.lit("n")),
+      key = "k", addColumns = true)
+    assert(new java.io.File(dir, "_schema.json").exists())
+    // empty the store: every day dir goes, sidecars stay
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("d="))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+    // re-seed with a DIFFERENT column set {d,k,x} via the fresh-append
+    // path — the stale sidecar must be restamped to this set
+    DailyStoreMerge.mergeByKey(spark, dir,
+      Seq((d("2020-04-01"), 1, 10)).toDF("d", "k", "x"),
+      key = "k")
+    // a merge carrying the NEW set works...
+    DailyStoreMerge.mergeByKey(spark, dir,
+      Seq((d("2020-04-01"), 1, 11), (d("2020-04-02"), 2, 20))
+        .toDF("d", "k", "x"), key = "k")
+    assert(spark.read.parquet(dir).select("d", "k", "x").orderBy("k")
+      .as[(Date, Int, Int)].collect().toSeq ==
+      Seq((d("2020-04-01"), 1, 11), (d("2020-04-02"), 2, 20)))
+    // ...and one carrying the PREVIOUS life's evolved set fails loudly
+    // (it would silently drop x from every rewritten day otherwise)
+    val ex = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        rows(("2020-04-01", 1, "ghost")).withColumn("note",
+          org.apache.spark.sql.functions.lit("n")),
+        key = "k")
+    }
+    assert(ex.getMessage.contains("columns"), ex.getMessage)
+  }
 }

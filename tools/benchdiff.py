@@ -99,8 +99,11 @@ def main(old_path, new_path, threshold=0.15, hide_new=False):
             if dt > 0 and dgc / dt >= GC_COVERS:
                 note = (f"gc pressure (gc {old_gc[key]:.2f}->"
                         f"{new_gc[key]:.2f}s of {dt:+.2f}s)")
-        if key in new_gc and key in new and new[key] > 0 \
-                and new_gc[key] / new[key] >= GC_NOTABLE:
+        # baseline-free fallback only: when the gc-pressure attribution
+        # (which needs BOTH artifacts stamped) could not run, surface a
+        # hot new-side stamp so the reader sees the pressure anyway
+        if key not in old_gc and key in new_gc and key in new \
+                and new[key] > 0 and new_gc[key] / new[key] >= GC_NOTABLE:
             stamp = f"gc={new_gc[key]:.2f}s of {new[key]:.2f}s pass"
             note = f"{note}; {stamp}" if note else stamp
         return note
