@@ -60,7 +60,7 @@ class DailyStoreCatalog extends TableCatalog {
     else Some(new Path(root, ident.name()))
   private def fs(p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
-  private def metaPath(dir: Path) = new Path(dir, "_dailystore_meta.json")
+  private def metaPath(dir: Path) = new Path(dir, DailyStoreCatalog.MetaFile)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val r = new Path(root)
@@ -188,6 +188,12 @@ class DailyStoreCatalog extends TableCatalog {
 }
 
 object DailyStoreCatalog {
+  /** The store's durable schema sidecar: raw `StructType.json`, stamped
+    * by CREATE TABLE and (r20) by every connector commit, read FIRST by
+    * table resolution — so a store stays resolvable even when a commit
+    * removes its every day partition (no parquet footer to infer from). */
+  private[sources] val MetaFile = "_dailystore_meta.json"
+
   /** Register a catalog named `name` over `root` on the session. */
   def register(spark: org.apache.spark.sql.SparkSession, name: String,
                root: String, partitionCol: String = "d"): Unit = {

@@ -645,6 +645,46 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     * as any bare-parquet overwrite; a transactional table format is
     * the answer where that matters).
     */
+  /** Stamp/refresh the durable schema sidecar (commitLocked doc): write
+    * only when absent or when this write's column SET differs (schema
+    * evolution through the writer) — same write-then-rename atomicity
+    * as every store sidecar, same raw-`StructType.json` format CREATE
+    * TABLE uses. */
+  private def stampMeta(fs: org.apache.hadoop.fs.FileSystem,
+                        live: Path): Unit = {
+    val meta = new Path(live, DailyStoreCatalog.MetaFile)
+    val needed =
+      if (!fs.exists(meta)) true
+      else {
+        val in = fs.open(meta)
+        val cur = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        try org.apache.spark.sql.types.DataType.fromJson(cur)
+          .asInstanceOf[StructType].fieldNames.toSet !=
+          schema.fieldNames.toSet
+        catch { case _: Exception => true } // torn/garbled: restamp
+      }
+    if (needed) {
+      // INFERENCE order — data columns first, partition column last —
+      // so a path-written store resolves with exactly the column order
+      // it always had from plain-parquet inference (a write-order stamp
+      // flipped positional INSERTs against such tables); CREATE TABLE
+      // stores keep their declared order because their meta already
+      // exists and the set matches
+      val ordered = StructType(
+        schema.fields.filter(_.name != pcol) ++
+          schema.fields.filter(_.name == pcol))
+      fs.mkdirs(live)
+      val tmp = new Path(live, DailyStoreCatalog.MetaFile + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(ordered.json.getBytes("UTF-8")) finally out.close()
+      fs.delete(meta, false)
+      if (!fs.rename(tmp, meta))
+        throw new java.io.IOException(
+          s"dailystore: meta sidecar rename failed: $tmp -> $meta")
+    }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val live = new Path(path)
@@ -662,6 +702,16 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     // names a DIFFERENT queryId's staging, never this write's
     DailyStoreRecovery.recoverPendingCommits(path, conf.value,
       heldBy = Some(queryId), ttlMs = leaseTtlMs)
+    // self-describing store (r20): stamp the same `_dailystore_meta.json`
+    // CREATE TABLE writes, so a PATH-written store resolves through the
+    // catalog (and any later statement) even after a commit removes its
+    // every day partition — with zero parquet footers, inference throws
+    // UNABLE_TO_INFER_SCHEMA and the store is wedged for DML until data
+    // reappears (the DailyStoreDmlPropertySpec delete-everything-then-
+    // UPDATE seed). Stamped BEFORE the destructive phase: a crash
+    // mid-commit leaves the meta in place for the replay's readers, and
+    // a failed commit's stamp is harmless (restamped on column change).
+    stampMeta(fs, live)
     def partDirs(): Seq[Path] =
       if (!fs.exists(live)) Nil
       else fs.listStatus(live).filter(s => s.isDirectory &&

@@ -35,6 +35,7 @@ object DailyStoreDmlPropertySpec extends Properties("DailyStoreDml") {
   sealed private trait Op
   private case class Insert(rows: Seq[R]) extends Op
   private case class MergeReplace(rows: Seq[R]) extends Op
+  private case class MergeGeneral(rows: Seq[R]) extends Op
   private case class UpdateVal(k: Int, dv: Int) extends Op
   private case class UpdateDay(k: Int, d: Int) extends Op
   private case class DeleteKeys(ks: Seq[Int]) extends Op
@@ -51,6 +52,10 @@ object DailyStoreDmlPropertySpec extends Properties("DailyStoreDml") {
     // one row per key: the merge contract
     Gen.listOfN(4, rowGen)
       .map(rs => MergeReplace(rs.groupBy(_._2).values.map(_.head).toSeq)),
+    // the r20 general shape: conditional partial UPDATE + conditional
+    // INSERT (one row per key, same cardinality contract)
+    Gen.listOfN(4, rowGen)
+      .map(rs => MergeGeneral(rs.groupBy(_._2).values.map(_.head).toSeq)),
     for { k <- Gen.chooseNum(0, 8); dv <- Gen.chooseNum(1, 50) }
       yield UpdateVal(k, dv),
     for { k <- Gen.chooseNum(0, 8); d <- Gen.chooseNum(0, 3) }
@@ -111,6 +116,26 @@ object DailyStoreDmlPropertySpec extends Properties("DailyStoreDml") {
               run()
               model = model.filterNot(r => ks(r._2)) ++ rows
             }
+          case MergeGeneral(rows) =>
+            // WHEN MATCHED AND s.v even -> partial UPDATE SET v = s.v
+            // (updates EACH same-key copy, copies keep their day);
+            // WHEN NOT MATCHED AND s.v % 3 = 0 -> INSERT * — the r20
+            // general path: discovery, per-column IF rewrite, source-key
+            // anti-joined insert, all under the same commit machinery
+            toDf(rows).createOrReplaceTempView(s"dmlprop_gen_${n}_$i")
+            spark.sql(
+              s"""MERGE INTO $tbl USING dmlprop_gen_${n}_$i s
+                 |ON $tbl.k = s.k
+                 |WHEN MATCHED AND s.v % 2 = 0 THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED AND s.v % 3 = 0 THEN INSERT *""".stripMargin)
+            val byKey = rows.map(r => r._2 -> r).toMap
+            val matched = model.map(_._2).toSet
+            model = model.map { r =>
+              byKey.get(r._2) match {
+                case Some((_, _, v)) if v % 2 == 0 => (r._1, r._2, v)
+                case _ => r
+              }
+            } ++ rows.filter(r => !matched(r._2) && r._3 % 3 == 0)
           case UpdateVal(k, dv) =>
             spark.sql(s"UPDATE $tbl SET v = v + $dv WHERE k = $k")
             model = model.map(r =>

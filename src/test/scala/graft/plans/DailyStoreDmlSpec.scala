@@ -320,6 +320,33 @@ class DailyStoreDmlSpec extends SparkSpec {
       "nondeterministic")
   }
 
+  test("a store EMPTIED by DML stays resolvable: every commit stamps " +
+    "the schema meta sidecar, so delete-everything then UPDATE / " +
+    "INSERT / MERGE works instead of UNABLE_TO_INFER_SCHEMA " +
+    "(r20 review; the DmlPropertySpec intermittent wedge)") {
+    val (tbl, path, _) = freshStore()
+    seed(path)
+    // empty the store through SQL — every day partition is removed
+    spark.sql(s"DELETE FROM $tbl WHERE true")
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("d=")))
+    // statements against the emptied store resolve via the meta sidecar
+    spark.sql(s"UPDATE $tbl SET v = 'x' WHERE k = 1") // matches nothing
+    Seq((d("2020-03-07"), 7, "back")).toDF("d", "k", "v")
+      .createOrReplaceTempView("dml_empty_src")
+    spark.sql(
+      s"""MERGE INTO $tbl USING dml_empty_src ON $tbl.k = dml_empty_src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(readBack(path) == Seq((d("2020-03-07"), 7, "back")))
+    // and the resolved column order is the historical inference order
+    // (data columns first, partition column last) — a write-order meta
+    // would flip positional INSERT INTO ... VALUES bindings
+    spark.sql(s"INSERT INTO $tbl VALUES (8, 'ins', DATE'2020-03-08')")
+    assert(readBack(path) == Seq(
+      (d("2020-03-07"), 7, "back"), (d("2020-03-08"), 8, "ins")))
+  }
+
   test("general MERGE: NOT MATCHED is decided by the ON key of the " +
     "SOURCE row, not by the INSERT-assigned key value (r20 review)") {
     val (tbl, path, _) = freshStore()
