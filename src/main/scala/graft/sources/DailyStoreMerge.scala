@@ -210,7 +210,20 @@ object DailyStoreMerge {
     // stores (every pre-evolution file carries the same set), and a
     // mismatch re-checks through one mergeSchema pass before failing so
     // a legacy externally-evolved store is judged on its true union.
-    val sidecarCols = readSchemaSidecar(fs, live)
+    // the meta sidecar every commit stamps (r20) is the freshest record
+    // — a non-merge write that widened the store updates IT, while the
+    // merge-only `_schema.json` could lag behind (the two-sidecars
+    // divergence the r20 review flagged); prefer meta, then the legacy
+    // guard sidecar, then inference
+    val metaCols: Option[Set[String]] =
+      SidecarJson.readRaw(fs, live, DailyStoreCatalog.MetaFile).flatMap { b =>
+        try Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(b, "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSet)
+        catch { case _: Exception => None }
+      }
+    val sidecarCols = metaCols.orElse(readSchemaSidecar(fs, live))
     val storeCols = sidecarCols.getOrElse {
       val fast = spark.read.parquet(path).schema.fieldNames.toSet
       if (fast == cols.toSet) fast

@@ -89,11 +89,25 @@ class DailyStoreDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // read-path probes (e.g. a bare load()) see the live store's layout;
     // the store is plain parquet, so delegate to the session reader —
-    // through the commit-state cache (r16), as catalog resolution does
+    // through the commit-state cache (r16), as catalog resolution does.
+    // An EMPTIED store (every day partition removed by a commit) has no
+    // footer to infer from — fall back to the meta sidecar every commit
+    // stamps, the same self-describing contract the catalog front reads
+    // FIRST (r20 review: the fix must not stop one altitude short of the
+    // path front)
     val spark = org.apache.spark.sql.SparkSession.active
     val path = options.get("path")
     val base =
-      DelegateCache.schemaFor(spark, path)(spark.read.parquet(path).schema)
+      try DelegateCache.schemaFor(spark, path)(spark.read.parquet(path).schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          val live = new org.apache.hadoop.fs.Path(path)
+          val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+          SidecarJson.readRaw(fs, live, DailyStoreCatalog.MetaFile)
+            .map(b => org.apache.spark.sql.types.DataType
+              .fromJson(new String(b, "UTF-8")).asInstanceOf[StructType])
+            .getOrElse(throw e)
+      }
     // the change-data front (r20): a changesFrom read serves the store's
     // columns plus the classification column
     if (options.containsKey("changesFrom"))
@@ -645,43 +659,64 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     * as any bare-parquet overwrite; a transactional table format is
     * the answer where that matters).
     */
-  /** Stamp/refresh the durable schema sidecar (commitLocked doc): write
-    * only when absent or when this write's column SET differs (schema
-    * evolution through the writer) — same write-then-rename atomicity
-    * as every store sidecar, same raw-`StructType.json` format CREATE
-    * TABLE uses. */
+  /** Stamp/refresh the durable schema sidecar (commitLocked doc) — the
+    * raw-`StructType.json` format CREATE TABLE uses, written through
+    * the one [[SidecarJson]] atomicity helper. Mode-aware (r20 review):
+    *
+    *  - no meta yet: stamp this write's schema in INFERENCE order (data
+    *    columns first, partition column last) — exactly the column
+    *    order a path-written store always resolved to, so positional
+    *    INSERTs keep their bindings.
+    *  - TRUNCATE, or ANY commit into a DAY-LESS store (a re-seed after
+    *    delete-everything): all surviving data is this write's, so its
+    *    schema is the truth. When the column SET is unchanged the
+    *    existing meta keeps its declared order but takes this write's
+    *    TYPES (a full replace may legitimately retype a column; old
+    *    footers are gone); a different set restamps wholesale in
+    *    inference order.
+    *  - partial commits (append / day replace): restamp ONLY when this
+    *    write WIDENS the set (writer-side schema evolution), and then
+    *    by appending the new columns to the EXISTING meta's field list
+    *    (before the partition column when it sits last) — never
+    *    narrowing (a narrow frame's day write must not hide columns
+    *    still alive in untouched days) and never reordering (a CREATE
+    *    TABLE store keeps its declared order across evolution).
+    *    Same-name type changes are deliberately NOT tracked here: with
+    *    old days still holding the old type, there is no one true
+    *    schema — that needs a rewriting migration, not a stamp.
+    */
   private def stampMeta(fs: org.apache.hadoop.fs.FileSystem,
-                        live: Path): Unit = {
-    val meta = new Path(live, DailyStoreCatalog.MetaFile)
-    val needed =
-      if (!fs.exists(meta)) true
-      else {
-        val in = fs.open(meta)
-        val cur = try new String(in.readAllBytes(), "UTF-8")
-          finally in.close()
-        try org.apache.spark.sql.types.DataType.fromJson(cur)
-          .asInstanceOf[StructType].fieldNames.toSet !=
-          schema.fieldNames.toSet
-        catch { case _: Exception => true } // torn/garbled: restamp
+                        live: Path, dayless: Boolean): Unit = {
+    def inferenceOrdered(s: StructType) = StructType(
+      s.fields.filter(_.name != pcol) ++ s.fields.filter(_.name == pcol))
+    val existing: Option[StructType] =
+      SidecarJson.readRaw(fs, live, DailyStoreCatalog.MetaFile).flatMap { b =>
+        try Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(b, "UTF-8")).asInstanceOf[StructType])
+        catch { case _: Exception => None } // torn/garbled: restamp
       }
-    if (needed) {
-      // INFERENCE order — data columns first, partition column last —
-      // so a path-written store resolves with exactly the column order
-      // it always had from plain-parquet inference (a write-order stamp
-      // flipped positional INSERTs against such tables); CREATE TABLE
-      // stores keep their declared order because their meta already
-      // exists and the set matches
-      val ordered = StructType(
-        schema.fields.filter(_.name != pcol) ++
-          schema.fields.filter(_.name == pcol))
+    val newByName = schema.fields.map(f => f.name -> f).toMap
+    val replacement: Option[StructType] = existing match {
+      case None => Some(inferenceOrdered(schema))
+      case Some(cur) if dayless || mode == TruncateMode =>
+        if (cur.fieldNames.toSet == schema.fieldNames.toSet)
+          // same universe: keep the declared order, take this write's
+          // types (the data they described is gone)
+          Some(StructType(cur.fields.map(f => newByName(f.name))))
+        else Some(inferenceOrdered(schema))
+      case Some(cur) =>
+        val curNames = cur.fieldNames.toSet
+        val added = schema.fields.filter(f => !curNames.contains(f.name))
+        if (added.isEmpty || !curNames.subsetOf(schema.fieldNames.toSet))
+          None // identical, narrower, or diverging: keep the meta
+        else if (cur.fields.lastOption.exists(_.name == pcol))
+          Some(StructType(cur.fields.dropRight(1) ++ added :+ cur.fields.last))
+        else Some(StructType(cur.fields ++ added))
+      }
+    replacement.filterNot(r => existing.contains(r)).foreach { r =>
       fs.mkdirs(live)
-      val tmp = new Path(live, DailyStoreCatalog.MetaFile + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(ordered.json.getBytes("UTF-8")) finally out.close()
-      fs.delete(meta, false)
-      if (!fs.rename(tmp, meta))
-        throw new java.io.IOException(
-          s"dailystore: meta sidecar rename failed: $tmp -> $meta")
+      SidecarJson.writeRaw(fs, live, DailyStoreCatalog.MetaFile,
+        r.json.getBytes("UTF-8"))
     }
   }
 
@@ -702,16 +737,6 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     // names a DIFFERENT queryId's staging, never this write's
     DailyStoreRecovery.recoverPendingCommits(path, conf.value,
       heldBy = Some(queryId), ttlMs = leaseTtlMs)
-    // self-describing store (r20): stamp the same `_dailystore_meta.json`
-    // CREATE TABLE writes, so a PATH-written store resolves through the
-    // catalog (and any later statement) even after a commit removes its
-    // every day partition — with zero parquet footers, inference throws
-    // UNABLE_TO_INFER_SCHEMA and the store is wedged for DML until data
-    // reappears (the DailyStoreDmlPropertySpec delete-everything-then-
-    // UPDATE seed). Stamped BEFORE the destructive phase: a crash
-    // mid-commit leaves the meta in place for the replay's readers, and
-    // a failed commit's stamp is harmless (restamped on column change).
-    stampMeta(fs, live)
     def partDirs(): Seq[Path] =
       if (!fs.exists(live)) Nil
       else fs.listStatus(live).filter(s => s.isDirectory &&
@@ -741,6 +766,20 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
         DailyStoreTimeTravel.versionDirName(commitSeq, queryId))
     if (condemned.nonEmpty || committed.nonEmpty) {
       fs.mkdirs(live)
+      // self-describing store (r20): stamp/refresh the same
+      // `_dailystore_meta.json` CREATE TABLE writes, so a PATH-written
+      // store resolves through the catalog (and any later statement)
+      // even after a commit removes its every day partition — with
+      // zero parquet footers, inference throws UNABLE_TO_INFER_SCHEMA
+      // and the store is wedged for DML until data reappears (the
+      // DailyStoreDmlPropertySpec delete-everything-then-UPDATE seed).
+      // Inside the state-changing guard so a ZERO-row commit stays a
+      // complete no-op (no ghost store dir, no metadata mutation from
+      // a write that committed nothing), and BEFORE the destructive
+      // phase so a crash mid-commit leaves the meta for the replay's
+      // readers. `dayless` = the store holds no day partitions right
+      // now, i.e. this commit re-seeds it (stampMeta doc).
+      stampMeta(fs, live, dayless = partDirs().isEmpty)
       DailyStoreRecovery.writeManifest(fs, manifest, pcol,
         new Path(staging).getName, condemned.map(_.getName), committed,
         archiveRel, Some(commitSeq))

@@ -21,21 +21,31 @@ private[sources] object SidecarJson {
     val om = new ObjectMapper()
     val root = om.createObjectNode()
     build(root)
+    writeRaw(fs, live, fileName, om.writeValueAsBytes(root))
+  }
+
+  /** The atomicity half alone, for sidecars whose payload is not an
+    * object tree (e.g. the raw `StructType.json` meta). */
+  def writeRaw(fs: FileSystem, live: Path, fileName: String,
+               bytes: Array[Byte]): Unit = {
     val target = new Path(live, fileName)
     val tmp = new Path(live, fileName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    try out.write(bytes) finally out.close()
     fs.delete(target, false) // rename-over differs per FS; delete first
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
         s"dailystore: sidecar rename failed: $tmp -> $target")
   }
 
-  def read(fs: FileSystem, live: Path, fileName: String): Option[JsonNode] = {
+  def read(fs: FileSystem, live: Path, fileName: String): Option[JsonNode] =
+    readRaw(fs, live, fileName).map(new ObjectMapper().readTree(_))
+
+  def readRaw(fs: FileSystem, live: Path,
+              fileName: String): Option[Array[Byte]] = {
     val p = new Path(live, fileName)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    Some(new ObjectMapper().readTree(bytes))
+    Some(try in.readAllBytes() finally in.close())
   }
 }
