@@ -23,8 +23,12 @@ object DailyStoreDmlPropertySpec extends Properties("DailyStoreDml") {
   private lazy val spark = TestSession.spark
   import spark.implicits._
 
+  // 8 random sequences per CI run keeps the suite fast; deeper soaks
+  // (bug hunts, post-refactor confidence) set GRAFT_PROP_N — the r20
+  // emptied-store wedge was found by exactly this kind of repetition
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(8)
+    p.withMinSuccessfulTests(
+      sys.env.get("GRAFT_PROP_N").map(_.toInt).getOrElse(8))
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val day0 = Date.valueOf("2021-06-01").toLocalDate
