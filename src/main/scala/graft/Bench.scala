@@ -283,43 +283,58 @@ object Bench {
     * dominant error bar per the r14 attribution); quiet on both
     * indicts the plan.
     */
+  /** One timed pass's stamps: wall seconds plus the three session-state
+    * indicators attribution needs (timeQueries doc). `stMemMb` is the
+    * block store's persistent-RDD MEMORY residency after the pass and
+    * `stDiskDeltaMb` its DISK-residency growth during it (r21): the r20
+    * verdict's open item was three >2x in-bench movers with quiet
+    * foreign/GC stamps — block-store pressure (memo/checkpoint blocks
+    * spilling to disk under a pass, or sheer residency squeezing
+    * execution memory) is the one same-JVM class those two cannot see.
+    */
+  private final case class PassStamp(sec: Double, foreign: Double,
+      gcSec: Double, stMemMb: Double, stDiskDeltaMb: Double)
+
   private def timeQueries(spark: SparkSession, sfDir: String,
                           names: Seq[String], reps: Int)
       : (Seq[(String, Double)], Seq[(String, String)],
+         Seq[(String, Double)], Seq[(String, Double)],
          Seq[(String, Double)], Seq[(String, Double)]) = {
-    // (seconds, foreign cores, gc seconds) per pass
-    val passes = mutable.Map
-      .empty[String, mutable.Buffer[(Double, Double, Double)]]
+    val passes = mutable.Map.empty[String, mutable.Buffer[PassStamp]]
     val errors = mutable.LinkedHashMap.empty[String, String]
     for (_ <- 1 to reps; name <- names) {
       try {
+        val (_, d0) = graft.tools.Timing.storageBytes(spark)
         val gc0 = graft.tools.Timing.gcSeconds()
         val t0 = System.nanoTime()
         val (_, foreign) = withForeignCores(
           consume(SparkEntry.queries(name)(spark, sfDir)))
         val sec = (System.nanoTime() - t0) / 1e9
         val gcSec = graft.tools.Timing.gcSeconds() - gc0
+        val (m1, d1) = graft.tools.Timing.storageBytes(spark)
         passes.getOrElseUpdate(name, mutable.Buffer.empty) +=
-          ((sec, foreign, gcSec))
+          PassStamp(sec, foreign, gcSec, m1 / 1048576.0,
+            (d1 - d0) / 1048576.0)
       } catch { case e: Throwable =>
         errors.getOrElseUpdate(name, e.toString.take(300))
         System.err.println(s"[bench] FAILED $name: ${e.toString.take(500)}")
       }
     }
-    def medianPass(xs: Seq[(Double, Double, Double)])
-        : (Double, Double, Double) =
-      if (xs.isEmpty) (-1.0, -1.0, -1.0)
+    def medianPass(xs: Seq[PassStamp]): PassStamp =
+      if (xs.isEmpty) PassStamp(-1.0, -1.0, -1.0, -1.0, -1.0)
       else {
-        val s = xs.sortBy(_._1)
+        val s = xs.sortBy(_.sec)
         // time: the SAME median formula the bench has always used (mean
         // of the middle pair on even sizes) so records stay diffable;
-        // foreign/gc: the upper-middle pass's stamps
-        (median(s.map(_._1)), s(s.size / 2)._2, s(s.size / 2)._3)
+        // foreign/gc/storage: the upper-middle pass's stamps
+        s(s.size / 2).copy(sec = median(s.map(_.sec)))
       }
     val byName = names.map(n => n -> medianPass(passes.getOrElse(n, Nil).toSeq))
-    (byName.map { case (n, (s, _, _)) => n -> s }, errors.toSeq,
-      byName.map { case (n, (_, f, _)) => n -> f },
-      byName.map { case (n, (_, _, g)) => n -> g })
+    (byName.map { case (n, p) => n -> p.sec }, errors.toSeq,
+      byName.map { case (n, p) => n -> p.foreign },
+      byName.map { case (n, p) => n -> p.gcSec },
+      byName.map { case (n, p) => n -> p.stMemMb },
+      byName.map { case (n, p) => n -> p.stDiskDeltaMb })
   }
 
   /** DuckDB yardstick over `oracleNames`'s SQL (best-effort: duckdb lives
@@ -584,7 +599,8 @@ object Bench {
     }
     val warmup = (System.nanoTime() - w0) / 1e9
 
-    val ((medians, errors, foreignByQuery, gcByQuery), foreignSf01) =
+    val ((medians, errors, foreignByQuery, gcByQuery, stMemByQuery,
+      stDiskByQuery), foreignSf01) =
       withForeignCores(timeQueries(spark, sfDir, names, reps))
     val ok = medians.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
@@ -670,6 +686,7 @@ object Bench {
     val sf1 : Option[(Seq[(String, Double)], Seq[(String, String)],
                       Option[(Double, Seq[(String, Double)])],
                       Seq[(String, Double)], Double,
+                      Seq[(String, Double)], Seq[(String, Double)],
                       Seq[(String, Double)], Seq[(String, Double)])] =
       if (sf1Reps == 0 || !new java.io.File(sf1Dir).isDirectory) None
       else {
@@ -677,14 +694,14 @@ object Bench {
           try consume(SparkEntry.queries(n)(spark, sf1Dir))
           catch { case _: Throwable => () }
         }
-        val ((m1, e1, fq1, gq1), f1) =
+        val ((m1, e1, fq1, gq1, sm1, sd1), f1) =
           withForeignCores(timeQueries(spark, sf1Dir, headline, sf1Reps))
         // gate medians are sub-second — stamp their block too, so a
         // drifted gate number can be dismissed (or not) on evidence
         val (g1, fg) =
           withForeignCores(incGateScale(spark, sfDir, sf1Dir, sf1Reps))
         Some((m1, e1, duck(sf1Dir, headline, sf1Reps),
-          g1 :+ ("foreign_cores_gates" -> fg), f1, fq1, gq1))
+          g1 :+ ("foreign_cores_gates" -> fg), f1, fq1, gq1, sm1, sd1))
       }
     def sf1OracleSec(m1: Seq[(String, Double)]): Double =
       // like-for-like with duckdb_oneshot_total_sec: spark time over
@@ -710,7 +727,7 @@ object Bench {
           && scaleGrowing(k) => v }.sum)
     val sf1Full: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1, g1, f1, fq1, gq1)) =>
+      case Some((m1, e1, d1, g1, f1, fq1, gq1, sm1, sd1)) =>
         jobj(Seq(
           "dir" -> jstr(sf1Dir),
           "queries" -> jobj(m1.map { case (k, v) => k -> jnum(v) }),
@@ -731,13 +748,19 @@ object Bench {
             jobj(fq1.map { case (k, v) => k -> jnum(v) }),
           "gc_sec_by_query" ->
             jobj(gq1.map { case (k, v) => k -> jnum(v) }),
+          // r21: block-store stamps (PassStamp doc) — the session-state
+          // class foreign/GC cannot see
+          "storage_mem_mb_by_query" ->
+            jobj(sm1.map { case (k, v) => k -> jnum(v) }),
+          "storage_disk_delta_mb_by_query" ->
+            jobj(sd1.map { case (k, v) => k -> jnum(v) }),
           "duckdb_queries" -> d1.map(d =>
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")) ++
           g1.map { case (k, v) => k -> jnum(v) })
     }
     val sf1Compact: String = sf1 match {
       case None => "null"
-      case Some((m1, e1, d1, g1, f1, _, _)) =>
+      case Some((m1, e1, d1, g1, f1, _, _, _, _)) =>
         jobj(Seq(
           "queries" -> jobj(m1.map { case (k, v) => shortKey(k) -> jnum3(v) }),
           "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
@@ -780,6 +803,11 @@ object Bench {
         jobj(foreignByQuery.map { case (k, v) => k -> jnum(v) }),
       "gc_sec_by_query" ->
         jobj(gcByQuery.map { case (k, v) => k -> jnum(v) }),
+      // r21: block-store stamps (PassStamp doc)
+      "storage_mem_mb_by_query" ->
+        jobj(stMemByQuery.map { case (k, v) => k -> jnum(v) }),
+      "storage_disk_delta_mb_by_query" ->
+        jobj(stDiskByQuery.map { case (k, v) => k -> jnum(v) }),
       "spark_total_sec" -> jnum(total),
       "spark_oracle_total_sec" -> jnum(oracleTotal),
       "spark_oracle_oneshot_sec" -> jnum(oneshotTotal),

@@ -204,12 +204,47 @@ object ScalarQueries {
       "INTERSECT / EXCEPT set semantics"),
 
     // ----- distinct aggregation -----
+    // r21 restructure (guide §2.3 — shuffle fewer bytes): TWO distinct
+    // aggregates in one Aggregate force Catalyst's Expand plan — every
+    // scan row is emitted TWICE (once per distinct group, null-padded),
+    // and the partial-dedup aggregate runs over the doubled stream with
+    // a FIVE-column composite key (flag, okey, pkey, skey, gid) whose
+    // exchange ships ~2x distinct-key rows of 5 columns. Splitting into
+    // two single-distinct branches removes the Expand entirely: each
+    // branch is a narrow (2-3 column) partial-dedup whose map-side
+    // combine ships only its own distinct keys, and the 3-row branch
+    // results broadcast-join back on the group key. Same result by
+    // construction for any group with at least one countable key
+    // (count-distinct ignores nulls — the isNotNull filters mirror
+    // COUNT(a, b)'s all-args-non-null rule; the full-outer + <=> +
+    // coalesce(0) keeps groups and null group keys that appear in only
+    // one branch). Documented edge: a group whose rows are ALL-null in
+    // BOTH key sets would emit (flag, 0, 0) in the original and no row
+    // here — unreachable on these tables (lineitem keys are non-null;
+    // oracle-pinned at every SF). A/B this window (TimeSet sf0.1,
+    // median-of-5): 2.038 s -> see OPTIMIZATION_r21.md.
     "q47_distinct_agg" -> Q(
-      (s, dir) => Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        // distinct output names per branch: both derive from one scan,
+        // and joining two descendants of the same Dataset on the shared
+        // column name trips the ambiguous-self-join check
+        val ords = li.filter(col("l_orderkey").isNotNull)
+          .select("l_returnflag", "l_orderkey").distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_orders"))
+          .select(col("l_returnflag").as("__fa"), col("n_orders"))
+        val ps = li
+          .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+          .select("l_returnflag", "l_partkey", "l_suppkey").distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_part_supp"))
+          .select(col("l_returnflag").as("__fb"), col("n_part_supp"))
+        ords.join(ps, col("__fa") <=> col("__fb"), "full_outer")
+          .select(
+            coalesce(col("__fa"), col("__fb")).as("l_returnflag"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_part_supp"), lit(0L)).as("n_part_supp"))
+          .orderBy("l_returnflag")
+      },
       Some(
         """SELECT l_returnflag,
           |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -78,6 +78,24 @@ object Timing {
     total / 1000.0
   }
 
+  /** Block-store residency of every persistent RDD in this JVM:
+    * (memory bytes, disk bytes) summed over `getRDDStorageInfo`. The
+    * r21 per-query bench stamp pairs each pass with its residency
+    * DELTAS: the r20 verdict's open item was three >2x in-bench movers
+    * whose foreign-core and GC stamps were both quiet — the one
+    * session-state class those two cannot see is block-store pressure
+    * (memoized corpus snapshots and scoped checkpoints accumulating as
+    * the bench walks the catalog, evicting or disk-spilling blocks a
+    * later query's plan then re-reads slowly). A mover whose pass shows
+    * a large disk-residency GROWTH (memory blocks spilling under it) or
+    * a large absolute residency indicts the session's block-store
+    * state; quiet on all three stamps indicts the plan.
+    */
+  def storageBytes(spark: org.apache.spark.sql.SparkSession): (Long, Long) = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+  }
+
   /** Run `body`, returning (result, average FOREIGN cores over the
     * block — cores something other than this JVM was burning). -1 when
     * /proc/stat or process CPU is unavailable. Solo evidence tools
