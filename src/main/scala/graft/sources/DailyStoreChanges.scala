@@ -67,6 +67,12 @@ object DailyStoreChanges {
     * `update_preimage` / `update_postimage` when a `key` is given. */
   val ChangeTypeCol = "_change_type"
 
+  /** Per-row cap on the multiplicity-restoring sequence arrays (see
+    * the chunked explode in [[readChanges]]): 64k longs = 512 KB per
+    * array worst case, far under any task's page budget, while a
+    * typical net of ±1 pays one extra one-element explode. */
+  private val MultiplicityChunk = 65536L
+
   private def touchedOf(v: DailyStoreTimeTravel.StoreVersion,
                         pcol: String): Seq[String] = {
     val added = v.manifest.get("files").elements().asScala
@@ -144,6 +150,16 @@ object DailyStoreChanges {
     require(!toDf.columns.contains(ChangeTypeCol),
       s"dailystore changes: the store already has a '$ChangeTypeCol' " +
         "column — rename it before reading changes")
+    // the diff computes through internal _graft_-prefixed columns
+    // (side tag, net multiplicity, chunk counters, update mark); a
+    // store column in that namespace would be silently REPLACED by the
+    // withColumns below and the diff would compute wrong multiplicities
+    // — fail loudly instead (r21, from the r20 review)
+    toDf.columns.filter(_.startsWith("_graft_")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"dailystore changes: store column '$c' collides with the " +
+          "reserved _graft_ internal namespace — rename it before " +
+          "reading changes"))
     key.foreach(k => require(toDf.columns.contains(k),
       s"dailystore changes: key column '$k' is not in the store's " +
         s"columns ${toDf.columns.sorted.mkString(",")}"))
@@ -167,10 +183,25 @@ object DailyStoreChanges {
       // joins below replay it instead of re-reading the store
       .localCheckpoint()
     // restore per-row multiplicity (same-content copies appended twice
-    // then one removed net to +1 etc.)
+    // then one removed net to +1 etc.). CHUNKED (r21, from the r20
+    // review): a single explode(sequence(1, net)) materializes one
+    // in-memory array of net elements per row — a changed day holding N
+    // identical duplicate rows collapses to ONE net row whose expansion
+    // builds an 8N-byte array in a single task, an OOM risk exceptAll's
+    // join-based expansion does not have. Two nested explodes bound
+    // every array to MultiplicityChunk elements while emitting exactly
+    // net rows: sum over chunks of min(C, net - chunk*C) = net.
+    val nAbs = abs(col("_graft_net"))
+    val c = lit(MultiplicityChunk)
     val delta = net
+      .withColumn("_graft_ck",
+        // Column./ is double division — floor+cast keeps the chunk
+        // index integral (exact for any net below 2^53)
+        explode(sequence(lit(0L), floor((nAbs - 1L) / c).cast("long"))))
       .withColumn("_graft_i",
-        explode(sequence(lit(1L), abs(col("_graft_net"))))).drop("_graft_i")
+        explode(sequence(lit(1L),
+          least(c, nAbs - col("_graft_ck") * c))))
+      .drop("_graft_ck", "_graft_i")
     key match {
       case None =>
         delta.withColumn(ChangeTypeCol,
@@ -179,21 +210,24 @@ object DailyStoreChanges {
       case Some(k) =>
         // a key with rows on BOTH sides of the diff is an update; the
         // key frame is delta-sized — unhinted join, AQE picks the
-        // physical strategy from the measured size
+        // physical strategy from the measured size. NULL-SAFE join
+        // (r21, from the r20 review): the groupBy above treats null
+        // keys as equal, so a plain using-join (which never matches
+        // nulls) would silently classify null-keyed both-sides rows as
+        // insert/delete while the aggregate saw them as an update —
+        // <=> keeps the two key-equality semantics consistent.
         val upd = net.groupBy(col(k))
           .agg(max(col("_graft_net") > 0).as("_ha"),
             max(col("_graft_net") < 0).as("_hd"))
           .filter(col("_ha") && col("_hd"))
-          .select(col(k), lit(true).as("_graft_upd"))
-        delta.join(upd, Seq(k), "left_outer")
+          .select(col(k).as("_graft_uk"), lit(true).as("_graft_upd"))
+        delta.join(upd, col(k) <=> col("_graft_uk"), "left_outer")
           .withColumn(ChangeTypeCol,
             when(col("_graft_net") > 0,
               when(col("_graft_upd"), "update_postimage").otherwise("insert"))
             .otherwise(
               when(col("_graft_upd"), "update_preimage").otherwise("delete")))
-          .drop("_graft_net", "_graft_upd")
-          // the using-join moved the key column first — restore the
-          // store's column order
+          .drop("_graft_net", "_graft_upd", "_graft_uk")
           .select((storeCols.map(col) :+ col(ChangeTypeCol)): _*)
     }
   }

@@ -213,8 +213,15 @@ object DailyStoreMerge {
     // the meta sidecar every commit stamps (r20) is the freshest record
     // — a non-merge write that widened the store updates IT, while the
     // merge-only `_schema.json` could lag behind (the two-sidecars
-    // divergence the r20 review flagged); prefer meta, then the legacy
-    // guard sidecar, then inference
+    // divergence the r20 review flagged). When BOTH exist the guard
+    // takes their UNION (r21): on a store whose meta predates an
+    // addColumns evolution that only updated `_schema.json` (meta
+    // stamping at commit arrived later than evolution), the stale
+    // narrow meta would otherwise win and bless a merge that silently
+    // drops the evolved column from every rewritten day — exactly the
+    // data-loss mode this guard exists to prevent. The union is the
+    // conservative record of every column either sidecar has seen; the
+    // next commit restamps meta with the true set.
     val metaCols: Option[Set[String]] =
       SidecarJson.readRaw(fs, live, DailyStoreCatalog.MetaFile).flatMap { b =>
         try Some(org.apache.spark.sql.types.DataType
@@ -223,7 +230,10 @@ object DailyStoreMerge {
           .fieldNames.toSet)
         catch { case _: Exception => None }
       }
-    val sidecarCols = metaCols.orElse(readSchemaSidecar(fs, live))
+    val sidecarCols = (metaCols, readSchemaSidecar(fs, live)) match {
+      case (Some(m), Some(g)) => Some(m ++ g)
+      case (m, g) => m.orElse(g)
+    }
     val storeCols = sidecarCols.getOrElse {
       val fast = spark.read.parquet(path).schema.fieldNames.toSet
       if (fast == cols.toSet) fast

@@ -684,6 +684,17 @@ class DailyStoreBatchWrite(path: String, pcol: String, pIdx: Int,
     *    Same-name type changes are deliberately NOT tracked here: with
     *    old days still holding the old type, there is no one true
     *    schema — that needs a rewriting migration, not a stamp.
+    *
+    * Crash-window note (r21, from the r20 review): the stamp lands
+    * BEFORE the manifest, so a crash between the two applies the stamp
+    * for a commit that never happened. For widen-only stamps that is
+    * benign (the extra columns read as NULL until the write is
+    * retried). For the TRUNCATE/re-seed RETYPE case the sidecar can
+    * briefly declare types the surviving old parquet does not have —
+    * until the write is retried, which recovery forces on the next
+    * commit. Stamping after the manifest instead would trade this for
+    * the inverse window (a REPLAYED commit whose stamp never landed),
+    * so the pre-manifest order stays; the replay path re-stamps.
     */
   private def stampMeta(fs: org.apache.hadoop.fs.FileSystem,
                         live: Path, dayless: Boolean): Unit = {

@@ -279,4 +279,60 @@ class DailyStoreChangesSpec extends SparkSpec {
       (d("2020-03-02"), 2, "b", "delete"),
       (d("2020-03-02"), 2, "B", "insert")))
   }
+
+  test("a store column in the reserved _graft_ namespace is rejected " +
+      "loudly (r21, from the r20 ADVICE: silent withColumn replacement " +
+      "would corrupt the diff's multiplicities)") {
+    val dir = freshDir("graftcol")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    Seq((d("2020-03-01"), 1, 9L)).toDF("d", "k", "_graft_side")
+      .write.format("dailystore").option("path", dir).mode("append").save()
+    Seq((d("2020-03-02"), 2, 9L)).toDF("d", "k", "_graft_side")
+      .write.format("dailystore").option("path", dir).mode("append").save()
+    val ex = intercept[IllegalArgumentException] {
+      DailyStoreChanges.readChanges(spark, dir, 1, 2)
+    }
+    assert(ex.getMessage.contains("_graft_side"), ex.getMessage)
+  }
+
+  test("null-keyed rows on both sides classify as an update pair — " +
+      "consistent with the aggregate's null-equality (r21, from the " +
+      "r20 ADVICE: the plain using-join never matched nulls)") {
+    val dir = freshDir("nullkey")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    def nrows(rs: (String, Option[Int], String)*) =
+      rs.toSeq.map { case (dt, k, s) => (d(dt), k, s) }
+        .toDF("d", "k", "label")
+    write(nrows(("2020-03-01", None, "a"), ("2020-03-01", Some(1), "b")), dir)
+    write(nrows(("2020-03-01", None, "a2"), ("2020-03-01", Some(1), "b")),
+      dir, "overwrite", dynamic = true)
+    val got = DailyStoreChanges.readChanges(spark, dir, 1, 2,
+        key = Some("k"))
+      .select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+      .as[(Date, Option[Int], String, String)].collect().toSeq
+      .sortBy(r => (r._3, r._4))
+    assert(got == Seq(
+      (d("2020-03-01"), None, "a", "update_preimage"),
+      (d("2020-03-01"), None, "a2", "update_postimage")))
+  }
+
+  test("multiplicity restoration is chunk-bounded: a net far above the " +
+      "per-row chunk cap expands to exactly net rows (r21, from the " +
+      "r20 ADVICE: one sequence array per net row was an OOM risk)") {
+    val dir = freshDir("chunk")
+    DailyStoreTimeTravel.enable(spark, dir, keep = 10)
+    write(days(("2020-03-01", 1, "seed")), dir)
+    // 70_001 IDENTICAL rows in one appended day: the net aggregate
+    // collapses them to ONE row with _graft_net = 70_001 > the 65_536
+    // chunk cap, so restoration must span two chunks
+    val n = 70001
+    spark.range(n).select(lit(d("2020-03-02")).as("d"), lit(7).as("k"),
+        lit("dup").as("label"))
+      .write.format("dailystore").option("path", dir).mode("append").save()
+    val delta = DailyStoreChanges.readChanges(spark, dir, 1, 2)
+    assert(delta.count() == n.toLong)
+    assert(delta.select("d", "k", "label", DailyStoreChanges.ChangeTypeCol)
+      .distinct().as[(Date, Int, String, String)].collect().toSeq ==
+      Seq((d("2020-03-02"), 7, "dup", "insert")))
+  }
 }

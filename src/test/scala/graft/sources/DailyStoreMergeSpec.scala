@@ -348,4 +348,35 @@ class DailyStoreMergeSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("columns"), ex.getMessage)
   }
+
+  test("diverged sidecars guard with their UNION: a stale narrow meta " +
+    "cannot bless a merge that would drop a column _schema.json " +
+    "records (r21, from the r20 ADVICE)") {
+    val dir = freshDir("sideunion")
+    seed(dir) // meta stamped at commit: {d,k,v}
+    // simulate a pre-meta-era evolution record: _schema.json knows a
+    // wider set the (older) meta never saw
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    SidecarJson.write(fs, live, DailyStoreMerge.SchemaSidecarFile) { root =>
+      val arr = root.putArray("columns")
+      Seq("d", "k", "v", "note").foreach(arr.add)
+    }
+    // a merge carrying only meta's narrower set must FAIL loudly — a
+    // meta-preferring guard would pass it and silently drop `note`
+    // from every rewritten day
+    val ex = intercept[IllegalArgumentException] {
+      DailyStoreMerge.mergeByKey(spark, dir,
+        rows(("2020-03-01", 1, "a2")), key = "k")
+    }
+    assert(ex.getMessage.contains("note"), ex.getMessage)
+    // carrying the union (with addColumns) evolves cleanly
+    DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-01", 1, "a2")).withColumn("note",
+        org.apache.spark.sql.functions.lit("n")),
+      key = "k", addColumns = true)
+    assert(spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter($"k" === 1).select("v", "note")
+      .as[(String, String)].collect().toSeq == Seq(("a2", "n")))
+  }
 }

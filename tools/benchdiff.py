@@ -38,13 +38,19 @@ from), movers auto-attribute instead of printing UNATTRIBUTED:
   wall time in GC → the stamp is appended to whatever note exists, so
   the reader sees the pressure even without a baseline.
 
-Exit code is 0 always: the tool reports, the reader judges.
+Exit code: 0 normally (the tool reports, the reader judges) — EXCEPT
+when a mover beyond BIG_MOVER (default 2x) has neither an attribution
+entry nor an auto-attributing stamp: those print as a loud
+`UNATTRIBUTED >2x MOVERS` block and the exit code is 2, so a round
+cannot silently ship a BENCH record with an uncharacterized big swing
+(r21, closing the r20 verdict's q06/q49/q50 fall-through).
 """
 import sys, os, json
 
 FOREIGN_HOT = 2.0  # README accept rule: quiet window = foreign < 2.0
 GC_COVERS = 0.5    # gc growth explaining >=50% of the delta attributes it
 GC_NOTABLE = 0.3   # >=30% of the pass inside GC is worth surfacing
+BIG_MOVER = 1.0    # |delta| > 100% (i.e. >2x / <0.5x) demands attribution
 
 
 def load(path):
@@ -140,6 +146,17 @@ def main(old_path, new_path, threshold=0.15, hide_new=False):
     print("|---|---|---|---|---|")
     for _, key, o, n, d, note in sorted(rows, key=lambda r: -r[0]):
         print(f"| {key} | {o} | {n} | {d} | {note} |")
+    big_unattributed = [
+        (key, o, n, d) for mag, key, o, n, d, note in rows
+        if note == "UNATTRIBUTED" and mag != float("inf") and mag > BIG_MOVER]
+    if big_unattributed:
+        print()
+        print(f"UNATTRIBUTED >2x MOVERS ({len(big_unattributed)}) — every "
+              "mover beyond the documented band needs a solo stamp or an "
+              "attribution entry before the record ships:")
+        for key, o, n, d in big_unattributed:
+            print(f"  {key}: {o} -> {n} ({d})")
+        return 2
     return 0
 
 
