@@ -114,13 +114,37 @@ object SemDedup {
           "duplicates inside them would silently survive. Refit with a " +
           "larger cluster count (or auto-k, nClusters <= 0).")
     }
+    // dedupePairs = false (r21): the cell key is a SINGLE band, so an
+    // unordered pair arises at most once — the distinct was a full
+    // exchange of the N²/k pair set (13.4M rows at the q83 sf1 point)
+    // for nothing. The dropped-id distinct below keeps the survivor set
+    // insensitive to pair multiplicity either way.
     val cands = Dedup.adaptIdType(cellRows, idCol) { rows =>
-      Dedup.boundedBucketPairs(rows, idCol, maxCluster)
+      Dedup.boundedBucketPairs(rows, idCol, maxCluster, dedupePairs = false)
     }
     graft.functions.Vectors.register(vecs.sparkSession)
+    // Verify-join strategy by MEASURED vector-side size (r21, the
+    // DailyStoreMerge.sizedKeySide discipline): the pair side is the
+    // BIG side here by the paper's own algebra — N²/k pairs of 16 bytes
+    // vs N vectors of ~4·dim bytes, so pairs outweigh vectors whenever
+    // k < N·16/(2·4·dim), true under the k ∝ N/1000 rule for any
+    // realistic dim. BROADCASTING the vectors (when they fit) keeps the
+    // pair set inside the aggregation's own stage — zero pair-sized
+    // exchanges, no sort (the static planner saw 2 sort-merge joins
+    // here: the checkpointed inputs hide stats). Above the threshold —
+    // the 100 TB regime — shuffle_hash still exchanges pairs WITHOUT
+    // sorting them, and builds only per-partition vector slices.
+    val maxBcast = vecs.sparkSession.conf
+      .getOption("spark.graft.semdedup.maxBroadcastVecs")
+      .map(_.toLong).getOrElse(500000L)
+    val bcastVecs = vecs.count() <= maxBcast
+    def vecSide(idAs: String, vecAs: String): DataFrame = {
+      val s = vecs.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      if (bcastVecs) broadcast(s) else s.hint("shuffle_hash")
+    }
     val dropped = cands
-      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")
-      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+      .join(vecSide("id1", "__v1"), "id1")
+      .join(vecSide("id2", "__v2"), "id2")
       .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
         >= minCosine)
       .select(col("id2").as(idCol))

@@ -64,28 +64,82 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int,
 
 object MinHashSig {
 
+  /** The Mersenne prime the affine family reduces by everywhere in the
+    * library ([[Dedup.minhashSignatures]]'s `p`): reduction by it needs
+    * two shift-and-add folds instead of a long division — see [[sig]]'s
+    * fast path. */
+  private val MersenneP = (1L << 31) - 1
+
   /** The fused loop. Public so generated code can call it.
     *
-    * `floorMod`, not `%`: the claimed bit-identity is with SQL `pmod`,
-    * whose result is non-negative even when the affine product overflows
-    * a long (possible for caller-supplied `mod` near 2^63/k — for the
-    * default mod = 2^31-1 and k = 32 the product stays positive and the
-    * two operators agree, but the registry accepts arbitrary k/mod).
+    * `floorMod`, not `%`, on the general path: the claimed bit-identity
+    * is with SQL `pmod`, whose result is non-negative even when the
+    * affine product overflows a long (possible for caller-supplied
+    * `mod` near 2^63/k — for the default mod = 2^31-1 and k = 32 the
+    * product stays positive and the two operators agree, but the
+    * registry accepts arbitrary k/mod).
+    *
+    * r21 (per-task-work pass, guide §1.2 step 2): the inner loop is the
+    * hot path of every minhash consumer (one execution per shingle ×
+    * position = ~k × corpus-chars total), and the original form paid
+    * one MULTIPLY and one long DIVISION (floorMod) per execution. Two
+    * bit-identical reductions:
+    *
+    *  - strength reduction: h0*(2i+1) + i*40503 + C steps by the
+    *    CONSTANT (2*h0 + 40503) as i increments, so the accumulator
+    *    replaces the multiply with one add. Long addition is associative
+    *    modulo 2^64, so the accumulated value wraps to exactly the
+    *    value the product form wraps to — floorMod of it is unchanged
+    *    for every mod.
+    *  - for the library-wide default mod = 2^31-1 (Mersenne prime) the
+    *    division becomes two shift-add folds + conditional subtract:
+    *    x ≡ (x >>> 31) + (x & p) (mod p). Safe here because the
+    *    accumulator stays far below 2^63 for this mod (h0 < 2^31,
+    *    acc ≤ h0*(2k-1) + (k-1)*40503 + C < 2^37 for any k ≤ 32 — and
+    *    even k = 10^4 keeps it < 2^46), so no wrap and x ≥ 0, where
+    *    Mersenne folding equals floorMod exactly. MinHashSigSpec pins
+    *    the explode+agg (pmod) equivalence on both paths.
     */
   def sig(s: UTF8String, k: Int, n: Int, mod: Long): Array[Long] = {
     val hashes = NgramHasher.hashAll(s, n, mod)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    var j = 0
-    while (j < hashes.length) {
-      val h0 = hashes(j) // already in [0, mod)
-      var i = 0
-      while (i < k) {
-        val v = Math.floorMod(h0 * (i * 2 + 1) + i * 40503L + 2654435769L, mod)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+    // k-bound on the fast path keeps the accumulator provably below
+    // 2^57 (no wrap, two folds always suffice); any realistic signature
+    // width is orders of magnitude under it
+    if (mod == MersenneP && k <= (1 << 24)) {
+      val p = MersenneP
+      var j = 0
+      while (j < hashes.length) {
+        val h0 = hashes(j) // already in [0, mod)
+        val step = (h0 << 1) + 40503L
+        var acc = h0 + 2654435769L // i = 0: h0*1 + 0*40503 + C
+        var i = 0
+        while (i < k) {
+          var v = (acc >>> 31) + (acc & p)
+          v = (v >>> 31) + (v & p)
+          if (v >= p) v -= p
+          if (v < mins(i)) mins(i) = v
+          acc += step
+          i += 1
+        }
+        j += 1
       }
-      j += 1
+    } else {
+      var j = 0
+      while (j < hashes.length) {
+        val h0 = hashes(j)
+        val step = h0 * 2 + 40503L // wraps like the product form
+        var acc = h0 + 2654435769L
+        var i = 0
+        while (i < k) {
+          val v = Math.floorMod(acc, mod)
+          if (v < mins(i)) mins(i) = v
+          acc += step
+          i += 1
+        }
+        j += 1
+      }
     }
     mins
   }

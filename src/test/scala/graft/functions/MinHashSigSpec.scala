@@ -41,6 +41,33 @@ class MinHashSigSpec extends SparkSpec {
     assert(viaExpr.toSeq == viaAgg.toSeq)
   }
 
+  test("non-Mersenne mod takes the general path and still matches the " +
+      "explode+agg formulation (r21: the default mod gets a fold-based " +
+      "fast path; this pins the floorMod branch)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "短い非ASCIIテキスト with mixed content", "tiny", "",
+      "aaaaaaaaaaaaaaaaaaaaaaa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val k = 16
+    val mod = 2147483629L // prime, != 2^31-1
+    val viaExpr = df.select(col("doc_id"),
+        MinHashSig.minhashSig(col("text"), k, 5, mod).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val mins = (0 until k).map { i =>
+      min(pmod(col("h0") * (i * 2 + 1) + i * 40503L + 2654435769L, lit(mod)))
+        .as(s"m$i")
+    }
+    val viaAgg = df.select(col("doc_id"),
+        explode(Texts.ngramHashes(col("text"), 5, mod)).as("h0"))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(viaExpr.toSeq == viaAgg.toSeq)
+  }
+
   test("every input row comes back with a k-length signature") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
