@@ -635,13 +635,22 @@ object Dedup {
     * (`private[graft]`: StreamingOpsSpec appends band rows alone to
     * simulate a crash midway through [[appendSigStore]]'s two jobs.)
     */
-  private[graft] def bandRowsOf(sig: DataFrame, idCol: String, bands: Int): DataFrame =
+  private[graft] def bandRowsOf(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
+    // r21 per-task-work pass: the original composable form —
+    // posexplode(transform(sequence, b => slice(sig, ...))) +
+    // xxhash64(band, bslice) — allocated a sequence array, `bands`
+    // slice copies and a struct per row before the generic hash ran.
+    // lsh_band_keys fuses the walk into one primitive-array loop with
+    // BIT-IDENTICAL keys wherever bands divides the signature length
+    // (every operator use; LshBandKeysSpec pins the equality, and pins
+    // the fused form's clean integer-division slicing as the DEFINED
+    // behavior outside that contract, where the composable form's
+    // Column./ double arithmetic truncated slice starts per band).
+    graft.functions.Texts.register(sig.sparkSession)
     sig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * (size(col("sig")) / bands) + 1,
-          size(col("sig")) / bands))).as(Seq("band", "bslice")))
-      .select(col(idCol), col("band"),
-        xxhash64(col("band"), col("bslice")).as("bkey"))
+      posexplode(graft.functions.LshBandKeys.lshBandKeys(col("sig"), bands))
+        .as(Seq("band", "bkey")))
+  }
 
   /** In-bucket candidate pairs from (…, band, bkey) rows in ONE
     * aggregation pass: graft.functions.BoundedIds gathers each bucket's

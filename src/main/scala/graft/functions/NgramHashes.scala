@@ -234,6 +234,11 @@ object Texts {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_band_keys",
+      exprs => LshBandKeys(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_fingerprint",
       exprs => ShingleFingerprint(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),

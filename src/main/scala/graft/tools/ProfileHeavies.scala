@@ -63,6 +63,48 @@ object ProfileHeavies {
     timed("q37 end-to-end (catalog entry)")(
       graft.SparkEntry.queries("q37_minhash_lsh")(spark, dir))
 
+    // ---------------- q45: curation composition stages -----------------
+    locally {
+      import graft.text.TextAnalysis
+      graft.functions.Texts.register(spark)
+      val corpus = graft.catalog.DedupQueries
+        .curationCorpusForAudit(spark, dir)
+      timed("q45 corpus read (memoized cp)")(corpus)
+      val langs = Seq("en", "es", "fr", "de", "zh")
+      val filtered = corpus
+        .filter(TextAnalysis.langId(col("text"))
+          .isin(langs.map(x => x: Any): _*))
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.0)
+      timed("q45 tier1 filters alone")(filtered)
+      val exactPlan = filtered
+        .groupBy(md5(col("text")).as("__text_hash"))
+        .agg(min_by(struct(corpus.columns.map(col): _*), col("doc_id"))
+          .as("__doc"))
+        .select(col("__doc.*"))
+      timed("q45 tier1+2 exact dedup")(exactPlan)
+      val exactKept = exactPlan.localCheckpoint()
+      val sigPlan = Dedup.minhashSignatures(exactKept, "doc_id", "text")
+      timed("q45 sig scan (from exact cp)")(sigPlan)
+      val sig45 = sigPlan.localCheckpoint()
+      timed("q45 bands+pairs (from sig cp)")(
+        Dedup.lshCandidates(sig45, "doc_id", bands = 8))
+      val pairs45 = Dedup.minhashJaccard(
+          Dedup.lshCandidates(sig45, "doc_id", bands = 8), sig45, "doc_id")
+        .filter(col("est_jaccard") >= 0.9).localCheckpoint()
+      timed("q45 cc (from pairs cp)")(Dedup.canonicalClusters(
+        exactKept.select("doc_id"), pairs45, "doc_id"))
+      val clusters45 = Dedup.canonicalClusters(
+        exactKept.select("doc_id"), pairs45, "doc_id").localCheckpoint()
+      timed("q45 survivors + tokens")(
+        exactKept.join(clusters45
+            .filter(col("doc_id") === col("canonical_id"))
+            .select("doc_id").hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+          .withColumn("tokens", TextAnalysis.tokenCountRe(col("text"))))
+      timed("q45 end-to-end (catalog entry)")(
+        graft.SparkEntry.queries("q45_curate_corpus")(spark, dir))
+    }
+
     // ---------------- q83: SemDeDup within-cell search ----------------
     timed("q83 end-to-end (catalog entry)")(
       graft.SparkEntry.queries("q83_semantic_dedup")(spark, dir))
