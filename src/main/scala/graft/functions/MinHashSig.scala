@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -100,18 +100,36 @@ object MinHashSig {
     *    Mersenne folding equals floorMod exactly. MinHashSigSpec pins
     *    the explode+agg (pmod) equivalence on both paths.
     */
+  /** Also r21, allocation pass: the original body materialized
+    * `NgramHasher.hashAll`'s per-row scaffolding — a `getBytes` copy of
+    * the text, a `numBytes+1` int offset array and a per-shingle long
+    * array (~30 KB of garbage per 2 KB document) — only to fold it
+    * straight into k minimums. This body streams instead: the UTF-8
+    * char-boundary walk reads the UTF8String's own memory
+    * (base/offset, zero copy), keeps only a ring of the last n+1
+    * boundary offsets, and folds each shingle hash into the minimums
+    * the moment it is computed. The shingle byte spans and the hash
+    * chain are EXACTLY hashAll's (same `max(chars-n+1, 1)` count, same
+    * whole-text shingle for short texts, same xxhash64 seed and pmod),
+    * so the h0 multiset — and therefore every minimum — is unchanged;
+    * MinHashSigSpec pins the equivalence against explode(ngram_hashes).
+    */
   def sig(s: UTF8String, k: Int, n: Int, mod: Long): Array[Long] = {
-    val hashes = NgramHasher.hashAll(s, n, mod)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     // k-bound on the fast path keeps the accumulator provably below
     // 2^57 (no wrap, two folds always suffice); any realistic signature
     // width is orders of magnitude under it
-    if (mod == MersenneP && k <= (1 << 24)) {
-      val p = MersenneP
-      var j = 0
-      while (j < hashes.length) {
-        val h0 = hashes(j) // already in [0, mod)
+    val fast = mod == MersenneP && k <= (1 << 24)
+
+    def fold(start: Int, end: Int): Unit = {
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      val h0 = ((h % mod) + mod) % mod
+      if (fast) {
+        val p = MersenneP
         val step = (h0 << 1) + 40503L
         var acc = h0 + 2654435769L // i = 0: h0*1 + 0*40503 + C
         var i = 0
@@ -123,12 +141,7 @@ object MinHashSig {
           acc += step
           i += 1
         }
-        j += 1
-      }
-    } else {
-      var j = 0
-      while (j < hashes.length) {
-        val h0 = hashes(j)
+      } else {
         val step = h0 * 2 + 40503L // wraps like the product form
         var acc = h0 + 2654435769L
         var i = 0
@@ -138,9 +151,26 @@ object MinHashSig {
           acc += step
           i += 1
         }
-        j += 1
       }
     }
+
+    // ring of the last n+1 char-start byte offsets: when char index c
+    // is reached, the shingle starting at char c-n ends at c's offset
+    val ring = new Array[Int](n + 1)
+    var chars = 0
+    var i = 0
+    while (i < nb) {
+      ring(chars % (n + 1)) = i
+      if (chars >= n) fold(ring((chars - n) % (n + 1)), i)
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      chars += 1
+    }
+    // the final shingle ends at the text's end; texts shorter than n
+    // chars (empty included) contribute their single whole-text shingle
+    // — exactly hashAll's max(chars - n + 1, 1) span set
+    if (chars >= n) fold(ring((chars - n) % (n + 1)), nb)
+    else fold(0, nb)
     mins
   }
 

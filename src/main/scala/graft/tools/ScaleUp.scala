@@ -30,6 +30,19 @@ object ScaleUp {
       : DataFrame =
     df.crossJoin(broadcast(
       spark.range(factor).select(col("id").as("__rep"))))
+      // r21 file-layout fix (guide §6): the source testdata tables are
+      // single small parquet files, and the crossJoin preserves that one
+      // input partition — so every replicated table used to land as ONE
+      // file, capping every downstream scan at ONE task regardless of
+      // core count (the sf1 documents corpus is ~50 MB of text; its
+      // minhash/tokenize scans ran single-threaded on a 32-core bench,
+      // measuring expression throughput instead of the engine). Write
+      // one file per REPLICA volume instead: data-proportional (a 10x
+      // dataset gets 10 files, a 100x one 100), never tuned to the
+      // local core count. Keyless round-robin repartition is
+      // deterministic (sort-before-repartition is on by default) and
+      // skew-free, unlike hashing the 10-value __rep into 10 buckets.
+      .repartition(factor)
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
