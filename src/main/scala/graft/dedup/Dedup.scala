@@ -864,19 +864,23 @@ object Dedup {
   private[graft] val MaxLocalEdgesConf = "spark.graft.cc.maxLocalEdges"
   private[graft] val MaxLocalEdgesDefault = 1000000L
 
-  /** Driver-local union-find over a measured-small symmetric edge list:
-    * Some((id, label) frame) when the edge count is under the threshold
+  /** Driver-local union-find over a measured-small RAW pair list (r21:
+    * the input is the (src, dst) pair checkpoint, NOT the symmetric
+    * union — union-find needs each undirected edge once, so the local
+    * path never pays the symmetric-union + repartition exchange the
+    * distributed loop needs; members come from BOTH endpoint columns):
+    * Some((id, label) frame) when the pair count is under the threshold
     * and the id type has a faithful local ordering (integral families,
     * UTF8-binary strings, date/timestamp), None otherwise (the caller
     * falls through to the distributed loop). Labels carry the component
     * MINIMUM id — the same canonical the min-label loop converges to.
-    * Both collects are bounded by the measured edge count. */
+    * Both collects are bounded by the measured pair count. */
   private def localCanonical(ids: DataFrame, edges: DataFrame,
                              idCol: String): Option[DataFrame] = {
     val spark = ids.sparkSession
     val maxLocal = spark.conf.getOption(MaxLocalEdgesConf)
       .map(_.toLong).getOrElse(MaxLocalEdgesDefault)
-    if (edges.count() > 2L * maxLocal) return None
+    if (edges.count() > maxLocal) return None
     val idType = ids.schema(idCol).dataType
     // comparator matching Spark's least()/min ordering for the type —
     // an id type without one falls back to the distributed loop, whose
@@ -900,10 +904,11 @@ object Dedup {
           .compareTo(b.asInstanceOf[java.sql.Timestamp]) < 0
       case _ => return None
     }
-    // the symmetric list puts every endpoint in src once, so one
-    // distinct covers all members; the ids semi-join keeps the loop's
-    // semantics (edges referencing unknown ids conduct nothing)
-    val members = edges.select(col("src").as("id")).distinct()
+    // raw pairs: members are the union of BOTH endpoint columns; the
+    // ids semi-join keeps the loop's semantics (edges referencing
+    // unknown ids conduct nothing)
+    val members = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
       .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .collect().map(_.get(0))
     val idx = new java.util.HashMap[Any, Integer](members.length * 2)
@@ -985,18 +990,16 @@ object Dedup {
     // checkpoint, whose release below would leave them unrecoverable
     require(maxIter >= 1,
       s"canonicalClusters: maxIter must be >= 1, got $maxIter")
-    // Symmetric edge list (propagate both directions), shuffled onto the
-    // join key ONCE and materialized: every round's neighbor-min joins
-    // edges on dst, and without the explicit repartition+checkpoint the
-    // union would re-execute and re-exchange the full edge list in every
-    // round — at corpus scale that is rounds x |edges| of avoidable
-    // shuffle. The checkpointed frame keeps its HashPartitioning(dst),
-    // so each round exchanges only the (much smaller) label frame.
-    val edgesCp = graft.util.Checkpoints.tracked(
-      pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .repartition(col("dst")))
-    val edges = edgesCp.df
+    // RAW pair checkpoint first (r21): the pair plan materializes ONCE
+    // here, the cardinality measure and the local fallthrough read it
+    // directly, and only the distributed regime goes on to build the
+    // symmetric edge list. The previous shape built
+    // union(pairs, swap(pairs)).repartition(dst) BEFORE measuring, so
+    // the (overwhelmingly common post-banding) local regime paid a
+    // 2x-size checkpoint plus a symmetric-union + repartition exchange
+    // it never used — union-find needs each undirected edge once.
+    val pairsCp = graft.util.Checkpoints.tracked(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
     // ---- measured-cardinality driver-local fallthrough (r20) ----
     // The iterative loop's cost is per-JOB scheduling floor × rounds
     // (~0.35 s/round at local[32]), not data: a post-banding near-dup
@@ -1005,17 +1008,17 @@ object Dedup {
     // a few-million-edge graph in milliseconds — exactly why DuckDB's
     // temp-table loop beat the stage 8× in the r19 audit. So, the
     // HeavyHitters.exactTopKByGroup pattern applied to CC: measure the
-    // edge count (one job over the checkpointed frame), and below
+    // pair count (one job over the checkpointed frame), and below
     // spark.graft.cc.maxLocalEdges pairs (default 1M) collect the
-    // bounded edge list, union-find on the driver (path-compressed,
+    // bounded pair list, union-find on the driver (path-compressed,
     // canonical = component MINIMUM to match the loop's min-label
     // semantics exactly), and broadcast the labels back. Above the
     // threshold — the 100 TB regime — the distributed loop below runs
     // unchanged. Result equality across both regimes is spec-pinned
     // (DedupSpec), and the catalog CC fixtures oracle the local path.
-    localCanonical(ids, edges, idCol) match {
+    localCanonical(ids, pairsCp.df, idCol) match {
       case Some(labelsLocal) =>
-        edgesCp.release()
+        pairsCp.release()
         // a previous large-regime invocation under this scope may hold
         // a checkpoint; the local path produces none, so close it out
         scope.foreach(k =>
@@ -1027,6 +1030,22 @@ object Dedup {
             coalesce(col("label"), col(idCol)).as("canonical_id"))
       case None => () // distributed loop below
     }
+    // Symmetric edge list (propagate both directions), shuffled onto the
+    // join key ONCE and materialized: every round's neighbor-min joins
+    // edges on dst, and without the explicit repartition+checkpoint the
+    // union would re-execute and re-exchange the full edge list in every
+    // round — at corpus scale that is rounds x |edges| of avoidable
+    // shuffle. The checkpointed frame keeps its HashPartitioning(dst),
+    // so each round exchanges only the (much smaller) label frame.
+    // Built FROM the pair checkpoint (both union branches replay blocks,
+    // not the pair plan), which is then dead and released.
+    val edgesCp = graft.util.Checkpoints.tracked(
+      pairsCp.df
+        .unionByName(pairsCp.df.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .repartition(col("dst")))
+    pairsCp.release()
+    val edges = edgesCp.df
     // Iterate ONLY over ids that touch an edge: an isolated doc keeps its
     // own label forever, so dragging the whole corpus through every round's
     // joins is pure waste — at 100 TB the near-dup subgraph is a small
