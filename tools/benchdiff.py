@@ -146,9 +146,15 @@ def main(old_path, new_path, threshold=0.15, hide_new=False):
     print("|---|---|---|---|---|")
     for _, key, o, n, d, note in sorted(rows, key=lambda r: -r[0]):
         print(f"| {key} | {o} | {n} | {d} | {note} |")
+    def is_big(old_s, new_s):
+        # symmetric 2x rule: a rise past +100% OR a drop past -50%
+        # (= >2x faster) both demand attribution — a 3x improvement
+        # reads -67% and must not slip under a rise-only threshold
+        o, n = float(old_s), float(new_s)
+        return n > o * (1 + BIG_MOVER) or n < o / (1 + BIG_MOVER)
     big_unattributed = [
         (key, o, n, d) for mag, key, o, n, d, note in rows
-        if note == "UNATTRIBUTED" and mag != float("inf") and mag > BIG_MOVER]
+        if note == "UNATTRIBUTED" and mag != float("inf") and is_big(o, n)]
     if big_unattributed:
         print()
         print(f"UNATTRIBUTED >2x MOVERS ({len(big_unattributed)}) — every "
