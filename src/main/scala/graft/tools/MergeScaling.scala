@@ -42,6 +42,9 @@ object MergeScaling {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the general-merge curve drives the SQL MERGE front, whose
+      // rewrite rule the extensions inject (r21)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,6 +89,27 @@ object MergeScaling {
     seed(small, 256)
     seed(big, 1024)
 
+    /** The GENERAL-merge rewrite term (r21, verdict #4): the same
+      * synthetic store driven through the SQL MERGE general path
+      * (conditional partial UPDATE — `WHEN MATCHED AND` forces
+      * [[graft.plans]]' DailyStoreGeneralMergeCommand: touched-day
+      * left-outer join + conditional projections + insert anti-join +
+      * the unique-matched-key guard pass), vs [[mergeSec]]'s
+      * keyed-replace anti-join. Same update keys/values, idempotent
+      * across reps like the keyed curve.
+      */
+    def generalMergeSec(catalogTbl: String, nDays: Int, t: Int): Double = {
+      updates(nDays, t).createOrReplaceTempView("msc_upd")
+      Timing.medianSec(reps) { () =>
+        spark.sql(
+          s"""MERGE INTO $catalogTbl USING msc_upd
+             |ON $catalogTbl.k = msc_upd.k
+             |WHEN MATCHED AND msc_upd.v >= 0.0 THEN UPDATE SET v = msc_upd.v
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        ()
+      }
+    }
+
     val (out, foreign) = Timing.withForeignCores {
       val curve = Seq(1, 4, 16, 64).map { t =>
         s""""t$t":${f"${mergeSec(small, 256, t, stable = false)}%.3f"}"""
@@ -93,15 +117,22 @@ object MergeScaling {
       val grown = mergeSec(big, 1024, 16, stable = false)
       val smallStable = mergeSec(small, 256, 16, stable = true)
       val bigStable = mergeSec(big, 1024, 16, stable = true)
-      (curve, grown, smallStable, bigStable)
+      graft.sources.DailyStoreCatalog.register(spark, "msc", base)
+      val gcurve = Seq(1, 4, 16, 64).map { t =>
+        s""""t$t":${f"${generalMergeSec("msc.days256", 256, t)}%.3f"}"""
+      }.mkString(",")
+      val ggrown = generalMergeSec("msc.days1024", 1024, 16)
+      (curve, grown, smallStable, bigStable, gcurve, ggrown)
     }
-    val (curve, grown, smallStable, bigStable) = out
+    val (curve, grown, smallStable, bigStable, gcurve, ggrown) = out
     // scalastyle:off println
     println(
       s"""{"touched_day_curve_days256":{$curve},""" +
         f""""grown_4x_days1024_t16":$grown%.3f,""" +
         f""""stable_days256_t16":$smallStable%.3f,""" +
         f""""stable_days1024_t16":$bigStable%.3f,""" +
+        s""""general_touched_day_curve_days256":{$gcurve},""" +
+        f""""general_grown_4x_days1024_t16":$ggrown%.3f,""" +
         s""""rows_per_day":$rowsPerDay,"reps":$reps,""" +
         f""""foreign_cores":$foreign%.2f}""")
     // scalastyle:on println
