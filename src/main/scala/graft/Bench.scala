@@ -13,11 +13,13 @@ import org.apache.spark.sql.SparkSession
   * that budget or its head gets truncated and the driver can't parse
   * it (this is exactly what voided the official BENCH_r05/r06
   * records). The stdout line therefore uses SHORT query keys (`q45`
-  * for `q45_curate_corpus`), 3-decimal times, truncated error strings
-  * and scalar-only duckdb summaries, with a hard guard that drops the
-  * per-query map rather than ever exceeding the budget. The FULL
-  * detail (long names, per-query duckdb medians) is written to
-  * BENCH_LOCAL.json.
+  * for `q45_curate_corpus`), 2-3-decimal times, truncated error
+  * strings and scalar-only duckdb summaries, and degrades under the
+  * budget in PRIORITY order (r22): the catalog per-query medians are
+  * what the driver's round-over-round comparator consumes, so they
+  * survive longest; the sf1 per-query map, gate rows and stamp scalars
+  * drop first. The FULL detail (long names, 4 decimals, per-query
+  * duckdb medians) is written to BENCH_LOCAL.json.
   *
   * Credibility rules (each query's number must mean something):
   *  - one untimed warm-up pass (JIT + codegen cache + parquet footers),
@@ -259,6 +261,15 @@ object Bench {
   private def jnum3(d: Double): String =
     if (d.isNaN || d.isInfinite) "-1" else BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** 2-decimal variant for the stdout line's PER-QUERY map: with 117
+    * catalog members the map is the dominant term of the line length,
+    * and 10 ms resolution is inside the documented session band anyway
+    * (full 4-decimal medians stay in BENCH_LOCAL.json).
+    */
+  private def jnum2(d: Double): String =
+    if (d.isNaN || d.isInfinite) "-1" else BigDecimal(d)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** `q45_curate_corpus` → `q45`. Every catalog name is `qNN_...` with a
     * unique number, so the short key stays unambiguous.
@@ -758,23 +769,30 @@ object Bench {
             jobj(d._2.map { case (k, v) => k -> jnum(v) })).getOrElse("null")) ++
           g1.map { case (k, v) => k -> jnum(v) })
     }
-    val sf1Compact: String = sf1 match {
-      case None => "null"
-      case Some((m1, e1, d1, g1, f1, _, _, _, _)) =>
-        jobj(Seq(
-          "queries" -> jobj(m1.map { case (k, v) => shortKey(k) -> jnum3(v) }),
-          "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
-          "spark_oracle_total_sec" -> jnum3(sf1OracleSec(m1)),
-          "duckdb_oneshot_total_sec" ->
-            sf1DuckOneshot(d1).map(jnum3).getOrElse("null"),
-          "spark_scalegrow_sec" -> jnum3(sf1SgSpark(m1)),
-          "duckdb_scalegrow_sec" ->
-            sf1SgDuck(d1).map(jnum3).getOrElse("null"),
-          "foreign_cores" -> jnum3(f1)) ++
-          g1.map { case (k, v) => k -> jnum3(v) } ++
-          (if (e1.isEmpty) Nil else Seq("errors" -> jobj(
-            e1.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))))
-    }
+    /** The stdout line's sf1 block, with its per-query map and gate rows
+      * droppable independently (they are the block's two big terms; the
+      * equivalent-work totals always stay).
+      */
+    def sf1Compact(withQueries: Boolean, withGates: Boolean): String =
+      sf1 match {
+        case None => "null"
+        case Some((m1, e1, d1, g1, f1, _, _, _, _)) =>
+          jobj(
+            (if (withQueries) Seq("queries" -> jobj(
+              m1.map { case (k, v) => shortKey(k) -> jnum3(v) })) else Nil) ++
+            Seq(
+              "spark_total_sec" -> jnum3(m1.filter(_._2 >= 0).map(_._2).sum),
+              "spark_oracle_total_sec" -> jnum3(sf1OracleSec(m1)),
+              "duckdb_oneshot_total_sec" ->
+                sf1DuckOneshot(d1).map(jnum3).getOrElse("null"),
+              "spark_scalegrow_sec" -> jnum3(sf1SgSpark(m1)),
+              "duckdb_scalegrow_sec" ->
+                sf1SgDuck(d1).map(jnum3).getOrElse("null"),
+              "foreign_cores" -> jnum3(f1)) ++
+            (if (withGates) g1.map { case (k, v) => k -> jnum3(v) } else Nil) ++
+            (if (e1.isEmpty) Nil else Seq("errors" -> jobj(
+              e1.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))))
+      }
 
     // full-detail record (long names, per-query duckdb medians) — this is
     // what BENCH_LOCAL.json keeps for humans and the judge
@@ -818,20 +836,35 @@ object Bench {
       "sf" -> jstr(sfDir),
       "sf1" -> sf1Full))
 
-    // size-bounded stdout line: short keys, 3 decimals, scalar duckdb
-    // summaries only; must survive a ~2000-char tail capture minus sbt's
-    // trailing success line
+    // size-bounded stdout line: short keys, scalar duckdb summaries
+    // only; must survive a ~2000-char tail capture minus sbt's trailing
+    // success line.
+    //
+    // r22 (verdict #1, the measurement contract): the driver's
+    // round-over-round comparator reads per-query medians from the
+    // TOP-LEVEL `queries` object of this line — and the old
+    // all-or-nothing guard dropped that object whenever the full line
+    // overflowed, which with 117 catalog members was ALWAYS
+    // (PERF_r20/r21: n_common = 0, bench_ok = false — the driver was
+    // per-query-blind for two rounds). The line now degrades in
+    // PRIORITY order instead: the catalog per-query map (at 2 decimals)
+    // is the contract item and survives longest; the sf1 per-query map,
+    // then the gate rows, then the warmup/duckdb/stamp scalars drop
+    // first. Everything dropped here remains in BENCH_LOCAL.json
+    // (full names, 4 decimals, per-query duckdb medians and stamps).
+    // No timing-path change — this is emission only.
     val stdoutBudget = 1800
-    def compactLine(withQueries: Boolean): String = jobj(Seq(
+    def compactLine(catQueries: Boolean, sf1Queries: Boolean,
+                    gates: Boolean, fullScalars: Boolean): String = jobj(Seq(
       "metric" -> jstr("total"),
       "value" -> jnum3(total),
       "unit" -> jstr("sec")) ++
-      (if (withQueries) Seq("queries" -> jobj(
-        medians.map { case (k, v) => shortKey(k) -> jnum3(v) })) else Nil) ++
+      (if (catQueries) Seq("queries" -> jobj(
+        medians.map { case (k, v) => shortKey(k) -> jnum2(v) })) else Nil) ++
       (if (errors.isEmpty) Nil else Seq("errors" -> jobj(
         errors.map { case (k, v) => shortKey(k) -> jstr(v.take(60)) }))) ++
-      Seq(
-        "reps" -> reps.toString,
+      Seq("reps" -> reps.toString) ++
+      (if (fullScalars) Seq(
         "consumption" -> jstr("toRdd-materialize"),
         "warmup_sec" -> jnum3(warmup),
         "host_load_start" -> jnum3(loadStart),
@@ -839,13 +872,32 @@ object Bench {
         "spark_oracle_total_sec" -> jnum3(oracleTotal),
         "spark_oracle_oneshot_sec" -> jnum3(oneshotTotal),
         "duckdb_oneshot_total_sec" -> duckOneshot.map(jnum3).getOrElse("null"),
-        "duckdb_total_sec" -> duckMain.map(d => jnum3(d._1)).getOrElse("null"),
+        "duckdb_total_sec" -> duckMain.map(d => jnum3(d._1)).getOrElse("null"))
+      else Seq(
+        // the ratio essentials survive every cut short of the last
+        "foreign_cores_sf01" -> jnum3(foreignSf01),
+        "spark_oracle_total_sec" -> jnum3(oracleTotal),
+        "duckdb_oneshot_total_sec" ->
+          duckOneshot.map(jnum3).getOrElse("null"))) ++
+      Seq(
         "sf" -> jstr(sfDir),
-        "sf1" -> sf1Compact,
+        "sf1" -> sf1Compact(sf1Queries, gates),
         "detail" -> jstr("BENCH_LOCAL.json")))
     val metricLine = {
-      val full = compactLine(withQueries = true)
-      if (full.length <= stdoutBudget) full else compactLine(withQueries = false)
+      val candidates = Seq(
+        compactLine(catQueries = true, sf1Queries = true,
+          gates = true, fullScalars = true),
+        compactLine(catQueries = true, sf1Queries = false,
+          gates = true, fullScalars = true),
+        compactLine(catQueries = true, sf1Queries = false,
+          gates = false, fullScalars = true),
+        compactLine(catQueries = true, sf1Queries = false,
+          gates = false, fullScalars = false),
+        // last resort only (a catalog so large even the bare per-query
+        // map overflows): the pre-r22 shape, per-query-blind
+        compactLine(catQueries = false, sf1Queries = true,
+          gates = true, fullScalars = true))
+      candidates.find(_.length <= stdoutBudget).getOrElse(candidates.last)
     }
 
     // regenerate the plan audit with every bench so it cannot go stale;

@@ -292,26 +292,38 @@ object ScalarQueries {
     // update), fused two-column aggregate 1.41, two-scan codegen-count
     // + weighted fold 1.55, explode codegen-count + weighted fold 1.79,
     // rank-selection 2.00 — against a 0.49 s codegen scan twin (same
-    // group key, same two decoded columns, sum()s). The ~0.7 s premium
-    // over the twin is ObjectHashAggregate's interpreted per-row
-    // machinery, and every codegen-phase alternative loses because the
+    // group key, same two decoded columns, sum()s). The premium over
+    // the twin is ObjectHashAggregate's interpreted per-row machinery,
+    // and every codegen-phase alternative loses because the
     // distinct-price count rows are near row-scale per task (map-side
-    // combine can't shrink the exchange). Measured irreducible at this
-    // surface; the state bound, single scan, and single aggregated
-    // exchange are the 100 TB properties that matter.
+    // combine can't shrink the exchange). The state bound, single
+    // scan, and single aggregated exchange are the 100 TB properties
+    // that matter.
+    //
+    // r22 RE-MEASUREMENT on the multi-file sf1 layout (same tool, two
+    // windows, medians-of-5): the r15 ordering FLIPPED — fused 0.85 /
+    // 0.77 s vs count-map 1.03 / 0.86, two-scan 1.04 / 0.96,
+    // rank-selection 1.42 / 1.48, scan twin 0.24 / 0.21. With the
+    // scans parallel, the per-row ObjectHashAggregate machinery (one
+    // interpreted update dispatch + buffer read/write per AGGREGATE
+    // per row) is the dominant term, so halving the dispatches by
+    // fusing both columns into one aggregate wins 11-17% where it lost
+    // 15% on the single-file layout. q50 therefore now runs the fused
+    // two-column aggregate — same count-map state per column, same
+    // eval arithmetic (PercentilesSpec pins all implementations
+    // bit-equal; the oracle re-verified at all three SFs).
     "q50_percentiles" -> Q(
       (s, dir) => {
-        graft.functions.ExactPercentilesF.register(s)
-        import graft.functions.ExactPercentilesF.exactPercentiles
+        graft.functions.ExactPercentilesF.register2(s)
+        import graft.functions.ExactPercentilesF.exactPercentiles2
         Tables(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(
-            exactPercentiles(col("l_quantity"), Seq(0.5, 0.95)).as("qp"),
-            exactPercentiles(col("l_extendedprice"), Seq(0.25)).as("pp"))
+          .agg(exactPercentiles2(col("l_quantity"), Seq(0.5, 0.95),
+            col("l_extendedprice"), Seq(0.25)).as("qq"))
           .select(col("l_returnflag"),
-            round(element_at(col("qp"), 1), 6).as("p50"),
-            round(element_at(col("qp"), 2), 6).as("p95"),
-            round(element_at(col("pp"), 1), 6).as("price_p25"))
+            round(element_at(col("qq.p1"), 1), 6).as("p50"),
+            round(element_at(col("qq.p1"), 2), 6).as("p95"),
+            round(element_at(col("qq.p2"), 1), 6).as("price_p25"))
           .orderBy("l_returnflag")
       },
       Some(

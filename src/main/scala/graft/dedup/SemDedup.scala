@@ -114,41 +114,108 @@ object SemDedup {
           "duplicates inside them would silently survive. Refit with a " +
           "larger cluster count (or auto-k, nClusters <= 0).")
     }
-    // dedupePairs = false (r21): the cell key is a SINGLE band, so an
-    // unordered pair arises at most once — the distinct was a full
-    // exchange of the N²/k pair set (13.4M rows at the q83 sf1 point)
-    // for nothing. The dropped-id distinct below keeps the survivor set
-    // insensitive to pair multiplicity either way.
-    val cands = Dedup.adaptIdType(cellRows, idCol) { rows =>
-      Dedup.boundedBucketPairs(rows, idCol, maxCluster, dedupePairs = false)
-    }
+    // Vec-side join strategy by MEASURED size (r21, the
+    // DailyStoreMerge.sizedKeySide discipline): broadcast the vectors
+    // when they fit, shuffle_hash above the threshold (the 100 TB
+    // regime — no sort either way).
+    //
+    // r22 (ADVICE): the gate is on estimated BYTES, not rows — a row
+    // cap is blind to embedding dimension (500k 768-dim vectors is
+    // gigabytes held by the driver and every executor). Estimate =
+    // rows × (dim × element-width + 48 B array/row overhead), dim
+    // probed from one row; default cap 256 MB raw ≈ ≲1 GB of executor
+    // headroom after the ~2-3x hashed-relation framing. The row-count
+    // conf remains as an explicit override. The row COUNT comes from
+    // the `cells` assignment — one narrow row per vector by
+    // construction, and checkpointed by every caller that memoizes the
+    // fit — instead of re-executing the caller's full vector plan one
+    // extra time per invocation (r21 ADVICE).
+    val conf = vecs.sparkSession.conf
+    val n = cells.count()
+    val bcastVecs =
+      conf.getOption("spark.graft.semdedup.maxBroadcastVecs") match {
+        case Some(rowCap) => n <= rowCap.toLong
+        case None =>
+          val byteCap = conf
+            .getOption("spark.graft.semdedup.maxBroadcastVecBytes")
+            .map(_.toLong).getOrElse(256L * 1024 * 1024)
+          val elemW = vecs.schema(vecCol).dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) => et.defaultSize
+            case _ => 8
+          }
+          val dim = vecs.select(size(col(vecCol)).as("__dim")).head(1) match {
+            case Array(r) if !r.isNullAt(0) => r.getInt(0)
+            case _ => 0
+          }
+          n * (dim.toLong * elemW + 48L) <= byteCap
+      }
+    graft.functions.Texts.register(vecs.sparkSession)
     graft.functions.Vectors.register(vecs.sparkSession)
-    // Verify-join strategy by MEASURED vector-side size (r21, the
-    // DailyStoreMerge.sizedKeySide discipline): the pair side is the
-    // BIG side here by the paper's own algebra — N²/k pairs of 16 bytes
-    // vs N vectors of ~4·dim bytes, so pairs outweigh vectors whenever
-    // k < N·16/(2·4·dim), true under the k ∝ N/1000 rule for any
-    // realistic dim. BROADCASTING the vectors (when they fit) keeps the
-    // pair set inside the aggregation's own stage — zero pair-sized
-    // exchanges, no sort (the static planner saw 2 sort-merge joins
-    // here: the checkpointed inputs hide stats). Above the threshold —
-    // the 100 TB regime — shuffle_hash still exchanges pairs WITHOUT
-    // sorting them, and builds only per-partition vector slices.
-    val maxBcast = vecs.sparkSession.conf
-      .getOption("spark.graft.semdedup.maxBroadcastVecs")
-      .map(_.toLong).getOrElse(500000L)
-    val bcastVecs = vecs.count() <= maxBcast
-    def vecSide(idAs: String, vecAs: String): DataFrame = {
-      val s = vecs.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-      if (bcastVecs) broadcast(s) else s.hint("shuffle_hash")
+    val idType = vecs.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.ByteType => true
+      case _ => false
     }
-    val dropped = cands
-      .join(vecSide("id1", "__v1"), "id1")
-      .join(vecSide("id2", "__v2"), "id2")
-      .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
-        >= minCosine)
-      .select(col("id2").as(idCol))
-      .distinct()
+    val floatVec = vecs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val dropped: DataFrame =
+      if (integralId && floatVec) {
+        // r22 gathered-vector form (verdict #7; see
+        // functions/SemDedupDroppedIds for the equivalence contract):
+        // attach each row's vector to its cell assignment with ONE
+        // sized join, gather (id, vec) per cell under the same
+        // maxCluster saturation, and compute the dropped ids directly
+        // in the aggregate's eval — the N²/k pair rows, their two
+        // verify joins and the per-pair cosine stream never exist.
+        // Integral ids widen losslessly (value order preserved — the
+        // id ORDER is semantic: lowest id survives); non-integral ids
+        // keep the pair pipeline below, because a dense surrogate
+        // would reorder which id survives.
+        val vside = {
+          val s = vecs.select(col(idCol).cast("long").as("__sid"),
+            col(vecCol).as("__v"))
+          if (bcastVecs) broadcast(s) else s.hint("shuffle_hash")
+        }
+        cells
+          .select(col(idCol).cast("long").as("__sid"),
+            col("cell").cast("long").as("__cell"))
+          .join(vside, "__sid")
+          .groupBy(col("__cell"))
+          .agg(graft.functions.SemDedupDroppedIds.droppedIds(
+            maxCluster, minCosine, col("__sid"), col("__v")).as("__dropped"))
+          // a saturated (over-cap) cell evaluates null — the identical
+          // silent-drop contract of the bounded pair stage
+          .filter(col("__dropped").isNotNull)
+          .select(explode(col("__dropped")).as("__sid"))
+          .select(col("__sid").cast(idType).as(idCol))
+          .distinct()
+      } else {
+        // legacy pair pipeline. dedupePairs = false (r21): the cell key
+        // is a SINGLE band, so an unordered pair arises at most once —
+        // the dropped-id distinct keeps the survivor set insensitive to
+        // pair multiplicity either way.
+        val cands = Dedup.adaptIdType(cellRows, idCol) { rows =>
+          Dedup.boundedBucketPairs(rows, idCol, maxCluster,
+            dedupePairs = false)
+        }
+        def vecSide(idAs: String, vecAs: String): DataFrame = {
+          val s = vecs.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+          if (bcastVecs) broadcast(s) else s.hint("shuffle_hash")
+        }
+        cands
+          .join(vecSide("id1", "__v1"), "id1")
+          .join(vecSide("id2", "__v2"), "id2")
+          .filter(graft.functions.Vectors.cosineSim(col("__v1"), col("__v2"))
+            >= minCosine)
+          .select(col("id2").as(idCol))
+          .distinct()
+      }
     vecs.join(dropped, Seq(idCol), "left_anti")
   }
 }

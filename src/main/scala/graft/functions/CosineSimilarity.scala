@@ -128,6 +128,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => Int8Cosine(es(0), es(1))),
       ("stopword_counts", classOf[StopwordCountsExpr].getName,
         es => StopwordCountsExpr(es(0))),
+      ("curate_tier1", classOf[CurateTier1].getName,
+        es => CurateTier1(es(0), intArg(es(1)),
+          es(2).eval().asInstanceOf[Number].doubleValue())),
+      ("semdedup_dropped_ids", classOf[SemDedupDroppedIds].getName,
+        es => SemDedupDroppedIds(es(0), es(1), intArg(es(2)),
+          es(3).eval().asInstanceOf[Number].doubleValue())),
       ("sig_overlap", classOf[SigOverlap].getName,
         es => SigOverlap(es(0), es(1))),
       ("ngram_hashes", classOf[NgramHashes].getName,

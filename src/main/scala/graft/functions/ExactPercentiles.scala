@@ -246,15 +246,17 @@ object ExactPercentilesAgg {
   * Same count-map state per column as [[ExactPercentilesAgg]]; built to
   * test whether ObjectHashAggregate's per-AGGREGATE row machinery
   * (update dispatch, buffer-field read/write, cap check) dominates the
-  * interpreted path once the probe itself is primitive. MEASURED NO
-  * (tools/PercentileAb, solo sf1, medians-of-5): fused 1.41 s vs two
-  * separate aggregates 1.23 s — the Array-indexed double buffer and the
-  * interleaved probes cost more than the saved dispatch, so the catalog
-  * q50 keeps the two single-column aggregates. Kept as a library
-  * surface (one buffer exchange for correlated-column percentile sets)
-  * with the negative result on record. Null handling, linear
-  * interpolation, and the distinct-cap abort are per-column identical
-  * to the single-column aggregate (PercentilesSpec pins equality).
+  * interpreted path once the probe itself is primitive. r15 measured NO
+  * on the single-file sf1 layout (fused 1.41 s vs two separate
+  * aggregates 1.23); the r22 re-measurement on the multi-file layout
+  * (tools/PercentileAb, two windows, medians-of-5) REVERSED it — fused
+  * 0.85/0.77 s vs 1.03/0.86 — because with parallel scans the per-row
+  * dispatch is the dominant term, so the catalog q50 now runs this
+  * aggregate (both results kept on record: the choice is
+  * layout-sensitive, re-measure before porting it). Null handling,
+  * linear interpolation, and the distinct-cap abort are per-column
+  * identical to the single-column aggregate (PercentilesSpec pins
+  * equality).
   */
 case class ExactPercentiles2Agg(
     c1: Expression, ps1: Seq[Double],

@@ -223,6 +223,18 @@ object Texts {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "stopword_counts", exprs => StopwordCountsExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "semdedup_dropped_ids",
+      exprs => SemDedupDroppedIds(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].doubleValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "curate_tier1",
+      exprs => CurateTier1(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].doubleValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_overlap", exprs => SigOverlap(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.TextAnalysis
@@ -89,7 +89,14 @@ object StopwordCountsExpr {
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
 
   /** The one-pass scan. Public so generated code can call it. */
-  def count(s: UTF8String): ArrayData = {
+  def count(s: UTF8String): ArrayData =
+    ArrayData.toArrayData(countsRaw(s))
+
+  /** The raw 9-slot accumulator of [[count]] (no ArrayData boxing) —
+    * shared with [[CurateTier1]], which folds the whole tier-1 decision
+    * out of one scan.
+    */
+  def countsRaw(s: UTF8String): Array[Int] = {
     val bytes = s.getBytes
     val n = bytes.length
     val counts = new Array[Int](9)
@@ -122,7 +129,7 @@ object StopwordCountsExpr {
         }
       }
     }
-    ArrayData.toArrayData(counts)
+    counts
   }
 
   /** Column API over the registered function (see [[graft.functions.Texts.register]]):
@@ -133,5 +140,111 @@ object StopwordCountsExpr {
   def stopwordCounts(c: Column): Column = {
     Texts.ensureRegistered()
     org.apache.spark.sql.functions.call_function("stopword_counts", c)
+  }
+}
+
+/** Fused corpus-curation tier-1 predicate:
+  * `curate_tier1(text, langMask, minQuality)` ⇔
+  * `langId(text) ∈ langs AND qualityScore(text) >= minQuality`
+  * evaluated from ONE [[StopwordCountsExpr.countsRaw]] byte scan.
+  *
+  * Why (r22, guide §1.2 per-task work): the composable filter pair
+  * evaluates `stopword_counts` as a fresh subtree per REFERENCE —
+  * filter predicates get no codegen subexpression elimination, and the
+  * `when(...)` ratio guards reference the counts array up to three
+  * times each — so a row passing the language gate paid up to ~8 full
+  * text scans (2 for langId's argmax, 6 for qualityScore's two ratios)
+  * plus a separate O(n) `length()` walk. This expression computes the
+  * identical decision from one scan: the first-max argmax (langId's
+  * `array_position(scores, array_max(scores))` tie-break), the same
+  * double arithmetic in the same association order, and the same
+  * `round(_, 6)` semantics (java.math.BigDecimal.valueOf + HALF_UP —
+  * exactly what Spark's Round emits for doubles), so the kept set is
+  * bit-identical (Tier1KeepSpec pins it against the unfused pair; the
+  * q45/q88 oracles pin it end-to-end). Null text yields null, which a
+  * Filter drops just as it dropped the null `isin`.
+  *
+  * `langMask` is a bitmask over [[TextAnalysis.LangOrder]] indices —
+  * languages outside the five-entry table can never win the argmax, so
+  * they contribute no bit.
+  */
+case class CurateTier1(child: Expression, langMask: Int, minQuality: Double)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "curate_tier1"
+
+  override def nullSafeEval(input: Any): Any =
+    CurateTier1.keep(input.asInstanceOf[UTF8String], langMask, minQuality)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = CurateTier1.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.keep($c, $langMask, $minQuality);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CurateTier1 {
+
+  /** The fused decision. Public so generated code can call it.
+    *
+    * Equivalence notes (each mirrors the Catalyst tree it replaces):
+    *  - argmax: strict `>` keeps the FIRST index holding the max —
+    *    `array_position(scores, array_max(scores))` semantics;
+    *  - `least(1.0, len/500.0)`: branch on `<`, preferring the second
+    *    operand on ties (same value either way);
+    *  - ratio guards: `when(den === 0, 0.0)` branches before dividing;
+    *  - score: `0.4*a + 0.3*b + 0.3*c` in the same left-to-right IEEE
+    *    association as the Column `+` chain;
+    *  - round-half-up at 6 via BigDecimal.valueOf — Spark Round's exact
+    *    double path.
+    */
+  def keep(s: UTF8String, langMask: Int, minQuality: Double): Boolean = {
+    val counts = StopwordCountsExpr.countsRaw(s)
+    var bi = 0
+    var j = 1
+    while (j < 5) {
+      if (counts(j) > counts(bi)) bi = j
+      j += 1
+    }
+    if (((langMask >> bi) & 1) == 0) return false
+    val nChars = counts(8)
+    val lenRatio = nChars.toDouble / 500.0
+    val lenTerm = if (lenRatio < 1.0) lenRatio else 1.0
+    val punct =
+      if (nChars == 0) 0.0 else counts(7).toDouble / nChars.toDouble
+    val stop =
+      if (counts(6) == 0) 0.0 else counts(5).toDouble / counts(6).toDouble
+    val q = java.math.BigDecimal
+      .valueOf(0.4 * lenTerm + 0.3 * (1.0 - punct) + 0.3 * stop)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    q >= minQuality
+  }
+
+  /** Bitmask over [[TextAnalysis.LangOrder]] for an allowlist. */
+  def maskFor(langs: Seq[String]): Int =
+    TextAnalysis.LangOrder.zipWithIndex.collect {
+      case (l, i) if langs.contains(l) => 1 << i
+    }.sum
+
+  /** Column API (see [[StopwordCountsExpr.stopwordCounts]] for the
+    * registration contract).
+    */
+  def tier1Keep(c: Column, langs: Seq[String], minQuality: Double): Column = {
+    Texts.ensureRegistered()
+    org.apache.spark.sql.functions.call_function("curate_tier1", c,
+      org.apache.spark.sql.functions.lit(maskFor(langs)),
+      org.apache.spark.sql.functions.lit(minQuality))
   }
 }

@@ -82,10 +82,13 @@ object CorpusPipeline {
       case Some(k) => graft.util.Checkpoints.scoped(s"$k:$suffix")(df)
       case None => df.localCheckpoint()
     }
-    // tier 1: expression-only filters
-    val filtered = docs
-      .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
-      .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+    // tier 1: expression-only filter — the language allowlist and the
+    // quality threshold fused into ONE byte scan per row (r22; see
+    // graft.functions.CurateTier1: filter predicates get no codegen
+    // subexpression elimination, so the composable langId/qualityScore
+    // pair re-ran stopword_counts up to ~8x per surviving row)
+    val filtered = docs.filter(graft.functions.CurateTier1
+      .tier1Keep(col("text"), cfg.langs, cfg.minQuality))
 
     // tier 2: exact dedup (keep min doc_id per identical text) in ONE
     // pass: group full rows on the 16-byte text hash, keep min_by doc_id.
@@ -173,8 +176,8 @@ object CorpusPipeline {
                         storePath: String, cfg: Config = Config()): DataFrame = {
     graft.functions.Texts.register(batch.sparkSession) // stopword_counts
     val filtered = batch
-      .filter(TextAnalysis.langId(col("text")).isin(cfg.langs.map(x => x: Any): _*))
-      .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+      .filter(graft.functions.CurateTier1
+        .tier1Keep(col("text"), cfg.langs, cfg.minQuality))
       .localCheckpoint() // consumed by both gates' joins below
     val exactNew = filtered.join(
       Dedup.exactIncremental(filtered, "doc_id", "text",

@@ -234,12 +234,49 @@ object DailyStoreMerge {
       case (Some(m), Some(g)) => Some(m ++ g)
       case (m, g) => m.orElse(g)
     }
-    val storeCols = sidecarCols.getOrElse {
+    val inferredCols = sidecarCols.getOrElse {
       val fast = spark.read.parquet(path).schema.fieldNames.toSet
       if (fast == cols.toSet) fast
       else spark.read.option("mergeSchema", "true")
         .parquet(path).schema.fieldNames.toSet
     }
+    def guardOk(store: Set[String]): Boolean =
+      if (addColumns) store.subsetOf(cols.toSet) else store == cols.toSet
+    // Ghost self-heal (r22, r21 ADVICE): the union guard fails in the
+    // safe direction but used to be STICKY — a `_schema.json` column
+    // stamped ahead of a commit that never landed (the documented
+    // pre-commit crash window) blocked every future merge, because the
+    // next commit restamps only meta and the union kept resurrecting
+    // the ghost. Before failing on a sidecar-sourced mismatch, judge
+    // the store on its TRUE per-file union (the same expensive
+    // mergeSchema pass the no-sidecar fallback uses — paid only in the
+    // rare divergence case): a sidecar column present in NO data file
+    // and absent from meta is provably a never-committed reservation
+    // (recoverPendingCommits already ran, so a recoverable evolution
+    // would have landed its files first), and retiring it loses
+    // nothing. The sidecar is rewritten to the true set — loudly,
+    // naming both files — so the guard self-heals instead of requiring
+    // a manual sidecar edit. A diverging column that DOES exist in a
+    // file or in meta still fails exactly as before.
+    val storeCols =
+      if (guardOk(inferredCols) || sidecarCols.isEmpty) inferredCols
+      else {
+        val fileCols = spark.read.option("mergeSchema", "true")
+          .parquet(path).schema.fieldNames.toSet
+        val trueCols = fileCols ++ metaCols.getOrElse(Set.empty)
+        val ghosts = inferredCols -- trueCols
+        if (ghosts.nonEmpty && guardOk(trueCols)) {
+          System.err.println(
+            s"[dailystore] merge at $path: retiring ghost column(s) " +
+              s"${ghosts.toSeq.sorted.mkString(",")} recorded in " +
+              s"$SchemaSidecarFile but present in no data " +
+              "file and not in " + DailyStoreCatalog.MetaFile +
+              " (a stamped-but-never-committed evolution); rewriting " +
+              "the sidecar to the store's true column set")
+          writeSchemaSidecar(fs, live, trueCols)
+          trueCols
+        } else inferredCols
+      }
     if (addColumns)
       require(storeCols.subsetOf(cols.toSet),
         s"dailystore merge (addColumns): store at $path has columns " +
@@ -259,8 +296,10 @@ object DailyStoreMerge {
     // crash between an evolving commit and a post-commit stamp can
     // never leave an evolved store whose next old-set merge silently
     // drops the new column — the pre-commit stamp's failure mode is
-    // the safe one (a stamped-but-uncommitted evolution makes later
-    // old-set merges fail LOUDLY until re-run with the evolved set)
+    // the safe one (a stamped-but-uncommitted evolution leaves a ghost
+    // sidecar column, which the r22 self-heal above retires against
+    // the per-file union — loudly, and only when provably committed
+    // nowhere — instead of wedging every later old-set merge)
     if (sidecarCols.isEmpty || (addColumns && storeCols != cols.toSet))
       writeSchemaSidecar(fs, live, cols.toSet)
     // the contract aggregate proved one row per key, so n IS the key

@@ -75,7 +75,24 @@ object ProfileHeavies {
         .filter(TextAnalysis.langId(col("text"))
           .isin(langs.map(x => x: Any): _*))
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.0)
-      timed("q45 tier1 filters alone")(filtered)
+      timed("q45 tier1 filters unfused (pre-r22)")(filtered)
+      // r22 A/B arm: the fused single-scan predicate the pipeline now
+      // runs (see graft.functions.CurateTier1). The catalog-level q45
+      // explain is checkpoint-truncated, so the filter stage's plan
+      // evidence is dumped here when GRAFT_PLAN_DIR is set.
+      val fused = corpus.filter(graft.functions.CurateTier1
+        .tier1Keep(col("text"), langs, 0.0))
+      timed("q45 tier1 fused (r22)")(fused)
+      for (pd <- sys.env.get("GRAFT_PLAN_DIR")) {
+        def dump(name: String, df: DataFrame): Unit =
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(pd, name),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+              .getBytes("UTF-8"))
+        dump("q45_tier1_filter_before.txt", filtered)
+        dump("q45_tier1_filter_after.txt", fused)
+      }
       val exactPlan = filtered
         .groupBy(md5(col("text")).as("__text_hash"))
         .agg(min_by(struct(corpus.columns.map(col): _*), col("doc_id"))

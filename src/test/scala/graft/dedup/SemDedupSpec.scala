@@ -86,6 +86,42 @@ class SemDedupSpec extends SparkSpec {
     assert(out.length > 5)
   }
 
+  // r22 (verdict #6): the above-threshold verify-join regime — the
+  // 100 TB branch of a correctness-neutral strategy choice — pinned
+  // like DailyStoreMergeSpec pins the forced-shuffle merge regime.
+  test("forced shuffle_hash regime (row-cap override) keeps survivors identical") {
+    val copies = fixture.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val all = fixture.unionByName(copies)
+    def run() = SemDedup.semanticDedup(all, "vec_id", "embedding",
+      nClusters = 2, minCosine = 0.95)
+    val bcast = run().select("vec_id").as[Long].collect().sorted
+    try {
+      spark.conf.set("spark.graft.semdedup.maxBroadcastVecs", "1")
+      val forced = run()
+      // the verify joins must actually plan as shuffled hash joins in
+      // this regime (the initial plan is enough: the hint is static)
+      assert(forced.queryExecution.executedPlan.toString
+        .contains("ShuffledHashJoin"))
+      assert(forced.select("vec_id").as[Long].collect().sorted.toSeq
+        == bcast.toSeq)
+    } finally spark.conf.unset("spark.graft.semdedup.maxBroadcastVecs")
+  }
+
+  test("byte-estimate gate (r22 default) routes a tiny cap to shuffle_hash, same survivors") {
+    val copies = fixture.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val all = fixture.unionByName(copies)
+    def run() = SemDedup.semanticDedup(all, "vec_id", "embedding",
+      nClusters = 2, minCosine = 0.95)
+    val bcast = run().select("vec_id").as[Long].collect().sorted
+    try {
+      spark.conf.set("spark.graft.semdedup.maxBroadcastVecBytes", "1")
+      assert(run().select("vec_id").as[Long].collect().sorted.toSeq
+        == bcast.toSeq)
+    } finally spark.conf.unset("spark.graft.semdedup.maxBroadcastVecBytes")
+  }
+
   test("survivors keep all original columns") {
     val withLabel = fixture.withColumn("label", col("vec_id") * 10)
     val out = SemDedup.semanticDedup(withLabel, "vec_id", "embedding",

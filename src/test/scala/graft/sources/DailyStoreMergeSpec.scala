@@ -354,17 +354,26 @@ class DailyStoreMergeSpec extends SparkSpec {
     "records (r21, from the r20 ADVICE)") {
     val dir = freshDir("sideunion")
     seed(dir) // meta stamped at commit: {d,k,v}
-    // simulate a pre-meta-era evolution record: _schema.json knows a
-    // wider set the (older) meta never saw
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    SidecarJson.write(fs, live, DailyStoreMerge.SchemaSidecarFile) { root =>
-      val arr = root.putArray("columns")
-      Seq("d", "k", "v", "note").foreach(arr.add)
-    }
+    // the pre-meta-era evolution scenario, with REAL data behind it
+    // (r22: the fabricated wide-sidecar-without-data variant is now the
+    // ghost the self-heal retires — see the next test): capture the
+    // narrow pre-evolution meta, evolve for real so `note` data lands
+    // in rewritten day files and _schema.json records it, then restamp
+    // the OLD narrow meta over the commit's fresh one
+    val narrowMeta =
+      SidecarJson.readRaw(fs, live, DailyStoreCatalog.MetaFile).get
+    DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-01", 1, "a1")).withColumn("note",
+        org.apache.spark.sql.functions.lit("n0")),
+      key = "k", addColumns = true)
+    SidecarJson.writeRaw(fs, live, DailyStoreCatalog.MetaFile, narrowMeta)
     // a merge carrying only meta's narrower set must FAIL loudly — a
     // meta-preferring guard would pass it and silently drop `note`
-    // from every rewritten day
+    // (committed data) from every rewritten day; the r22 ghost
+    // self-heal must not fire either, because the column exists in a
+    // data file
     val ex = intercept[IllegalArgumentException] {
       DailyStoreMerge.mergeByKey(spark, dir,
         rows(("2020-03-01", 1, "a2")), key = "k")
@@ -378,5 +387,30 @@ class DailyStoreMergeSpec extends SparkSpec {
     assert(spark.read.option("mergeSchema", "true").parquet(dir)
       .filter($"k" === 1).select("v", "note")
       .as[(String, String)].collect().toSeq == Seq(("a2", "n")))
+  }
+
+  test("ghost _schema.json column (stamped ahead of a commit that never " +
+    "landed) self-heals: the guard retires it against the true file " +
+    "union instead of wedging every future merge (r22, r21 ADVICE)") {
+    val dir = freshDir("ghostheal")
+    seed(dir) // files and meta: {d,k,v}
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // the pre-commit crash window: _schema.json records a column that
+    // landed in NO data file and meta never saw
+    SidecarJson.write(fs, live, DailyStoreMerge.SchemaSidecarFile) { root =>
+      val arr = root.putArray("columns")
+      Seq("d", "k", "v", "ghost").foreach(arr.add)
+    }
+    // the old-set merge used to fail here forever (the union guard kept
+    // resurrecting the ghost); it now verifies against the per-file
+    // union, retires the ghost loudly, and commits
+    DailyStoreMerge.mergeByKey(spark, dir,
+      rows(("2020-03-01", 1, "a2")), key = "k")
+    assert(spark.read.parquet(dir).filter($"k" === 1).select("v")
+      .as[String].collect().toSeq == Seq("a2"))
+    // the sidecar was reconciled to the store's true column set
+    assert(DailyStoreMerge.readSchemaSidecar(fs, live)
+      .contains(Set("d", "k", "v")))
   }
 }

@@ -39,18 +39,25 @@ from), movers auto-attribute instead of printing UNATTRIBUTED:
   the reader sees the pressure even without a baseline.
 
 Exit code: 0 normally (the tool reports, the reader judges) — EXCEPT
-when a mover beyond BIG_MOVER (default 2x) has neither an attribution
+when a mover beyond the attribution bar has neither an attribution
 entry nor an auto-attributing stamp: those print as a loud
-`UNATTRIBUTED >2x MOVERS` block and the exit code is 2, so a round
+`UNATTRIBUTED BIG MOVERS` block and the exit code is 2, so a round
 cannot silently ship a BENCH record with an uncharacterized big swing
-(r21, closing the r20 verdict's q06/q49/q50 fall-through).
+(r21, closing the r20 verdict's q06/q49/q50 fall-through). NOTE the
+exit-code contract for wrappers: 2 is a *review-needed* signal, not a
+tool error. r22 (verdict #4) lowered the bar from >2x alone to
+>1.25x AND >0.3 s absolute, in either direction — two rounds of q80/
+q105-class drift (+16-28%, ~0.3-0.4 s) accumulated under the 2x radar.
+The ratio test runs on the RAW floats, not the 3-decimal display
+strings (r21 ADVICE: rounding could misclassify at the boundary).
 """
 import sys, os, json
 
 FOREIGN_HOT = 2.0  # README accept rule: quiet window = foreign < 2.0
 GC_COVERS = 0.5    # gc growth explaining >=50% of the delta attributes it
 GC_NOTABLE = 0.3   # >=30% of the pass inside GC is worth surfacing
-BIG_MOVER = 1.0    # |delta| > 100% (i.e. >2x / <0.5x) demands attribution
+BIG_RATIO = 1.25   # attribution bar: >1.25x in either direction ...
+BIG_ABS = 0.3      # ... AND >0.3 s absolute (sub-noise floors exempt)
 
 
 def load(path):
@@ -114,21 +121,24 @@ def main(old_path, new_path, threshold=0.15, hide_new=False):
             note = f"{note}; {stamp}" if note else stamp
         return note
 
+    # rows carry the RAW floats (None for NEW/GONE); display strings are
+    # formatted at print time so the is_big classification never runs on
+    # rounded values (r21 ADVICE)
     rows = []
     for key in sorted(set(old) | set(new)):
         o, n = old.get(key), new.get(key)
         if o is None:
             if not hide_new:
-                rows.append((float("inf"), key, "-", f"{n:.3f}", "NEW",
+                rows.append((float("inf"), key, None, n, "NEW",
                              note_for(key) or "UNATTRIBUTED"))
         elif n is None:
             if not hide_new:
-                rows.append((float("inf"), key, f"{o:.3f}", "-", "GONE",
+                rows.append((float("inf"), key, o, None, "GONE",
                              note_for(key) or "UNATTRIBUTED"))
         elif o > 0:
             delta = (n - o) / o
             if abs(delta) > threshold:
-                rows.append((abs(delta), key, f"{o:.3f}", f"{n:.3f}",
+                rows.append((abs(delta), key, o, n,
                              f"{delta:+.0%}",
                              note_for(key) or "UNATTRIBUTED"))
     common = [k for k in old if k in new]
@@ -142,26 +152,31 @@ def main(old_path, new_path, threshold=0.15, hide_new=False):
         print(f"No movers beyond {threshold:.0%} "
               f"({len(common)} aligned queries).")
         return 0
+    def fmt(v):
+        return "-" if v is None else f"{v:.3f}"
     print("| query | old s | new s | Δ | attribution |")
     print("|---|---|---|---|---|")
     for _, key, o, n, d, note in sorted(rows, key=lambda r: -r[0]):
-        print(f"| {key} | {o} | {n} | {d} | {note} |")
-    def is_big(old_s, new_s):
-        # symmetric 2x rule: a rise past +100% OR a drop past -50%
-        # (= >2x faster) both demand attribution — a 3x improvement
-        # reads -67% and must not slip under a rise-only threshold
-        o, n = float(old_s), float(new_s)
-        return n > o * (1 + BIG_MOVER) or n < o / (1 + BIG_MOVER)
+        print(f"| {key} | {fmt(o)} | {fmt(n)} | {d} | {note} |")
+    def is_big(o, n):
+        # symmetric ratio rule on the raw floats: a rise past +25% OR a
+        # drop past -20% (= >1.25x faster) demands attribution, but only
+        # when the absolute move clears BIG_ABS seconds — sub-noise
+        # floor members (0.1 -> 0.14 s) stay under the reporting
+        # threshold's ordinary judgement
+        return (n > o * BIG_RATIO or n < o / BIG_RATIO) \
+            and abs(n - o) > BIG_ABS
     big_unattributed = [
         (key, o, n, d) for mag, key, o, n, d, note in rows
         if note == "UNATTRIBUTED" and mag != float("inf") and is_big(o, n)]
     if big_unattributed:
         print()
-        print(f"UNATTRIBUTED >2x MOVERS ({len(big_unattributed)}) — every "
-              "mover beyond the documented band needs a solo stamp or an "
-              "attribution entry before the record ships:")
+        print(f"UNATTRIBUTED BIG MOVERS ({len(big_unattributed)}) — every "
+              f"mover beyond the bar (>{BIG_RATIO}x and >{BIG_ABS}s) needs "
+              "a solo stamp or an attribution entry before the record "
+              "ships:")
         for key, o, n, d in big_unattributed:
-            print(f"  {key}: {o} -> {n} ({d})")
+            print(f"  {key}: {fmt(o)} -> {fmt(n)} ({d})")
         return 2
     return 0
 
